@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Checks, GoldViews}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    GoldViews.claimsSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // gold views (SURVEY.md §2.11)
+    "q_claims_summary" -> GoldViews.claimsSummary _,
+    "q_monthly_trend" -> GoldViews.monthlyTrend _,
+    "q_provider_performance" -> GoldViews.providerPerformance _,
+    "q_dq_dashboard" -> GoldViews.dqDashboard _,
+    "q_member_activity" -> GoldViews.memberActivity _,
+    "q_recent_activity" -> GoldViews.recentActivity _,
+    // trino_checks transplants + star-schema joins
+    "q_category_histogram" -> Checks.categoryHistogram _,
+    "q_quality_histogram" -> Checks.qualityHistogram _,
+    "q_top_members" -> Checks.topMembers _,
+    "q_null_audit" -> Checks.nullAudit _,
+    "q_table_stats" -> Checks.tableStats _,
+    "q_geo_rollup" -> Checks.geoRollup _,
+    "q_fact_join" -> Checks.factJoin _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.all
 }

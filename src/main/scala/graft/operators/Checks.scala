@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.{Engine, Tables}
+import graft.functions.Cleansing
+import graft.functions.Exact._
+
+/** The deterministic health-check queries of sql/trino_checks.sql
+  * (SURVEY.md §2.11 tail): histograms with pct-of-total, top-k, null
+  * audits, whole-table stats, plus the dimension joins SURVEY.md §7.1
+  * adds over the star schema.
+  */
+object Checks {
+
+  /** trino_checks.sql:126-134 — category histogram with pct-of-total.
+    * W1: the empty-over() window runs on the AGGREGATED relation (≤5
+    * rows), never on the input — the single-partition hazard flagged in
+    * SURVEY.md §4 doesn't apply post-aggregation. */
+  def categoryHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val agg = SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
+      .groupBy(col("claim_amount_category")).agg(count(lit(1)).as("cnt"))
+    agg.withColumn("pct",
+        round(col("cnt").cast(DoubleType) * 100.0 /
+          sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType), 2))
+      .orderBy(col("cnt").desc, col("claim_amount_category"))
+  }
+
+  /** trino_checks.sql:137-155 — quality-score histogram with pct. */
+  def qualityHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val agg = SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
+      .groupBy(col("data_quality_score")).agg(count(lit(1)).as("cnt"))
+    agg.withColumn("pct",
+        round(col("cnt").cast(DoubleType) * 100.0 /
+          sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType), 2))
+      .orderBy(col("data_quality_score").desc)
+  }
+
+  /** trino_checks.sql:42-92 top-k pattern — ORDER BY metric DESC LIMIT 5
+    * (ties broken on key for determinism). Spark plans
+    * TakeOrderedAndProject: per-partition top-k then k-way driver merge,
+    * no global sort — exactly the plan you want at scale. */
+  def topMembers(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
+      .filter(col("member_id").isNotNull)
+      .groupBy(col("member_id")).agg(count(lit(1)).as("n_claims"))
+      .orderBy(col("n_claims").desc, col("member_id"))
+      .limit(5)
+  }
+
+  /** trino_checks.sql:158-166 — null/invalid audit over the RAW (pre-gate)
+    * claims: one global aggregate pass. */
+  def nullAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    RawClaims.fromOrders(Tables.orders(spark, sfDir))
+      .agg(
+        count(lit(1)).as("total_rows"),
+        countIf(col("claim_id_raw").isNull).as("null_claim_id"),
+        countIf(col("member_id_raw").isNull).as("null_member_id"),
+        countIf(col("provider_raw").isNull || trim(col("provider_raw")) === "")
+          .as("missing_provider"),
+        countIf(col("amount_raw").isNull).as("null_amount"),
+        countIf(col("amount_raw") < 0).as("negative_amount"),
+        countIf(Cleansing.parseServiceDate(col("service_date_raw")).isNull)
+          .as("unparseable_date"))
+  }
+
+  /** trino_checks.sql:113-123 — whole-table statistics (A11). */
+  def tableStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    Tables.orders(spark, sfDir).agg(
+      count(lit(1)).as("total_orders"),
+      countDistinct(col("o_custkey")).as("unique_customers"),
+      countDistinct(col("o_orderpriority")).as("n_priorities"),
+      min(col("o_orderdate")).as("first_order"),
+      max(col("o_orderdate")).as("last_order"),
+      dsum(col("o_totalprice")).as("total_value"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** SURVEY.md §7.1 dim-join rollup: customer ⋈ nation ⋈ region, both
+    * dims broadcast (25 / 5 rows at any SF) — no shuffle on either join. */
+  def geoRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"),
+        davg(col("c_acctbal")).as("avg_acctbal"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** SURVEY.md §7.1 fact-fact join: lineitem ⋈ orders on the order key.
+    * Both sides shuffle-hash/sort-merge on o_orderkey at scale; AQE picks
+    * the physical join. Revenue goes through the exact-decimal path. */
+  def factJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+}

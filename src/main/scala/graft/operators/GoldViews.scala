@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.{Engine, Tables}
+import graft.functions.Cleansing
+import graft.functions.Exact._
+
+/** The six gold analytical views (sql/gold/create_views.sql:8-159),
+  * transplanted onto the star schema per SURVEY.md §7.1 / FIXTURES.md §C.
+  *
+  * Every view is filter → hash-aggregate → (optional window/order) with no
+  * wide intermediate: Catalyst plans partial+final HashAggregateExec with
+  * map-side combine, so shuffled bytes are proportional to group count,
+  * not input rows — the property that makes these hold at 100 TB.
+  */
+object GoldViews {
+
+  /** create_views.sql:8-29 — claims_summary: date filter → 4-key groupBy →
+    * count/distinct/money rollups. Amount buckets rescaled to
+    * l_extendedprice's range (documented deviation; reference thresholds
+    * assume claim-sized amounts). */
+  def claimsSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .groupBy(
+        year(col("l_shipdate")).as("service_year"),
+        month(col("l_shipdate")).as("service_month"),
+        col("l_returnflag"),
+        Cleansing.amountCategory(col("l_extendedprice"), 1000, 10000, 50000)
+          .as("amount_category"))
+      .agg(
+        count(lit(1)).as("total_claims"),
+        countDistinct(col("l_orderkey")).as("unique_orders"),
+        dsum(col("l_extendedprice")).as("total_amount"),
+        davg(col("l_extendedprice")).as("avg_amount"),
+        min(col("l_extendedprice")).as("min_amount"),
+        max(col("l_extendedprice")).as("max_amount"),
+        countIf(col("l_extendedprice") > 10000).as("high_value_claims"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("service_year"), col("service_month"), col("l_returnflag"),
+        col("amount_category"))
+  }
+
+  /** create_views.sql:32-51 — monthly_claims_trend; month_date via
+    * make_date (not the reference's unpadded string concat, which Spark's
+    * to_date rejects — SURVEY.md §7.3). */
+  def monthlyTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .groupBy(
+        year(col("l_shipdate")).as("service_year"),
+        month(col("l_shipdate")).as("service_month"))
+      .agg(
+        count(lit(1)).as("total_claims"),
+        countDistinct(col("l_orderkey")).as("unique_orders"),
+        countDistinct(col("l_suppkey")).as("unique_suppliers"),
+        dsum(col("l_extendedprice")).as("total_amount"),
+        davg(col("l_extendedprice")).as("avg_amount"),
+        min(col("l_extendedprice")).as("min_amount"),
+        max(col("l_extendedprice")).as("max_amount"))
+      .withColumn("month_date",
+        make_date(col("service_year"), col("service_month"), lit(1)))
+      .orderBy(col("service_year").desc, col("service_month").desc)
+  }
+
+  /** create_views.sql:54-72 — provider_performance: dim join (supplier =
+    * provider) → per-provider rollup with exact discrete median, pct-high,
+    * active months; HAVING ≥10. Supplier is tiny at any scale factor →
+    * broadcast hash join, zero shuffle on the build side. */
+  def providerPerformance(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val li = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_name") =!= "UNKNOWN") // P5, create_views.sql:69
+      .groupBy(col("s_name").as("provider_name"))
+      .agg(
+        count(lit(1)).as("total_claims"),
+        countDistinct(col("l_orderkey")).as("unique_orders"),
+        dsum(col("l_extendedprice")).as("total_billed"),
+        davg(col("l_extendedprice")).as("avg_amount"),
+        medianDisc("l_extendedprice").as("median_amount"),
+        min(col("l_extendedprice")).as("min_amount"),
+        max(col("l_extendedprice")).as("max_amount"),
+        pct(countIf(col("l_extendedprice") > 10000), count(lit(1)))
+          .as("high_value_pct"),
+        countDistinct(make_date(year(col("l_shipdate")),
+          month(col("l_shipdate")), lit(1))).as("active_months"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"),
+        davg(col("l_quantity")).as("avg_quantity"))
+      .filter(col("total_claims") >= 10) // HAVING, create_views.sql:71
+      .orderBy(col("total_billed").desc, col("provider_name"))
+  }
+
+  /** create_views.sql:75-97 — data_quality_dashboard over the silver
+    * claims: score-band conditional counts + exact mean score per month. */
+  def dqDashboard(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
+      .groupBy(col("service_year"), col("service_month"))
+      .agg(
+        count(lit(1)).as("total_claims"),
+        countIf(col("data_quality_score") === 1.0).as("perfect_quality"),
+        countIf(col("data_quality_score") === 0.7).as("zero_amount_claims"),
+        countIf(col("data_quality_score") === 0.5).as("missing_date_claims"),
+        davg(col("data_quality_score")).as("avg_quality_score"),
+        countIf(col("provider_name") === "UNKNOWN").as("unknown_provider_claims"),
+        countIf(col("member_id").isNull).as("null_member_claims"))
+      .orderBy(col("service_year").desc_nulls_last,
+        col("service_month").desc_nulls_last)
+  }
+
+  /** create_views.sql:100-117 — member_activity: per-member rollup over
+    * silver claims, activity span via datediff, HAVING ≥2. */
+  def memberActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
+      .filter(col("member_id").isNotNull) // P6, create_views.sql:114
+      .groupBy(col("member_id"))
+      .agg(
+        count(lit(1)).as("total_claims"),
+        dsum(col("claim_amount")).as("total_amount"),
+        davg(col("claim_amount")).as("avg_amount"),
+        min(col("service_date")).as("first_date"),
+        max(col("service_date")).as("last_date"),
+        datediff(max(col("service_date")), min(col("service_date")))
+          .as("active_span_days"), // F13: Trino DATE_DIFF arg order reversed
+        countDistinct(col("claim_amount_category")).as("n_categories"))
+      .filter(col("total_claims") >= 2) // HAVING, create_views.sql:116
+      .orderBy(col("total_amount").desc, col("member_id"))
+  }
+
+  /** create_views.sql:120-159 — recent_activity: three sliding-window
+    * global aggregates UNION ALL'd, ordered by a CASE expression (O2).
+    * Windows anchor on max(ts), not wall clock, so results are
+    * deterministic (SURVEY.md §7.4); the 1-row max side is broadcast. */
+  def recentActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val ev = Tables.events(spark, sfDir)
+    val withMax = ev.crossJoin(broadcast(ev.agg(max(col("ts")).as("max_ts"))))
+    def arm(label: String, order: Int, interval: String): DataFrame =
+      withMax.filter(col("ts") >= col("max_ts") - expr(s"INTERVAL $interval"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_event_types"),
+          dsum(col("value")).as("total_value"),
+          davg(col("value")).as("avg_value"))
+        .select(lit(label).as("period"), lit(order).as("period_order"),
+          col("*"))
+    arm("Last 24 Hours", 1, "24 HOUR")
+      .unionAll(arm("Last 7 Days", 2, "7 DAY"))
+      .unionAll(arm("Last 30 Days", 3, "30 DAY"))
+      .orderBy(col("period_order"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant checks over every registered query at sf0.001. The
+  * exact-value gate is the DuckDB differential (graft.Verify +
+  * tools/verify_local.py); these tests pin cheap invariants so `sbt test`
+  * catches regressions without the oracle. */
+class QueriesSpec extends SparkSpec {
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has an oracle (or is explicitly rows-only)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("histogram percentages sum to ~100") {
+    val pctSum = operators.Checks.categoryHistogram(spark, sfDir)
+      .agg(sum("pct")).head.getDouble(0)
+    assert(math.abs(pctSum - 100.0) < 0.1)
+  }
+
+  test("recent_activity arms are monotonically inclusive") {
+    val rows = operators.GoldViews.recentActivity(spark, sfDir)
+      .orderBy("period_order").collect()
+    assert(rows.length == 3)
+    val counts = rows.map(_.getAs[Long]("n_events"))
+    assert(counts(0) <= counts(1) && counts(1) <= counts(2))
+  }
+
+  test("provider_performance median is an actual element (discrete)") {
+    val df = operators.GoldViews.providerPerformance(spark, sfDir)
+    val medians = df.select("median_amount").collect().map(_.getDouble(0))
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).toSet
+    medians.foreach(m => assert(li.contains(m), s"median $m not in data"))
+  }
+
+  test("top_members is deterministic top-5") {
+    val got = operators.Checks.topMembers(spark, sfDir).collect()
+    assert(got.length == 5)
+    val ns = got.map(_.getAs[Long]("n_claims"))
+    assert(ns.sameElements(ns.sorted.reverse))
+  }
+}
