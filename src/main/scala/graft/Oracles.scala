@@ -118,8 +118,8 @@ FROM (
   quantile_disc(l_extendedprice, 0.5) AS median_amount,
   min(l_extendedprice) AS min_amount,
   max(l_extendedprice) AS max_amount,
-  round(CAST(count(CASE WHEN l_extendedprice > 10000 THEN 1 END) AS DOUBLE) * 100.0
-        / CAST(count(*) AS DOUBLE), 2) AS high_value_pct,
+  CAST(count(CASE WHEN l_extendedprice > 10000 THEN 1 END) AS DOUBLE) * 100.0
+        / CAST(count(*) AS DOUBLE) AS high_value_pct,
   count(DISTINCT make_date(CAST(year(l_shipdate) AS INT),
         CAST(month(l_shipdate) AS INT), 1)) AS active_months,
   min(l_shipdate) AS first_ship,
@@ -184,13 +184,13 @@ SELECT * FROM (
 
     "q_category_histogram" -> (ClaimsCte + """
 SELECT claim_amount_category, cnt,
-  round(CAST(cnt AS DOUBLE) * 100.0 / CAST(sum(cnt) OVER () AS DOUBLE), 2) AS pct
+  CAST(cnt AS DOUBLE) * 100.0 / CAST(sum(cnt) OVER () AS DOUBLE) AS pct
 FROM (SELECT claim_amount_category, count(*) AS cnt FROM silver GROUP BY 1) a
 ORDER BY cnt DESC, claim_amount_category"""),
 
     "q_quality_histogram" -> (ClaimsCte + """
 SELECT data_quality_score, cnt,
-  round(CAST(cnt AS DOUBLE) * 100.0 / CAST(sum(cnt) OVER () AS DOUBLE), 2) AS pct
+  CAST(cnt AS DOUBLE) * 100.0 / CAST(sum(cnt) OVER () AS DOUBLE) AS pct
 FROM (SELECT data_quality_score, count(*) AS cnt FROM silver GROUP BY 1) a
 ORDER BY data_quality_score DESC"""),
 
@@ -243,5 +243,101 @@ ORDER BY 1, 2""",
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 ORDER BY 1""",
+
+    "q_token_stats" -> """SELECT lang,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+  CAST(sum(n_nonspace) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS avg_word_len,
+  min(n_chars) AS min_chars,
+  max(n_chars) AS max_chars
+FROM (
+  SELECT lang, n_chars,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+    length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace
+  FROM documents) t
+GROUP BY lang ORDER BY lang""",
+
+    "q_lang_confusion" -> """SELECT lang, detected_lang, count(*) AS n_docs
+FROM (
+  SELECT lang,
+    CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS detected_lang
+  FROM (
+    SELECT lang,
+      len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS s_en,
+      len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+      len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+      len(list_filter(t, x -> x IN ('el','los','y','que','es'))) AS s_es
+    FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents) a
+  ) b
+) c GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_text_quality" -> """SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_quality,
+  min(q) AS min_quality,
+  max(q) AS max_quality,
+  count(CASE WHEN q >= 0.8 THEN 1 END) AS high_quality_docs
+FROM (
+  SELECT source,
+    least(CAST(n_tokens AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE)) * 0.4
+        + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+        + least(CAST(s_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE)) * 0.3 AS q
+  FROM (
+    SELECT source, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+      len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS s_en
+    FROM (SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents) a
+  ) b
+) c GROUP BY source ORDER BY source""",
+
+    "q_dedup_exact" -> """SELECT
+  CAST(count(*) AS BIGINT) AS distinct_texts,
+  CAST(sum(copies) AS BIGINT) AS total_docs,
+  count(CASE WHEN copies > 1 THEN 1 END) AS dup_groups,
+  CAST(sum(copies) - count(*) AS BIGINT) AS redundant_docs
+FROM (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+    count(*) AS copies, min(doc_id) AS keep_id
+  FROM documents GROUP BY 1) g""",
+
+    "q_neardup_pairs" -> """WITH sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM (SELECT doc_id, lang, source,
+          string_split_regex(trim(text), '\s+') AS t FROM documents) a
+)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+    CAST(len(list_filter(list_distinct(a.s), x -> list_contains(b.s, x))) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+) p WHERE jaccard >= 0.08
+ORDER BY doc_a, doc_b""",
+
+    "q_embedding_norms" -> """SELECT vec_id, label,
+  sqrt(list_sum(list_transform(embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+FROM embeddings ORDER BY vec_id""",
+
+    "q_ann_bruteforce" -> """WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) r
+WHERE rnk <= 5 ORDER BY query_id, rnk""",
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, GoldViews}
+import graft.operators.{Checks, GoldViews, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -27,6 +27,16 @@ object SparkEntry {
     "q_table_stats" -> Checks.tableStats _,
     "q_geo_rollup" -> Checks.geoRollup _,
     "q_fact_join" -> Checks.factJoin _,
+    // training-data pipeline: text analysis + dedup (documents table)
+    "q_token_stats" -> TextOps.tokenStats _,
+    "q_lang_confusion" -> TextOps.langConfusion _,
+    "q_text_quality" -> TextOps.textQualityBySource _,
+    "q_dedup_exact" -> TextOps.dedupExact _,
+    "q_neardup_pairs" -> ((s: SparkSession, d: String) => TextOps.nearDupPairs(s, d)),
+    // training-data pipeline: similarity search (embeddings table)
+    "q_embedding_norms" -> VectorOps.embeddingNorms _,
+    "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),
+    "q_ann_lsh" -> ((s: SparkSession, d: String) => VectorOps.annLsh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

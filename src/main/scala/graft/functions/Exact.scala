@@ -31,9 +31,15 @@ object Exact {
   /** COUNT(CASE WHEN p THEN 1 END) — Trino's conditional count. */
   def countIf(p: Column): Column = count(when(p, 1))
 
-  /** ROUND(cnt*100.0/total, 2) percentage over two count columns. */
+  /** cnt*100.0/total percentage over two count columns.
+    *
+    * Deliberately NOT rounded: Spark rounds doubles via BigDecimal
+    * HALF_UP on the exact binary value while DuckDB rounds the shortest
+    * decimal representation (round(2.675d,2) = 2.67 vs 2.68), so any
+    * rounded double can hash-mismatch at a boundary. Raw division of
+    * exact counts is bit-identical everywhere. */
   def pct(cnt: Column, total: Column): Column =
-    round(cnt.cast(DoubleType) * 100.0 / total.cast(DoubleType), 2)
+    cnt.cast(DoubleType) * 100.0 / total.cast(DoubleType)
 
   /** Exact discrete median (Trino PERCENTILE_DISC(0.5) WITHIN GROUP ...,
     * DuckDB quantile_disc(x, 0.5)): an actual element of the group, so the

@@ -24,8 +24,8 @@ object Checks {
     val agg = SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
       .groupBy(col("claim_amount_category")).agg(count(lit(1)).as("cnt"))
     agg.withColumn("pct",
-        round(col("cnt").cast(DoubleType) * 100.0 /
-          sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType), 2))
+        col("cnt").cast(DoubleType) * 100.0 /
+          sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType))
       .orderBy(col("cnt").desc, col("claim_amount_category"))
   }
 
@@ -35,8 +35,8 @@ object Checks {
     val agg = SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
       .groupBy(col("data_quality_score")).agg(count(lit(1)).as("cnt"))
     agg.withColumn("pct",
-        round(col("cnt").cast(DoubleType) * 100.0 /
-          sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType), 2))
+        col("cnt").cast(DoubleType) * 100.0 /
+          sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType))
       .orderBy(col("data_quality_score").desc)
   }
 

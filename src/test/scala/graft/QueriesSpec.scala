@@ -16,7 +16,11 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is explicitly rows-only)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only: DuckDB has no xxhash64, so LSH signatures can't be
+    // mirrored in SQL; correctness is pinned by TextVectorSpec instead.
+    val rowsOnly = Set("q_ann_lsh")
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
