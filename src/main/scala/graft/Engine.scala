@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session configuration shared by every entry point.
   *
@@ -16,9 +16,33 @@ object Engine {
     // events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark refuses it
     // unless read as long — Tables.events converts back to a timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // InferFiltersFromGenerate rewrites explode(attr) into a pre-filter
+    // size(<full original expression>) > 0, INLINING the generator's
+    // defining expression — for our higher-order-function shingle/band
+    // arrays that re-evaluates the whole interpreted HOF chain once per
+    // row (measured ~4 s of 8 s in nearDupPairs at sf0.1). The filter is
+    // purely an optimization for inner explode (Generate itself emits
+    // nothing for empty arrays), so excluding the rule is semantics-free.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
+  }
+
+  /** Guarantee at least the session's default parallelism before a
+    * per-row-expensive narrow pipeline (interpreted higher-order
+    * functions, md5 chains, multi-format date parsing).
+    *
+    * At 100 TB a parquet scan yields thousands of splits and this is a
+    * NO-OP — the guard keeps us from ever adding a gratuitous full-data
+    * shuffle at scale. It kicks in only for small single-row-group
+    * inputs (the driver's test files), whose whole narrow pipeline would
+    * otherwise execute on ONE core: a round-robin repartition of a few
+    * MB buys 32× parallelism on everything downstream. */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 }

@@ -159,8 +159,14 @@ GROUP BY member_id
 HAVING count(*) >= 2
 ORDER BY total_amount DESC, member_id"""),
 
-    "q_recent_activity" -> """WITH mx AS (SELECT max(ts) AS max_ts FROM events),
-ev AS (SELECT e.*, mx.max_ts FROM events e CROSS JOIN mx)
+    // CAST(ts AS TIMESTAMP) floor-truncates DuckDB's TIMESTAMP_NS to
+    // microseconds — the same truncation Tables.events applies Spark-side
+    // (ts div 1000), so the comparison stays exact even if events ever
+    // carry sub-microsecond components.
+    "q_recent_activity" -> """WITH ev0 AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+mx AS (SELECT max(ts) AS max_ts FROM ev0),
+ev AS (SELECT e.*, mx.max_ts FROM ev0 e CROSS JOIN mx)
 SELECT * FROM (
   SELECT 'Last 24 Hours' AS period, 1 AS period_order,
     count(*) AS n_events, count(DISTINCT user_id) AS n_users,
@@ -276,9 +282,14 @@ FROM (
   ) b
 ) c GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // mean via fixed-point floor(q·1e6) longs: q·1e6 and floor are single
+    // IEEE ops (engine-exact) and the integer sum is order-independent —
+    // avoids the double→DECIMAL rounding-rule divergence ADVICE.md r1
+    // flagged for computed scores.
     "q_text_quality" -> """SELECT source,
   count(*) AS n_docs,
-  CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_quality,
+  CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+    / CAST(count(*) AS DOUBLE) AS avg_quality,
   min(q) AS min_quality,
   max(q) AS max_quality,
   count(CASE WHEN q >= 0.8 THEN 1 END) AS high_quality_docs
@@ -324,6 +335,88 @@ ORDER BY doc_a, doc_b""",
   sqrt(list_sum(list_transform(embedding,
     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
 FROM embeddings ORDER BY vec_id""",
+
+    // Same literal plane numerators (VectorFunctions.planeNumerator) and
+    // same single IEEE division as the Spark plan → bit-identical buckets;
+    // cosine matches via strict left-to-right list_sum accumulation.
+    "q_ann_lsh" -> s"""WITH sig AS (
+  SELECT vec_id, embedding,
+    ${graft.functions.VectorFunctions.lshSignatureSql("embedding", 12, 64)} AS bucket
+  FROM embeddings)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ${graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding")} AS cos_sim
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+WHERE cos_sim >= 0.2 ORDER BY id_a, id_b""",
+
+    "q_neardup_embedding" -> s"""SELECT label, id_a, id_b, cos_sim FROM (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+    ${graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding")} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id) p
+WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""",
+
+    "q_dedup_minhash" -> {
+      val comps = (0 until 12)
+        .map(i => s"list_min(list_transform(s, x -> md5('$i:' || x)))")
+        .mkString(",\n    ")
+      val bands = (0 until 4).map { j =>
+        s"SELECT doc_id, $j AS band_idx, md5(ms[${3 * j + 1}] || '|' || " +
+          s"ms[${3 * j + 2}] || '|' || ms[${3 * j + 3}]) AS band_val FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+    i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM tok),
+sig AS (
+  SELECT doc_id, s, [$comps] AS ms FROM sh),
+bands AS (
+  $bands),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+    CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b) v
+WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b"""
+    },
+
+    "q_dedup_simhash" -> {
+      val nibs = (0 until 12)
+        .map(j => s"list_transform(h, x -> instr('0123456789abcdef', " +
+          s"substr(x, ${j + 1}, 1)) - 1) AS n$j")
+        .mkString(",\n    ")
+      val bits = (0 until 48)
+        .map(b => s"(CASE WHEN list_sum(list_transform(n${b / 4}, " +
+          s"v -> ((v >> ${b % 4}) & 1) * 2 - 1)) >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+hs AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS h FROM tok),
+nib AS (
+  SELECT doc_id,
+    $nibs
+  FROM hs)
+SELECT doc_id,
+    $bits AS simhash
+FROM nib ORDER BY doc_id"""
+    },
+
+    "q_fingerprint" -> """WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+SELECT doc_id, list_min(list_transform(
+  list_transform(range(0, greatest(len(t) - 5, 0) + 1),
+    i -> array_to_string(t[i+1:i+5], ' ')),
+  s -> md5(s))) AS fingerprint
+FROM tok ORDER BY doc_id""",
 
     "q_ann_bruteforce" -> """WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5

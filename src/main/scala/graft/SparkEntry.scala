@@ -33,10 +33,14 @@ object SparkEntry {
     "q_text_quality" -> TextOps.textQualityBySource _,
     "q_dedup_exact" -> TextOps.dedupExact _,
     "q_neardup_pairs" -> ((s: SparkSession, d: String) => TextOps.nearDupPairs(s, d)),
+    "q_dedup_minhash" -> ((s: SparkSession, d: String) => TextOps.dedupMinhash(s, d)),
+    "q_dedup_simhash" -> TextOps.simhashDocs _,
+    "q_fingerprint" -> TextOps.fingerprintDocs _,
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => VectorOps.annLsh(s, d)),
+    "q_neardup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

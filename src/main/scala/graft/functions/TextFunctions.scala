@@ -79,17 +79,108 @@ object TextFunctions {
   /** Exact-dedup key (md5 matches DuckDB's md5 bit-for-bit). */
   def contentHash(c: Column): Column = md5(normalized(c))
 
-  /** Word n-gram shingles as distinct strings — the input to both
-    * n-gram-Jaccard similarity and MinHash. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  /** Word n-gram shingles (distinct) from a MATERIALIZED token-array
+    * column — the input to both n-gram-Jaccard similarity and MinHash.
+    *
+    * `t` must be a column reference (stage it with
+    * `.withColumn("t", tokens(col("text")))`), NOT the `tokens(...)`
+    * expression itself: higher-order functions evaluate interpreted, so a
+    * subtree inside the lambda body is re-evaluated once PER ARRAY
+    * ELEMENT — embedding the regex tokenizer there re-splits the whole
+    * text ~|shingles| times per row (measured 15× slowdown). Because `t`
+    * is referenced twice here, Catalyst's CollapseProject keeps the
+    * staged column materialized instead of inlining it back. */
+  def shinglesOf(t: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(t) - n, lit(0))),
       i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-  }
+
+  /** Convenience for tests / small frames: tokenize inline. Carries the
+    * per-element re-tokenization cost described on [[shinglesOf]] —
+    * operators must stage tokens and call [[shinglesOf]]. */
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
+
+  // --- MinHash ---------------------------------------------------------
+
+  /** One MinHash signature component: min over the shingle set of a
+    * salted md5 (a random permutation of the shingle universe keyed by
+    * `i`). String min is byte-lexicographic on the hex alphabet in both
+    * Spark and DuckDB, so signatures are engine-exact. */
+  def minhashComponent(sh: Column, i: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+
+  /** Banded MinHash: k components grouped into bands of r; two documents
+    * are LSH candidates iff they agree on ALL components of SOME band.
+    * Returns the band-value columns (md5 of the concatenated band). */
+  def minhashBands(sh: Column, k: Int, r: Int): Seq[Column] = {
+    require(k % r == 0, "k must be a multiple of band size r")
+    val comps = (0 until k).map(minhashComponent(sh, _))
+    comps.grouped(r).map(band => md5(concat_ws("|", band: _*))).toSeq
+  }
+
+  // --- SimHash ---------------------------------------------------------
+
+  /** Hex digit → value 0-15, as `instr(hexAlphabet, c) - 1` so the DuckDB
+    * oracle can use the identical instr construction. Only ever applied
+    * to md5 output (0-9a-f). */
+  private val HexAlphabet = "0123456789abcdef"
+  def hexNibble(c: Column): Column = {
+    val chain = HexAlphabet.zipWithIndex.tail.foldLeft(
+      when(c === HexAlphabet.head.toString, 0)) {
+        case (acc, (ch, v)) => acc.when(c === ch.toString, v)
+      }
+    chain.otherwise(-1)
+  }
+
+  /** 48-bit SimHash over the token MULTISET (term frequency weights the
+    * bit sums naturally). Bit b is the sign of Σ_tokens (bit_b(md5(t))·2−1)
+    * where bit_b reads nibble b/4, position b%4 of the md5 hex string.
+    * 48 bits (12 nibbles) keep the value positive in a signed 64-bit long
+    * on both engines. Built as three narrow projects (hash list → nibble
+    * lists → bit sums) so Catalyst doesn't duplicate the md5 work. */
+  val SimhashBits = 48
+
+  /** md5-per-token list — materialize as its own column. */
+  def tokenHashes(c: Column): Column = transform(tokens(c), t => md5(t))
+
+  /** Nibble-value list j (0-11) from a token-hash-list column. */
+  def nibbleList(hs: Column, j: Int): Column =
+    transform(hs, h => hexNibble(substring(h, j + 1, 1)))
+
+  /** Signed bit-sum for simhash bit b over nibble-list column nib. */
+  def simhashBitSum(nib: Column, b: Int): Column =
+    aggregate(nib, lit(0L),
+      (acc, v) => acc + (shiftright(v, b % 4).bitwiseAND(lit(1)) * 2 - 1))
+
+  /** Assemble the simhash from 48 bit-sum columns. */
+  def simhashFromBitSums(bitSums: Seq[Column]): Column =
+    bitSums.zipWithIndex.map { case (s, b) =>
+      when(s >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  // --- Fingerprinting --------------------------------------------------
+
+  /** Rolling word n-gram windows IN ORDER (no distinct) — the hash
+    * sequence a rolling-hash fingerprinter slides over. Same staging
+    * contract as [[shinglesOf]]: `t` must be a materialized token column. */
+  def shingleSeqOf(t: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(t) - n, lit(0))),
+      i => concat_ws(" ", slice(t, i + lit(1), lit(n))))
+
+  /** Document fingerprint: min hash over the rolling n-gram windows
+    * (winnowing with a single global window — the minimal selection rule;
+    * two documents sharing any low-hash window collide). `windows` must
+    * be a materialized window-array column. */
+  def rollingFingerprintOf(windows: Column): Column =
+    array_min(transform(windows, s => md5(s)))
+
+  /** Test convenience; operators stage via [[shingleSeqOf]]. */
+  def rollingFingerprint(c: Column, n: Int): Column =
+    array_min(transform(shingleSeqOf(tokens(c), n), s => md5(s)))
 }

@@ -25,4 +25,69 @@ object VectorFunctions {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // --- deterministic random-hyperplane components (shared with oracle) ---
+
+  /** splitmix64 finalizer — a public-domain mixing function; used only to
+    * derive reproducible pseudo-random hyperplane components. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Integer numerator of plane p's component along dimension d; the
+    * component itself is numerator/1000003.0 ∈ (-1, 1). Both the Spark
+    * plan and the DuckDB oracle embed these SAME integers and perform the
+    * SAME single IEEE division, so signatures are bit-identical across
+    * engines (|num| < 2^20 is exactly representable as a double). */
+  def planeNumerator(p: Int, d: Int): Long =
+    mix64(p.toLong * 1000003L + d) % 1000003L
+
+  def planeComponent(p: Int, d: Int): Double =
+    planeNumerator(p, d) / 1000003.0
+
+  /** Plane p as a literal double array column (constant-folded). */
+  def planeArray(p: Int, dims: Int): Column =
+    typedLit((0 until dims).map(d => planeComponent(p, d)))
+
+  /** Dot product of `v` against literal plane `p`: one zip_with/aggregate
+    * pair, NOT an unrolled per-element expression tree — stays well under
+    * codegen method-size limits at any dims (the round-1 version unrolled
+    * planes×dims element_at nodes and fell back to interpreted eval). */
+  def planeProjection(v: Column, p: Int, dims: Int): Column =
+    aggregate(
+      zip_with(v, planeArray(p, dims), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Random-hyperplane LSH signature: bit p of the result is the sign of
+    * the projection onto plane p. Deterministic — no RNG, reproducible
+    * across runs and engines. */
+  def lshSignature(v: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      when(planeProjection(v, p, dims) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB SQL for the projection onto plane p (same literals, same
+    * left-to-right list_sum accumulation as [[planeProjection]]). */
+  def planeProjectionSql(v: String, p: Int, dims: Int): String = {
+    val arr = (0 until dims)
+      .map(d => s"${planeNumerator(p, d)}/1000003.0").mkString("[", ", ", "]")
+    s"list_sum(list_transform(list_zip($v, $arr), x -> CAST(x[1] AS DOUBLE) * x[2]))"
+  }
+
+  /** DuckDB SQL mirror of [[lshSignature]]. */
+  def lshSignatureSql(v: String, planes: Int, dims: Int): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN ${planeProjectionSql(v, p, dims)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB SQL for cosine(a, b) matching [[cosine]] bit-for-bit. */
+  def cosineSql(a: String, b: String): String = {
+    def norm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+      s" / (${norm(a)} * ${norm(b)})"
+  }
 }

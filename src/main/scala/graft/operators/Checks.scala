@@ -57,7 +57,7 @@ object Checks {
     * claims: one global aggregate pass. */
   def nullAudit(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    RawClaims.fromOrders(Tables.orders(spark, sfDir))
+    RawClaims.fromOrders(Engine.spread(Tables.orders(spark, sfDir)))
       .agg(
         count(lit(1)).as("total_rows"),
         countIf(col("claim_id_raw").isNull).as("null_claim_id"),

@@ -69,9 +69,11 @@ object SilverCleanse {
     enriched.filter(col("data_quality_score") >= 0.5) // P2, silver:85
   }
 
-  /** Full pipeline from the star-schema orders table. */
+  /** Full pipeline from the star-schema orders table. Engine.spread
+    * parallelizes the per-row cleanse (3-format date parse, trims,
+    * cascades) past the single-row-group test files; no-op at scale. */
   def fromOrders(orders: DataFrame): DataFrame =
-    clean(RawClaims.fromOrders(orders))
+    clean(RawClaims.fromOrders(graft.Engine.spread(orders)))
 
   /** Batch metadata columns the bronze job stamps
     * (ingest_csv_to_delta.py:60-63), with an injectable clock so tests and

@@ -18,7 +18,7 @@ object TextOps {
   /** Per-language token statistics. Sums are over longs (exact). */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    Tables.documents(spark, sfDir)
+    Engine.spread(Tables.documents(spark, sfDir))
       .select(col("lang"), col("n_chars"),
         tokenCount(col("text")).as("n_tokens"),
         charCount(col("text")).as("n_nonspace_chars"))
@@ -39,23 +39,29 @@ object TextOps {
     * language-ID heuristic. */
   def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    Tables.documents(spark, sfDir)
+    Engine.spread(Tables.documents(spark, sfDir))
       .select(col("lang"), langId(col("text")).as("detected_lang"))
       .groupBy(col("lang"), col("detected_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("detected_lang"))
   }
 
-  /** Per-source quality-score rollup (exact decimal mean). */
+  /** Per-source quality-score rollup. The mean is computed from a
+    * fixed-point quantization floor(q·1e6) summed as exact longs:
+    * q·1e6 and floor are single IEEE ops (bit-identical in any engine),
+    * and the integer sum is order-independent — unlike casting a computed
+    * double to DECIMAL, whose rounding rule differs between Spark
+    * (HALF_UP on the exact binary value) and DuckDB (on the shortest
+    * decimal repr). Same determinism-at-scale property as Exact.dsum. */
   def textQualityBySource(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    Tables.documents(spark, sfDir)
+    Engine.spread(Tables.documents(spark, sfDir))
       .select(col("source"), textQuality(col("text")).as("q"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("q").cast(Wide)).cast(DoubleType)
-          .divide(count(lit(1))).as("avg_quality"),
+        (sum(floor(col("q") * 1e6)).cast(DoubleType) / lit(1e6) /
+          count(lit(1)).cast(DoubleType)).as("avg_quality"),
         min(col("q")).as("min_quality"),
         max(col("q")).as("max_quality"),
         countIf(col("q") >= 0.8).as("high_quality_docs"))
@@ -67,7 +73,7 @@ object TextOps {
     * documents, with map-side partial aggregation. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    val hashed = Tables.documents(spark, sfDir)
+    val hashed = Engine.spread(Tables.documents(spark, sfDir))
       .select(col("doc_id"), contentHash(col("text")).as("h"))
     hashed.groupBy(col("h")).agg(
         count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
@@ -79,26 +85,109 @@ object TextOps {
   }
 
   /** Near-duplicate pairs by exact n-gram (3-shingle) Jaccard within
-    * (lang, source) blocks. The blocked self-join bounds pair count by
-    * block size² — the same blocking that makes this viable at scale
-    * (full O(n²) is never materialized). Jaccard is a ratio of integer
-    * set sizes: engine-exact, no float hazard. */
+    * (lang, source) blocks, via an INVERTED INDEX: explode shingles,
+    * self-join on (block, shingle) to count the intersection per pair,
+    * then join back per-doc set sizes — |A∪B| = |A|+|B|−|A∩B|. Pairs
+    * sharing no shingle never materialize (they can't pass a positive
+    * threshold), so the work is ∝ Σ_shingle df(shingle)², not block
+    * size² — the standard candidate-generation shape at 100 TB scale.
+    * Jaccard stays a ratio of exact integers: no float hazard. The
+    * round-1 blocked-cross-join form computed array_intersect/union over
+    * every pair and was the #2 bench hotspot. */
   def nearDupPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.08): DataFrame = {
     Engine.configure(spark)
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Engine.spread(Tables.documents(spark, sfDir))
+      .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), col("lang"), col("source"),
-        shingles(col("text"), 3).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
-      col("source"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
-      col("source"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
+        shinglesOf(col("t"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val inv = docs.select(col("doc_id"), col("lang"), col("source"), col("n"),
+      explode(col("sh")).as("shingle"))
+    val a = inv.select(col("lang"), col("source"), col("shingle"),
+      col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = inv.select(col("lang"), col("source"), col("shingle"),
+      col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("lang", "source", "shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy(col("doc_a"), col("doc_b"), col("lang"), col("source"),
+        col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("source"),
         col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash+LSH near-dedup (shingle → minhash → band → bucket-join):
+    * k=12 salted-md5 signature components in 4 bands of 3; documents
+    * agreeing on a whole band become candidates, then candidates are
+    * verified with EXACT Jaccard ≥ threshold. Unlike [[nearDupPairs]]
+    * this needs no (lang, source) blocking — the bands ARE the blocks —
+    * which is the property that scales: candidate count is governed by
+    * the band collision probability s^r (s = true similarity), not by
+    * any attribute's block size. */
+  def dedupMinhash(spark: SparkSession, sfDir: String, k: Int = 12,
+      bandSize: Int = 3, threshold: Double = 0.05): DataFrame = {
+    Engine.configure(spark)
+    val docs = Engine.spread(Tables.documents(spark, sfDir))
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), shinglesOf(col("t"), 3).as("sh"))
+    val bandCols = minhashBands(col("sh"), k, bandSize)
+    val banded = docs.select(col("doc_id") +:
+      bandCols.zipWithIndex.map { case (c, j) => c.as(s"band_$j") }: _*)
+    val exploded = banded.select(col("doc_id"),
+      posexplode(array((0 until k / bandSize).map(j => col(s"band_$j")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cands = exploded.as("x").join(exploded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 48-bit SimHash per document (see TextFunctions.SimhashBits): three
+    * narrow projects — token-hash list, nibble lists, bit sums — kept
+    * separate so Catalyst's CollapseProject (which refuses to duplicate
+    * non-cheap expressions) computes each md5 exactly once. Per-row map
+    * work only; no shuffle. Downstream near-dedup groups on the signature
+    * or bands of it. */
+  def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val nibbleCols = (0 until SimhashBits / 4)
+    val withHashes = Engine.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
+    val withNibbles = withHashes.select(col("doc_id") +:
+      nibbleCols.map(j => nibbleList(col("hs"), j).as(s"nib_$j")): _*)
+    val bitSums = (0 until SimhashBits)
+      .map(b => simhashBitSum(col(s"nib_${b / 4}"), b).as(s"bs_$b"))
+    withNibbles.select(col("doc_id") +: bitSums: _*)
+      .select(col("doc_id"),
+        simhashFromBitSums((0 until SimhashBits).map(b => col(s"bs_$b")))
+          .as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash document fingerprint: min md5 over the in-order word
+    * 5-gram windows (single-window winnowing). Collisions across docs ⇒
+    * shared low-hash window ⇒ near-dup candidates. Pure map + tiny
+    * project; the dedup consumer is a groupBy(fingerprint). */
+  def fingerprintDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    Engine.spread(Tables.documents(spark, sfDir))
+      .withColumn("t", tokens(col("text")))
+      .withColumn("w", shingleSeqOf(col("t"), 5))
+      .select(col("doc_id"), rollingFingerprintOf(col("w")).as("fingerprint"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -92,6 +92,86 @@ class TextVectorSpec extends SparkSpec {
     assert(bf.isEmpty || hits >= bf.length / 2, s"recall $hits/${bf.length}")
   }
 
+  test("nearDupPairs inverted-index == direct pairwise jaccard") {
+    // the exploded-intersection form must reproduce the textbook
+    // array_intersect/array_union definition exactly
+    val direct = {
+      val docs = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"lang", $"source", T.shingles($"text", 3).as("sh"))
+      val a = docs.select($"doc_id".as("doc_a"), $"lang", $"source", $"sh".as("sh_a"))
+      val b = docs.select($"doc_id".as("doc_b"), $"lang", $"source", $"sh".as("sh_b"))
+      a.join(b, Seq("lang", "source")).filter($"doc_a" < $"doc_b")
+        .withColumn("jaccard", T.jaccard($"sh_a", $"sh_b"))
+        .filter($"jaccard" >= 0.08)
+        .select($"doc_a", $"doc_b", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val inverted = TextOps.nearDupPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(inverted == direct)
+  }
+
+  test("minhash: identical shingle sets agree on every band") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val bands = T.minhashBands(T.shingles($"text", 3), 12, 3)
+    val rows = df.select($"doc_id" +:
+      bands.zipWithIndex.map { case (c, j) => c.as(s"b$j") }: _*).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    val r3 = rows.find(_.getLong(0) == 3L).get
+    (1 to 4).foreach { j =>
+      assert(r1.getString(j) == r2.getString(j))
+      assert(r1.getString(j) != r3.getString(j))
+    }
+  }
+
+  test("simhash: deterministic, text-equality implies signature-equality") {
+    val s1 = TextOps.simhashDocs(spark, sfDir).collect()
+    val s2 = TextOps.simhashDocs(spark, sfDir).collect()
+    assert(s1.sameElements(s2) && s1.nonEmpty)
+    // signature fits in 48 bits
+    s1.foreach(r => assert((r.getAs[Long]("simhash") >>> 48) == 0L))
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely unrelated words describing nothing similar at all")
+    ).toDF("doc_id", "text")
+    val withHashes = df.select($"doc_id", T.tokenHashes($"text").as("hs"))
+    val withNibbles = withHashes.select($"doc_id" +:
+      (0 until T.SimhashBits / 4).map(j => T.nibbleList($"hs", j).as(s"nib_$j")): _*)
+    val sums = (0 until T.SimhashBits)
+      .map(b => T.simhashBitSum(col(s"nib_${b / 4}"), b).as(s"bs_$b"))
+    val sig = withNibbles.select($"doc_id" +: sums: _*)
+      .select($"doc_id", T.simhashFromBitSums(
+        (0 until T.SimhashBits).map(b => col(s"bs_$b"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
+  }
+
+  test("fingerprint: equal texts collide, fingerprint is an md5 of a window") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "z z z z z z z z")).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", T.rollingFingerprint($"text", 5).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    assert(fp(1L).matches("[0-9a-f]{32}"))
+  }
+
+  test("embeddingNearDup: pairs share label and clear the threshold") {
+    val rows = VectorOps.embeddingNearDup(spark, sfDir, minCos = 0.3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cos_sim") >= 0.3)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
   test("dedupExact finds injected duplicates") {
     import spark.implicits._
     val docs = Seq(
