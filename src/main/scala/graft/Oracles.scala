@@ -188,6 +188,34 @@ SELECT * FROM (
   FROM ev WHERE ts >= max_ts - INTERVAL 30 DAY
 ) t ORDER BY period_order""",
 
+    // Spark's window(ts, '1 hour').start is epoch-aligned → equals
+    // date_trunc('hour'); ts truncated to µs on both sides as usual.
+    "q_event_windows" -> """SELECT
+  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2""",
+
+    "q_multimodal_meta" -> """SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+  count(DISTINCT md5(text)) AS distinct_payloads
+FROM documents
+GROUP BY source
+ORDER BY source""",
+
+    // generated from the SAME suite definition as the Spark plan
+    // (graft.operators.DqEngine.silverSuite) — they cannot drift apart
+    "q_dq_expectations" -> (ClaimsCte + """,
+base AS (
+  SELECT *, TIMESTAMP '2024-01-01 00:00:00' AS processing_timestamp
+  FROM silver),
+""" + graft.operators.DqEngine.oracleSelectSql()),
+
     "q_category_histogram" -> (ClaimsCte + """
 SELECT claim_amount_category, cnt,
   CAST(cnt AS DOUBLE) * 100.0 / CAST(sum(cnt) OVER () AS DOUBLE) AS pct

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, GoldViews, TextOps, VectorOps}
+import graft.operators.{Checks, DqEngine, GoldViews, MultimodalOps, StreamingOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -27,6 +27,13 @@ object SparkEntry {
     "q_table_stats" -> Checks.tableStats _,
     "q_geo_rollup" -> Checks.geoRollup _,
     "q_fact_join" -> Checks.factJoin _,
+    // declarative DQ expectation engine (SURVEY.md §2.10, 23 expectations)
+    "q_dq_expectations" -> DqEngine.silverReport _,
+    // streaming-shaped tumbling-window aggregation (batch entry; the
+    // same transform serves the file-source stream in StreamingOps)
+    "q_event_windows" -> StreamingOps.eventWindowsBatch _,
+    // multimodal: opaque binary payload + typed metadata rollup
+    "q_multimodal_meta" -> MultimodalOps.multimodalMeta _,
     // training-data pipeline: text analysis + dedup (documents table)
     "q_token_stats" -> TextOps.tokenStats _,
     "q_lang_confusion" -> TextOps.langConfusion _,

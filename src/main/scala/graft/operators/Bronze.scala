@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bronze-layer ingestion (jobs/bronze/ingest_csv_to_delta.py) and the
+  * bronze→silver→gold pipeline sequencing (the three Airflow DAGs,
+  * SURVEY.md §3): CSV scan with the reference's exact reader options,
+  * batch-metadata stamping, empty-input gates, and partitioned parquet
+  * sinks standing in for Delta/Iceberg (SURVEY.md §1.4 — no
+  * format-distinguishing feature is exercised by the reference).
+  */
+object Bronze {
+
+  /** S1 — CSV scan, options per ingest_csv_to_delta.py:44-49: header,
+    * schema inference, multiline records, quote-escape. */
+  def ingestCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+
+  /** S9 + S2 — empty-input gate (isEmpty, NOT the reference's triple
+    * count() anti-pattern — SURVEY.md §7.4) then append parquet sink with
+    * batch metadata (ingestion_timestamp, source_file, batch_id). Returns
+    * false when the gate skipped the write. `clock` is injectable so
+    * tests and oracles stay deterministic (F18 is wall-clock in the
+    * reference). */
+  def writeBronze(df: DataFrame, sink: String,
+      clock: Column = current_timestamp()): Boolean = {
+    if (df.isEmpty) false
+    else {
+      SilverCleanse.withBatchMetadata(df, clock)
+        .write.mode("append").parquet(sink)
+      true
+    }
+  }
+
+  /** S3 — bronze scan for the silver job; mergeSchema reproduces the
+    * reference's dynamic-schema append semantics
+    * (ingest_csv_to_delta.py:70-71: Delta mergeSchema=true). */
+  def readBronze(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** S6 — silver sink: append, partitioned by (service_year,
+    * service_month) exactly like the Iceberg DDL + Delta mirror
+    * (claims_to_iceberg.py:110, :143). Partition pruning on year/month
+    * predicates then comes free from the directory layout. */
+  def writeSilver(df: DataFrame, sink: String): Boolean = {
+    if (df.isEmpty) false
+    else {
+      df.write.mode("append")
+        .partitionBy("service_year", "service_month").parquet(sink)
+      true
+    }
+  }
+}
+
+/** The DAG chain bronze→silver→gold as plain call order (the Airflow
+  * ExternalTaskSensor coupling is control flow, not data — SURVEY.md
+  * §3.3); each stage gates on non-empty input like the reference jobs. */
+object Pipeline {
+
+  /** Expected raw-claims CSV columns (bronze contract). */
+  val RawColumns = Seq("claim_id", "member_id", "provider_name",
+    "claim_amount", "service_date")
+
+  /** End-to-end: CSV dir → bronze parquet → silver partitioned parquet →
+    * gold temp views. Returns the silver DataFrame (empty schema-less
+    * result when gated). */
+  def run(spark: SparkSession, csvDir: String, lakeDir: String,
+      clock: Column = current_timestamp()): DataFrame = {
+    val bronzePath = s"$lakeDir/bronze/claims"
+    val silverPath = s"$lakeDir/silver/claims"
+
+    val incoming = Bronze.ingestCsv(spark, csvDir)
+    if (!Bronze.writeBronze(incoming, bronzePath, clock))
+      return spark.emptyDataFrame
+
+    val bronze = Bronze.readBronze(spark, bronzePath)
+    val raw = bronze.select(
+      col("claim_id").as("claim_id_raw"),
+      col("member_id").as("member_id_raw"),
+      col("provider_name").as("provider_raw"),
+      col("claim_amount").cast("double").as("amount_raw"),
+      col("service_date").cast("string").as("service_date_raw"),
+      col("ingestion_timestamp"), col("source_file"), col("batch_id"))
+    val silver = SilverCleanse.clean(raw,
+      passthrough = Seq("ingestion_timestamp", "source_file", "batch_id"))
+    if (!Bronze.writeSilver(silver, silverPath)) return spark.emptyDataFrame
+
+    val silverOut = spark.read.parquet(silverPath)
+    // gold stays logical (re-planned per query) exactly like Trino views
+    silverOut.createOrReplaceTempView("silver_claims")
+    silverOut
+  }
+}

@@ -46,17 +46,18 @@ object SilverCleanse {
   /** Dirty claims → silver claims. Output columns: claim_id, member_id,
     * provider_name, claim_amount, service_date, service_year,
     * service_month, service_day, claim_amount_category,
-    * data_quality_score (+ passthrough o_orderpriority). */
-  def clean(raw: DataFrame): DataFrame = {
+    * data_quality_score (+ any `passthrough` columns). */
+  def clean(raw: DataFrame,
+      passthrough: Seq[String] = Seq("o_orderpriority")): DataFrame = {
     val cleansed = raw
       .filter(col("claim_id_raw").isNotNull) // P1, silver:51
-      .select(
+      .select(Seq(
         trim(col("claim_id_raw")).as("claim_id"),
         trim(col("member_id_raw")).as("member_id"),
         Cleansing.cleanProvider(col("provider_raw")).as("provider_name"),
         Cleansing.clampAmount(col("amount_raw")).as("claim_amount"),
-        Cleansing.parseServiceDate(col("service_date_raw")).as("service_date"),
-        col("o_orderpriority"))
+        Cleansing.parseServiceDate(col("service_date_raw")).as("service_date")
+      ) ++ passthrough.map(col): _*)
     val enriched = cleansed
       .withColumn("service_year", year(col("service_date")))
       .withColumn("service_month", month(col("service_date")))

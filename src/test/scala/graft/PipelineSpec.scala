@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Bronze, Pipeline}
+
+/** Bronze CSV ingest + bronze→silver→gold pipeline semantics (M1/M4). */
+class PipelineSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private val csvHeader = "claim_id,member_id,provider_name,claim_amount,service_date"
+
+  test("ingestCsv honors header/multiline/escape options") {
+    val dir = tmp("csv_in")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"),
+      csvHeader + "\n" +
+        "C1,M1,\"multi\nline provider\",100.5,2024-01-15\n" +
+        "C2,M2,\"quoted \"\"name\"\"\",50,01/20/2024\n")
+    val df = Bronze.ingestCsv(spark, dir)
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == csvHeader.split(",").toSeq)
+    val providers = df.select("provider_name").collect().map(_.getString(0)).toSet
+    assert(providers.contains("multi\nline provider"))
+    assert(providers.contains("quoted \"name\""))
+  }
+
+  test("writeBronze stamps batch metadata and gates on empty input") {
+    val dir = tmp("csv_in2")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"),
+      csvHeader + "\nC1,M1,P,1,2024-01-01\n")
+    val sink = tmp("bronze") + "/claims"
+    val clock = to_timestamp(lit("2024-06-01 12:00:00"))
+    assert(Bronze.writeBronze(Bronze.ingestCsv(spark, dir), sink, clock))
+    val out = Bronze.readBronze(spark, sink)
+    assert(out.count() == 1)
+    val r = out.head()
+    assert(r.getAs[String]("source_file") == "csv")
+    assert(r.getAs[String]("batch_id") == "20240601_120000")
+    // header-only file → 0 rows → gate skips, sink untouched
+    val empty = tmp("csv_empty")
+    Files.writeString(java.nio.file.Paths.get(s"$empty/a.csv"), csvHeader + "\n")
+    assert(!Bronze.writeBronze(Bronze.ingestCsv(spark, empty), sink, clock))
+    assert(Bronze.readBronze(spark, sink).count() == 1)
+  }
+
+  test("pipeline end-to-end: cleanse, quality gate, partitioned silver, append") {
+    val csvDir = tmp("csv_pipe")
+    Files.writeString(java.nio.file.Paths.get(s"$csvDir/batch1.csv"),
+      csvHeader + "\n" +
+        "  C1 ,M1,  acme ,100.5,2024-01-15\n" + // clean row (padded id)
+        "C2,M2,,50,01/20/2024\n" + // blank provider → UNKNOWN; US date
+        "C3,M3,prov,-7,20/01/2024\n" + // negative → 0.0 → score 0.7; EU date
+        ",M4,prov,10,2024-01-01\n" + // null claim_id → dropped (score 0)
+        "C5,,prov,10,2024-01-01\n" + // null member → score 0.3 → gated out
+        "C6,M6,prov,10,not-a-date\n") // bad date → score 0.5 → kept
+    val lake = tmp("lake")
+    val clock = to_timestamp(lit("2024-06-01 12:00:00"))
+    val silver = Pipeline.run(spark, csvDir, lake, clock)
+    val rows = silver.collect().map(r =>
+      r.getAs[String]("claim_id") -> r).toMap
+    assert(rows.keySet == Set("C1", "C2", "C3", "C6"))
+    assert(rows("C1").getAs[String]("provider_name") == "ACME")
+    assert(rows("C2").getAs[String]("provider_name") == "UNKNOWN")
+    assert(rows("C2").getAs[java.sql.Date]("service_date").toString == "2024-01-20")
+    assert(rows("C3").getAs[Double]("claim_amount") == 0.0)
+    assert(rows("C3").getAs[Double]("data_quality_score") == 0.7)
+    assert(rows("C6").getAs[Double]("data_quality_score") == 0.5)
+    assert(rows("C6").isNullAt(rows("C6").fieldIndex("service_year")))
+    assert(rows("C1").getAs[String]("batch_id") == "20240601_120000")
+    // physical layout: partitioned by service_year/service_month
+    val parts = new java.io.File(s"$lake/silver/claims").listFiles()
+      .map(_.getName).filter(_.startsWith("service_year="))
+    assert(parts.contains("service_year=2024"))
+    assert(parts.exists(_.startsWith("service_year=__HIVE_DEFAULT_PARTITION__")))
+    // append semantics: second run doubles silver (reference is
+    // append-only everywhere — SURVEY.md §1.3)
+    Pipeline.run(spark, csvDir, lake, clock)
+    assert(spark.read.parquet(s"$lake/silver/claims").count() == 12)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.StreamingOps
+
+/** Structured Streaming restatements: the stream transform is the same
+  * function the batch oracle checks, so these specs verify the streaming
+  * EXECUTION path (file source, watermark, AvailableNow, parquet sink). */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("eventWindows: stream over file source == batch result") {
+    val src = tmp("ev_src")
+    Tables.events(spark, sfDir).limit(500)
+      .write.mode("overwrite").parquet(src)
+    val batch = StreamingOps.eventWindows(spark.read.parquet(src))
+      .collect().map(_.toSeq).toSet
+
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingOps.eventWindowsStream(spark, src, schema)
+      .writeStream.format("memory").queryName("ev_windows")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_windows").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("bronzeCsvStream: AvailableNow incremental ingest with metadata") {
+    val src = tmp("csv_stream")
+    val sink = tmp("bronze_stream")
+    val ckpt = tmp("ckpt")
+    val header = "claim_id,member_id,provider_name,claim_amount,service_date"
+    Files.writeString(java.nio.file.Paths.get(s"$src/b1.csv"),
+      header + "\nC1,M1,P,10,2024-01-01\nC2,M2,P,20,2024-01-02\n")
+    val schema = "claim_id STRING, member_id STRING, provider_name STRING, " +
+      "claim_amount DOUBLE, service_date STRING"
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(schema)
+
+    StreamingOps.bronzeCsvStream(spark, src, sch, sink, ckpt)
+      .start().awaitTermination(120000)
+    assert(spark.read.parquet(sink).count() == 2)
+
+    // second micro-batch: ONLY the new file is processed (checkpointed
+    // source offsets — the "process what arrived" contract)
+    Files.writeString(java.nio.file.Paths.get(s"$src/b2.csv"),
+      header + "\nC3,M3,P,30,2024-01-03\n")
+    StreamingOps.bronzeCsvStream(spark, src, sch, sink, ckpt)
+      .start().awaitTermination(120000)
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 3)
+    assert(out.columns.contains("ingestion_timestamp") &&
+      out.columns.contains("batch_id") && out.columns.contains("source_file"))
+  }
+}
