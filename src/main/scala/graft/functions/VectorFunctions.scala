@@ -13,8 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ with double accumulation in array order. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ with double accumulation in array order — the native
+    * codegen'd [[graft.expressions.VectorDot]] (the HOF formulation
+    * below is CodegenFallback: interpreted, boxed per element). Both
+    * produce bit-identical doubles (same accumulation order); the spec
+    * asserts it on real embeddings. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.expressions.VectorDot(toExpression(a), toExpression(b)))
+  }
+
+  /** Reference HOF formulation of [[dot]], kept for differential tests
+    * against the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Catalog/metadata operators (SURVEY.md §2.1 S8): the reference's
+  * SHOW CATALOGS / SHOW SCHEMAS / SHOW TABLES / DESCRIBE smoke checks
+  * (sql/trino_checks.sql:8-20) restated over the Spark catalog. Temp
+  * views play Hive-metastore tables — the same `spark.catalog` calls
+  * work unchanged against a real metastore at scale. */
+object CatalogOps {
+
+  val TableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Register the star schema as temp views (the metastore analog). */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    TableNames.foreach { n =>
+      Tables.load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+
+  /** SHOW TABLES (trino_checks.sql:14-17). */
+  def listTables(spark: SparkSession): DataFrame =
+    spark.sql("SHOW TABLES")
+
+  /** DESCRIBE <table> (trino_checks.sql:20). */
+  def describeTable(spark: SparkSession, name: String): DataFrame =
+    spark.sql(s"DESCRIBE TABLE $name")
+
+  /** SHOW SCHEMAS analog. */
+  def listDatabases(spark: SparkSession): DataFrame =
+    spark.sql("SHOW DATABASES")
+}

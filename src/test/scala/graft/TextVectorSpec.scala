@@ -49,6 +49,29 @@ class TextVectorSpec extends SparkSpec {
     assert(h.getString(0) == h.getString(1))
   }
 
+  test("native VectorDot == HOF formulation bit-for-bit on real embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = emb.select($"vec_id", $"embedding".as("a"))
+      .crossJoin(emb.filter($"vec_id" < 3).select($"embedding".as("b")))
+    val diff = pairs.select(
+        V.dot($"a", $"b").as("native"), V.dotHof($"a", $"b").as("hof"))
+      .filter(not($"native" <=> $"hof")).count()
+    assert(diff == 0)
+  }
+
+  test("VectorDot participates in whole-stage codegen (no fallback)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exec = emb.select(V.dot($"embedding", $"embedding").as("d"))
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(inCodegen.nonEmpty &&
+      inCodegen.head.toString.contains("vector_dot"), exec.toString)
+    // interpreted-HOF marker must be absent from the native projection
+    assert(!exec.toString.contains("zip_with"), exec.toString)
+  }
+
   test("dot / l2Norm / cosine on known vectors") {
     val df = Seq((Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("a", "b")
     val r = df.select(V.dot($"a", $"b").as("d"), V.l2Norm($"a").as("n"),
