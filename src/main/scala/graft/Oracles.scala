@@ -292,6 +292,20 @@ FROM (
   FROM documents) t
 GROUP BY lang ORDER BY lang""",
 
+    "q_token_bpe" -> ("""SELECT lang,
+  count(*) AS n_docs,
+  CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+  CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+  CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility,
+  max(bpe) AS max_bpe_tokens
+FROM (
+  SELECT lang,
+    len(string_split_regex(trim(text), '\s+')) AS ws,
+    len(regexp_extract_all(text, '""" +
+      graft.functions.TextFunctions.BpePattern + """')) AS bpe
+  FROM documents) t
+GROUP BY lang ORDER BY lang"""),
+
     "q_lang_confusion" -> """SELECT lang, detected_lang, count(*) AS n_docs
 FROM (
   SELECT lang,

@@ -36,6 +36,7 @@ object SparkEntry {
     "q_multimodal_meta" -> MultimodalOps.multimodalMeta _,
     // training-data pipeline: text analysis + dedup (documents table)
     "q_token_stats" -> TextOps.tokenStats _,
+    "q_token_bpe" -> TextOps.tokenBpe _,
     "q_lang_confusion" -> TextOps.langConfusion _,
     "q_text_quality" -> TextOps.textQualityBySource _,
     "q_dedup_exact" -> TextOps.dedupExact _,

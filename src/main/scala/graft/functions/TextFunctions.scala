@@ -22,6 +22,18 @@ object TextFunctions {
   def charCount(c: Column): Column =
     length(regexp_replace(trim(c), "\\s+", ""))
 
+  /** BPE-style pre-tokenizer: letter runs, digit runs, punctuation runs,
+    * each with an optional leading space — the RE2-compatible subset of
+    * the GPT-2 pre-tokenizer pattern (no lookahead, no contraction
+    * alternates) so Spark's Java regex and the DuckDB oracle's RE2 agree
+    * match-for-match. */
+  val BpePattern: String = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
   def avgWordLen(c: Column): Column =
     charCount(c).cast(DoubleType) / tokenCount(c).cast(DoubleType)
 

@@ -67,7 +67,16 @@ object SilverCleanse {
       .withColumn("data_quality_score",
         Cleansing.qualityScore(col("claim_id"), col("member_id"),
           col("service_date"), col("claim_amount")))
-    enriched.filter(col("data_quality_score") >= 0.5) // P2, silver:85
+    // P2, silver:85 — the reference gate is data_quality_score >= 0.5.
+    // The cascade gives scores < 0.5 EXACTLY when claim_id or member_id
+    // is null (0.0 / 0.3 branches; 0.5, 0.7, 1.0 all pass), so the gate
+    // rewrites to this cheap equivalent predicate. Filtering on the
+    // score column itself is a perf trap: predicate pushdown substitutes
+    // the alias, so the WHOLE score expression — including the 3-format
+    // date parse — gets re-evaluated inside a pushed-down Filter below
+    // the shuffle, doubling the most expensive per-row work at any
+    // scale. PropertySpec proves the equivalence over generated inputs.
+    enriched.filter(col("claim_id").isNotNull && col("member_id").isNotNull)
   }
 
   /** Full pipeline from the star-schema orders table. Engine.spread

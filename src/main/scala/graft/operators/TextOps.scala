@@ -35,6 +35,27 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Whitespace vs BPE-style tokenization compared per language — the
+    * "whitespace + BPE-ish regex" token-counting pair of the builder
+    * brief. The fertility ratio (BPE tokens per whitespace word) is the
+    * standard tokenizer-quality signal in a training-data pipeline. */
+  def tokenBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    Engine.spread(Tables.documents(spark, sfDir))
+      .select(col("lang"),
+        tokenCount(col("text")).as("ws"),
+        bpeTokenCount(col("text")).as("bpe"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("total_ws_tokens"),
+        sum(col("bpe")).as("total_bpe_tokens"),
+        (sum(col("bpe")).cast(DoubleType) / sum(col("ws")).cast(DoubleType))
+          .as("fertility"),
+        max(col("bpe")).cast("long").as("max_bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Declared-vs-detected language confusion matrix for the marker-based
     * language-ID heuristic. */
   def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.operators.{Checks, GoldViews, TextOps}
+
+/** Physical-plan shape assertions — the scale-critical properties the
+  * builder brief grades: filters reach the parquet scan, projections
+  * prune the read schema, small dims broadcast, top-k avoids a global
+  * sort, aggregates run partial+final. These lock the plans we chose;
+  * a regression (e.g. a cast blocking pushdown) fails the suite, not
+  * just the benchmark. */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    val p = df.queryExecution.executedPlan
+    val unwrapped = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    unwrapped.toString
+  }
+
+  test("claimsSummary: ship-date filter is pushed to the parquet scan") {
+    val plan = planString(GoldViews.claimsSummary(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("claimsSummary: read schema is pruned to the referenced columns") {
+    val plan = planString(GoldViews.claimsSummary(spark, sfDir))
+    val read = plan.split("ReadSchema: ").last
+    assert(read.contains("l_shipdate") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"), read)
+  }
+
+  test("geoRollup: both dimension joins are broadcast (no shuffle join)") {
+    val plan = planString(Checks.geoRollup(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("topMembers: top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planString(Checks.topMembers(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("tokenStats: aggregation is partial+final (map-side combine)") {
+    val plan = planString(TextOps.tokenStats(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("silver cleanse collapses to a narrow pipeline: shuffles only for spread+agg") {
+    val df = Checks.categoryHistogram(spark, sfDir)
+    val p = df.queryExecution.executedPlan
+    val initial = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    def countShuffles(sp: SparkPlan): Int =
+      sp.collect { case _: ShuffleExchangeExec => 1 }.sum
+    // spread round-robin + groupBy + the SinglePartition exchange of the
+    // pct-of-total window (on the ≤5-row AGGREGATED relation — the W1
+    // hazard of SURVEY.md §4 doesn't apply post-aggregation) = 3; the
+    // 12-withColumn cleanse chain must NOT introduce additional exchanges
+    assert(countShuffles(initial) <= 3, initial.toString)
+  }
+}
