@@ -391,6 +391,42 @@ SELECT id_a, id_b, cos_sim FROM (
   FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
 WHERE cos_sim >= 0.2 ORDER BY id_a, id_b""",
 
+    // Centroid dims are fixed-point means (floor(x·2^20) exact long sums)
+    // so the IVF index is bit-identical across engines; probe and rerank
+    // cosines follow the usual left-to-right list_sum contract.
+    "q_ann_ivf" -> {
+      val fp = "1048576.0"
+      val cdims = (0 until 64).map { d =>
+        s"CAST(sum(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * $fp) " +
+          s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
+      }.mkString(",\n    ")
+      val probeCos =
+        "list_sum(list_transform(list_zip(q.qv, c.centroid), " +
+          "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+          "(sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+          "sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+      s"""WITH cent AS (
+  SELECT label, [$cdims] AS centroid
+  FROM embeddings GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+probe AS (
+  SELECT query_id, qv, label FROM (
+    SELECT q.query_id, q.qv, c.label,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY $probeCos DESC, c.label) AS pr
+    FROM q CROSS JOIN cent c) p
+  WHERE pr <= 2),
+scored AS (
+  SELECT p.query_id, e.vec_id, e.label,
+    ${graft.functions.VectorFunctions.cosineSql("p.qv", "e.embedding")} AS cos_sim
+  FROM probe p JOIN embeddings e
+    ON e.label = p.label AND e.vec_id <> p.query_id)
+SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) r
+WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
+
     "q_neardup_embedding" -> s"""SELECT label, id_a, id_b, cos_sim FROM (
   SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
     ${graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding")} AS cos_sim

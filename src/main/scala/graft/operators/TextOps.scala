@@ -162,11 +162,24 @@ object TextOps {
     val exploded = banded.select(col("doc_id"),
       posexplode(array((0 until k / bandSize).map(j => col(s"band_$j")): _*))
         .as(Seq("band_idx", "band_val")))
-    val cands = exploded.as("x").join(exploded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // ONE evaluation of the signature pipeline: group docs per band
+    // bucket, then emit in-bucket pair combinations — a self-join would
+    // evaluate the md5-heavy signature subtree once per side (exchange
+    // reuse is not guaranteed under AQE). Buckets are tiny by LSH
+    // construction, so combinations stay cheap; array is sorted so
+    // doc_a < doc_b holds structurally.
+    val buckets = exploded.groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("sids", array_sort(col("ids")))
+    val cands = buckets
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("sids")) - 2),
+        i => transform(
+          slice(col("sids"), i + lit(2), size(col("sids"))),
+          x => struct(element_at(col("sids"), i + lit(1)).as("doc_a"),
+            x.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

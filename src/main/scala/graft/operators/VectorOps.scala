@@ -73,6 +73,60 @@ object VectorOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** IVF (inverted-file) ANN: coarse quantizer → probe → exact re-rank,
+    * the index-structured scale path next to [[annLsh]]'s hash-structured
+    * one. The `label` column stands in for a trained coarse quantizer's
+    * cell assignment (recall is governed by quantizer quality — a
+    * k-means fit — which is a training concern, not an operator one; the
+    * operator's contract, exact-top-k-within-probed-cells, is what the
+    * spec asserts).
+    *
+    *  1. BUILD: one centroid per `label` cell. Each dimension is an
+    *     order-independent fixed-point mean (Σ floor(x·2²⁰) as exact
+    *     longs, then /2²⁰/n) — float→double is exact and floor/division
+    *     are single IEEE ops, so centroids are bit-identical across
+    *     partitionings, retries, and engines (plain double sums would
+    *     make the index nondeterministic at scale).
+    *  2. PROBE: each query scores the (tiny, broadcast) centroid table
+    *     and keeps the `nprobe` nearest cells.
+    *  3. SEARCH: exact cosine re-rank inside probed cells only — the
+    *     corpus join is on the cell id, so work is ∝ probed-cell size,
+    *     not corpus size. */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    Engine.configure(spark)
+    val Fp = 1048576.0 // 2^20
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+    val centDims = (0 until Dims).map { d =>
+      (sum(floor(element_at(col("embedding"), d + 1).cast("double") * Fp))
+        .cast("double") / Fp / count(lit(1))).as(s"c$d")
+    }
+    val centroids = emb.groupBy(col("label"))
+      .agg(centDims.head, centDims.tail: _*)
+      .select(col("label"),
+        array((0 until Dims).map(d => col(s"c$d")): _*).as("centroid"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("label"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_cos",
+        dotHof(col("qv"), col("centroid")) /
+          (l2Norm(col("qv")) * sqrt(dotHof(col("centroid"), col("centroid")))))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(emb, "label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("qv"), col("embedding")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * cluster id): exact cosine within each block, pairs above `minCos`.
     * Blocking bounds the pair count by block size² exactly like the

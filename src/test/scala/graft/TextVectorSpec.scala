@@ -195,6 +195,36 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("annIvf: k rows per query, exact within the probed cells (the IVF contract)") {
+    val ivf = VectorOps.annIvf(spark, sfDir, k = 5, nprobe = 2).collect()
+    val byQuery = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      // ≤ nprobe distinct cells per query
+      assert(rows.map(_.getAs[Int]("label")).toSet.size <= 2, s"query $q")
+      // ranked descending on exact cosine
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+    // IVF == brute force restricted to the probed cells: for each query,
+    // every returned neighbor beats any same-cell vector not returned
+    val emb = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    byQuery.foreach { case (q, rows) =>
+      val cells = rows.map(_.getAs[Int]("label")).toSet
+      val returned = rows.map(_.getAs[Long]("vec_id")).toSet
+      val minReturned = rows.map(_.getAs[Double]("cos_sim")).min
+      val bfInCells = VectorOps.annBruteForce(spark, sfDir, k = 500).collect()
+        .filter(r => r.getAs[Long]("query_id") == q &&
+          cells.contains(emb(r.getAs[Long]("vec_id"))))
+      val top5InCells = bfInCells.sortBy(r =>
+        (-r.getAs[Double]("cos_sim"), r.getAs[Long]("vec_id")))
+        .take(5).map(_.getAs[Long]("vec_id")).toSet
+      assert(top5InCells == returned, s"query $q: min=$minReturned")
+    }
+  }
+
   test("dedupExact finds injected duplicates") {
     import spark.implicits._
     val docs = Seq(
