@@ -67,6 +67,34 @@ object Oracles {
   SELECT * FROM enriched WHERE data_quality_score >= 0.5
 )"""
 
+  /** Shared CTE chain computing 48-bit simhash per doc (mirror of
+    * TextFunctions nibble arithmetic — see q_dedup_simhash/q_simhash_pairs). */
+  val SimhashCte: String = {
+    val nibs = (0 until 12)
+      .map(j => s"list_transform(h, x -> instr('0123456789abcdef', " +
+        s"substr(x, ${j + 1}, 1)) - 1) AS n$j")
+      .mkString(",\n    ")
+    val bits = (0 until 48)
+      .map(b => s"(CASE WHEN list_sum(list_transform(n${b / 4}, " +
+        s"v -> ((v >> ${b % 4}) & 1) * 2 - 1)) >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+shs AS (
+  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+    i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM tok),
+hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM shs),
+nib AS (
+  SELECT doc_id,
+    $nibs
+  FROM hs),
+sig AS (
+  SELECT doc_id,
+    $bits AS simhash
+  FROM nib)"""
+  }
+
   val all: Map[String, String] = Map(
     "q_claims_summary" -> """SELECT
   CAST(year(l_shipdate) AS INT) AS service_year,
@@ -467,26 +495,26 @@ SELECT doc_a, doc_b, jaccard FROM (
 WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b"""
     },
 
-    "q_dedup_simhash" -> {
-      val nibs = (0 until 12)
-        .map(j => s"list_transform(h, x -> instr('0123456789abcdef', " +
-          s"substr(x, ${j + 1}, 1)) - 1) AS n$j")
-        .mkString(",\n    ")
-      val bits = (0 until 48)
-        .map(b => s"(CASE WHEN list_sum(list_transform(n${b / 4}, " +
-          s"v -> ((v >> ${b % 4}) & 1) * 2 - 1)) >= 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString("\n    + ")
-      s"""WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-hs AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS h FROM tok),
-nib AS (
-  SELECT doc_id,
-    $nibs
-  FROM hs)
-SELECT doc_id,
-    $bits AS simhash
-FROM nib ORDER BY doc_id"""
-    },
+    "q_dedup_simhash" -> (SimhashCte + """
+SELECT doc_id, simhash FROM sig ORDER BY doc_id"""),
+
+    "q_simhash_pairs" -> (SimhashCte + """,
+band AS (
+  SELECT doc_id, simhash, 0 AS band_idx, (simhash >> 0) & 4095 AS band_val FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 1, (simhash >> 12) & 4095 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 2, (simhash >> 24) & 4095 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 3, (simhash >> 36) & 4095 FROM sig),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+  FROM band x JOIN band y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= 12 ORDER BY doc_a, doc_b"""),
 
     "q_fingerprint" -> """WITH tok AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)

@@ -43,6 +43,7 @@ object SparkEntry {
     "q_neardup_pairs" -> ((s: SparkSession, d: String) => TextOps.nearDupPairs(s, d)),
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => TextOps.dedupMinhash(s, d)),
     "q_dedup_simhash" -> TextOps.simhashDocs _,
+    "q_simhash_pairs" -> ((s: SparkSession, d: String) => TextOps.simhashPairs(s, d)),
     "q_fingerprint" -> TextOps.fingerprintDocs _,
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,

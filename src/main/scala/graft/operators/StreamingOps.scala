@@ -50,6 +50,31 @@ object StreamingOps {
     eventWindows(stream.withWatermark("ts", "1 hour"))
   }
 
+  /** Streaming exact-dedup with CUSTOM STATE via flatMapGroupsWithState
+    * (the `KeyValueGroupedDataset` stateful path of the builder brief):
+    * the first row per key is emitted, every later duplicate is dropped,
+    * with one boolean of state per key. Unlike `dropDuplicates` on a
+    * stream this form extends to richer policies (keep-best-quality,
+    * emit-count-updates) by enriching the state type. Works on batch
+    * Datasets too (state starts empty per key), which is how the spec
+    * cross-checks it against `dropDuplicates`. */
+  def dedupFirstSeen[T](grouped: org.apache.spark.sql.KeyValueGroupedDataset[String, T])(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    grouped.flatMapGroupsWithState[Boolean, T](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty
+        }
+    }
+  }
+
   /** Streaming bronze: CSV file source → batch-metadata stamp → parquet
     * sink, Trigger.AvailableNow — the faithful Structured Streaming
     * restatement of the reference's hourly bronze DAG (SURVEY.md §2.8).

@@ -196,11 +196,19 @@ object TextOps {
     * non-cheap expressions) computes each md5 exactly once. Per-row map
     * work only; no shuffle. Downstream near-dedup groups on the signature
     * or bands of it. */
-  def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    Engine.configure(spark)
+  /** Unordered (doc_id, simhash) signatures — shared by the report query
+    * and the pair search (no global sort in the shared part). Features
+    * are the DISTINCT 3-shingle set, not the token multiset: raw-token
+    * simhash is dominated by shared stopword frequencies (measured 1st
+    * percentile inter-doc hamming of 4/48 — no discrimination), while
+    * shingles are rare across non-duplicates, putting unrelated pairs
+    * near hamming 24 and true near-dups close to 0. */
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     val nibbleCols = (0 until SimhashBits / 4)
     val withHashes = Engine.spread(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
+      .withColumn("t", tokens(col("text")))
+      .withColumn("sh", shinglesOf(col("t"), 3))
+      .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("hs"))
     val withNibbles = withHashes.select(col("doc_id") +:
       nibbleCols.map(j => nibbleList(col("hs"), j).as(s"nib_$j")): _*)
     val bitSums = (0 until SimhashBits)
@@ -209,7 +217,45 @@ object TextOps {
       .select(col("doc_id"),
         simhashFromBitSums((0 until SimhashBits).map(b => col(s"bs_$b")))
           .as("simhash"))
-      .orderBy(col("doc_id"))
+  }
+
+  def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    simhashSigs(spark, sfDir).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: 48-bit signatures from [[simhashDocs]],
+    * banded into 4×12-bit blocks — pairs agreeing on any band are
+    * candidates (hamming ≤ 36 structurally, and near-dups with few
+    * differing bits almost surely agree on some band), then filtered by
+    * exact hamming distance via bit_count(xor). Same single-evaluation
+    * bucket-combination shape as [[dedupMinhash]]; signatures ride along
+    * in the buckets so no re-join re-evaluates the signature pipeline. */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 12)
+      : DataFrame = {
+    Engine.configure(spark)
+    val sigs = simhashSigs(spark, sfDir)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 12).bitwiseAND(lit(4095L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val buckets = banded.groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("sids", array_sort(col("ids")))
+    buckets
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("sids")) - 2),
+        i => transform(
+          slice(col("sids"), i + lit(2), size(col("sids"))),
+          x => struct(element_at(col("sids"), i + lit(1)).as("a"),
+            x.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Rolling-hash document fingerprint: min md5 over the in-order word

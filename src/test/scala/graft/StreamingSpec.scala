@@ -29,6 +29,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("dedupFirstSeen: stateful stream dedup == dropDuplicates, first kept") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.contentHash
+    val src = tmp("dedup_src")
+    // duplicate content hashes across the doc corpus + injected dups
+    Tables.documents(spark, sfDir).limit(200)
+      .select(contentHash(col("text")).as("h"), $"doc_id")
+      .union(Tables.documents(spark, sfDir).limit(50)
+        .select(contentHash(col("text")).as("h"), $"doc_id" + 100000))
+      .write.mode("overwrite").parquet(src)
+
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[(String, Long)]
+    val q = StreamingOps.dedupFirstSeen(stream.groupByKey(_._1))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_stream")
+    val expectedKeys = spark.read.parquet(src)
+      .select("h").distinct().count()
+    assert(streamed.count() == expectedKeys) // exactly one row per key
+    assert(streamed.select("_1").distinct().count() == expectedKeys)
+
+    // batch mode agrees with dropDuplicates on the key column
+    val batchDedup = StreamingOps.dedupFirstSeen(
+      spark.read.parquet(src).as[(String, Long)].groupByKey(_._1))
+    assert(batchDedup.count() == expectedKeys)
+  }
+
   test("bronzeCsvStream: AvailableNow incremental ingest with metadata") {
     val src = tmp("csv_stream")
     val sink = tmp("bronze_stream")

@@ -177,6 +177,19 @@ class TextVectorSpec extends SparkSpec {
     assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
   }
 
+  test("simhashPairs: ordered pairs, hamming within threshold, self-pairs absent") {
+    val rows = TextOps.simhashPairs(spark, sfDir, maxHamming = 12).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 12)
+    }
+    // pairs are unique
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.toSet.size == pairs.length)
+  }
+
   test("fingerprint: equal texts collide, fingerprint is an md5 of a window") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "z z z z z z z z")).toDF("doc_id", "text")
