@@ -31,6 +31,20 @@ object Engine {
     spark
   }
 
+  /** Library entry point: a session configured the way every operator
+    * expects (UTC, non-ANSI null-on-malformed dates, AQE, shuffle
+    * partitions sized to the machine instead of the 200 default — on a
+    * real cluster pass an explicit master/parallelism). */
+  def session(appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]")
+      : SparkSession =
+    configure(SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+      .getOrCreate())
+
   /** Guarantee at least the session's default parallelism before a
     * per-row-expensive narrow pipeline (interpreted higher-order
     * functions, md5 chains, multi-format date parsing).

@@ -56,6 +56,39 @@ object Bronze {
       true
     }
   }
+
+  /** S4 — the managed-table variant of the silver sink: `CREATE TABLE IF
+    * NOT EXISTS … USING PARQUET PARTITIONED BY (service_year,
+    * service_month)` mirroring the Iceberg DDL
+    * (claims_to_iceberg.py:93-119; schema per SURVEY.md §1.2). Swap the
+    * catalog for Iceberg/Delta and this DDL + the V2 append below carry
+    * over unchanged. */
+  def createSilverTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS $table (
+      claim_id STRING, member_id STRING, provider_name STRING,
+      claim_amount DOUBLE, service_date DATE, service_day INT,
+      claim_amount_category STRING, data_quality_score DOUBLE,
+      service_year INT, service_month INT)
+      USING PARQUET PARTITIONED BY (service_year, service_month)""")
+
+  /** S5 — append into the managed table (claims_to_iceberg.py:130-131
+    * `df.writeTo(table).append()`). The V2 writer requires a V2 catalog
+    * (Iceberg/Delta register one; stock `spark_catalog` parquet tables
+    * are V1 and writeTo is rejected at analysis), so this uses the
+    * positional V1 `insertInto` — SURVEY.md §2.1 S5's documented
+    * fallback; with an Iceberg catalog configured the body becomes
+    * `df.select(...).writeTo(table).append()` and nothing else changes.
+    * Partition columns are ordered last to match the DDL. */
+  def appendToSilverTable(df: DataFrame, table: String): Boolean = {
+    if (df.isEmpty) false
+    else {
+      df.select("claim_id", "member_id", "provider_name", "claim_amount",
+        "service_date", "service_day", "claim_amount_category",
+        "data_quality_score", "service_year", "service_month")
+        .write.mode("append").insertInto(table)
+      true
+    }
+  }
 }
 
 /** The DAG chain bronze→silver→gold as plain call order (the Airflow

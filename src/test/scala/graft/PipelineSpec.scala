@@ -45,6 +45,29 @@ class PipelineSpec extends SparkSpec {
     assert(Bronze.readBronze(spark, sink).count() == 1)
   }
 
+  test("managed silver table: DDL + writeTo append + partition pruning") {
+    val table = "silver_claims_managed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Bronze.createSilverTable(spark, table)
+    val silver = graft.operators.SilverCleanse
+      .fromOrders(Tables.orders(spark, sfDir))
+      .drop("o_orderpriority")
+    assert(Bronze.appendToSilverTable(silver, table))
+    val back = spark.table(table)
+    assert(back.count() == silver.count())
+    // append-only semantics: second append doubles
+    assert(Bronze.appendToSilverTable(silver, table))
+    assert(spark.table(table).count() == 2 * silver.count())
+    // partition pruning: a year/month predicate must show up as a
+    // PartitionFilter on the scan, not a post-scan filter
+    val pruned = spark.table(table)
+      .filter(col("service_year") === 1997 && col("service_month") === 3)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(service_year"), scan)
+    assert(pruned.count() > 0)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("pipeline end-to-end: cleanse, quality gate, partitioned silver, append") {
     val csvDir = tmp("csv_pipe")
     Files.writeString(java.nio.file.Paths.get(s"$csvDir/batch1.csv"),
