@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -51,6 +52,34 @@ class PlanSpec extends SparkSpec {
     val plan = planString(TextOps.tokenStats(spark, sfDir))
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
     assert(plan.contains("partial_"), plan)
+  }
+
+  test("bucketed fact-fact join plans with ZERO shuffles (co-location)") {
+    import graft.operators.BucketOps
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    BucketOps.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice"),
+      "li_bucketed", "l_orderkey", 4)
+    BucketOps.writeBucketed(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "ord_bucketed", "l_orderkey", 4)
+    val joined = BucketOps.bucketedJoin(spark, "li_bucketed", "ord_bucketed",
+      "l_orderkey")
+    val p = joined.queryExecution.executedPlan
+    val initial = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val shuffles = initial.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, initial.toString)
+    // and it's still a correct join
+    assert(joined.count() ==
+      Tables.lineitem(spark, sfDir).join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey")).count())
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
   }
 
   test("silver cleanse collapses to a narrow pipeline: shuffles only for spread+agg") {
