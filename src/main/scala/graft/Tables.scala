@@ -23,8 +23,10 @@ object Tables {
   /** events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set by
     * [[graft.Engine.configure]]) it arrives as a long we truncate to
-    * microseconds — the same floor-truncation DuckDB applies reading ns
-    * parquet, so oracle comparison stays exact. */
+    * microseconds. DuckDB preserves TIMESTAMP_NS on read, so every oracle
+    * over events applies the matching truncation explicitly
+    * (`CAST(ts AS TIMESTAMP)` floor-truncates ns→µs) — see Oracles.scala;
+    * comparison stays exact even if events carry sub-µs components. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")

@@ -157,6 +157,15 @@ object TextFunctions {
     * lists → bit sums) so Catalyst doesn't duplicate the md5 work. */
   val SimhashBits = 48
 
+  /** Native codegen'd 48-bit SimHash over a feature-array column — one
+    * primitive loop per row instead of the 60 interpreted HOF traversals
+    * of the layered formulation below (kept for differential testing;
+    * TextVectorSpec asserts native == HOF on real documents). */
+  def simhash48(features: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.expressions.SimHash48(toExpression(features)))
+  }
+
   /** md5-per-token list — materialize as its own column. */
   def tokenHashes(c: Column): Column = transform(tokens(c), t => md5(t))
 

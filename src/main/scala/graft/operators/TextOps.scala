@@ -190,34 +190,24 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 48-bit SimHash per document (see TextFunctions.SimhashBits): three
-    * narrow projects — token-hash list, nibble lists, bit sums — kept
-    * separate so Catalyst's CollapseProject (which refuses to duplicate
-    * non-cheap expressions) computes each md5 exactly once. Per-row map
-    * work only; no shuffle. Downstream near-dedup groups on the signature
-    * or bands of it. */
   /** Unordered (doc_id, simhash) signatures — shared by the report query
     * and the pair search (no global sort in the shared part). Features
     * are the DISTINCT 3-shingle set, not the token multiset: raw-token
     * simhash is dominated by shared stopword frequencies (measured 1st
     * percentile inter-doc hamming of 4/48 — no discrimination), while
     * shingles are rare across non-duplicates, putting unrelated pairs
-    * near hamming 24 and true near-dups close to 0. */
-  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
-    val nibbleCols = (0 until SimhashBits / 4)
-    val withHashes = Engine.spread(Tables.documents(spark, sfDir))
+    * near hamming 24 and true near-dups close to 0.
+    *
+    * The signature itself is the native codegen'd
+    * [[graft.expressions.SimHash48]] — one primitive loop per row. The
+    * layered HOF formulation it replaced (12 nibble transforms + 48
+    * aggregate traversals, all interpreted, plus seconds of janino
+    * compilation for the 48-term assembly CASE) lives on in
+    * TextFunctions for the differential spec. */
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.spread(Tables.documents(spark, sfDir))
       .withColumn("t", tokens(col("text")))
-      .withColumn("sh", shinglesOf(col("t"), 3))
-      .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("hs"))
-    val withNibbles = withHashes.select(col("doc_id") +:
-      nibbleCols.map(j => nibbleList(col("hs"), j).as(s"nib_$j")): _*)
-    val bitSums = (0 until SimhashBits)
-      .map(b => simhashBitSum(col(s"nib_${b / 4}"), b).as(s"bs_$b"))
-    withNibbles.select(col("doc_id") +: bitSums: _*)
-      .select(col("doc_id"),
-        simhashFromBitSums((0 until SimhashBits).map(b => col(s"bs_$b")))
-          .as("simhash"))
-  }
+      .select(col("doc_id"), simhash48(shinglesOf(col("t"), 3)).as("simhash"))
 
   def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)

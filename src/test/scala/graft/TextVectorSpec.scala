@@ -177,6 +177,41 @@ class TextVectorSpec extends SparkSpec {
     assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
   }
 
+  test("native SimHash48 == layered HOF formulation bit-for-bit on real documents") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("t", T.tokens($"text"))
+      .withColumn("sh", T.shinglesOf($"t", 3))
+    val hof = docs
+      .select($"doc_id", transform($"sh", s => md5(s)).as("hs"))
+      .select($"doc_id" +:
+        (0 until T.SimhashBits / 4).map(j => T.nibbleList($"hs", j).as(s"nib_$j")): _*)
+      .select($"doc_id" +: (0 until T.SimhashBits)
+        .map(b => T.simhashBitSum(col(s"nib_${b / 4}"), b).as(s"bs_$b")): _*)
+      .select($"doc_id", T.simhashFromBitSums(
+        (0 until T.SimhashBits).map(b => col(s"bs_$b"))).as("hof_sig"))
+    val diff = docs.select($"doc_id", T.simhash48($"sh").as("native_sig"))
+      .join(hof, "doc_id")
+      .filter($"native_sig" =!= $"hof_sig").count()
+    assert(diff == 0)
+  }
+
+  test("SimHash48 participates in whole-stage codegen; empty array sets all bits") {
+    // input must be non-foldable or ConvertToLocalRelation collapses the
+    // whole projection to a LocalTableScan before any codegen happens;
+    // range+concat keeps a live Project under WholeStageCodegen
+    val exec = spark.range(3)
+      .select(T.simhash48(array(concat(lit("tok "), $"id".cast("string")))).as("s"))
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(inCodegen.nonEmpty &&
+      inCodegen.map(_.toString).exists(_.contains("simhash48")), exec.toString)
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(T.simhash48($"sh")).head.getLong(0)
+    assert(empty == (1L << T.SimhashBits) - 1)
+  }
+
   test("simhashPairs: ordered pairs, hamming within threshold, self-pairs absent") {
     val rows = TextOps.simhashPairs(spark, sfDir, maxHamming = 12).collect()
     assert(rows.nonEmpty)
