@@ -5,8 +5,16 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. Each query is executed once untimed first (JVM/
   * codegen warmup — standard JVM benchmarking practice; the reported
   * numbers are steady-state, which is what a long-running cluster sees).
+  *
+  * Execution is a noop-sink write, not count(): count() lets Catalyst
+  * prune every non-key column, so projection-only queries (fingerprints,
+  * signatures, norms) would be timed with their defining work optimized
+  * away. The noop sink materializes every output row/column through the
+  * full plan and discards it — the honest per-query cost.
   */
 object Bench {
+  private def run(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,12 +27,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup pass (untimed)
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // two timed runs, report the min — steady-state cost with scheduler/GC
+    // noise suppressed (single-shot per-query numbers vary run-to-run)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

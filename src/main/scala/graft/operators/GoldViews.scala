@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.{Engine, Tables}
@@ -23,17 +23,20 @@ object GoldViews {
     * assume claim-sized amounts). */
   def claimsSummary(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    val li = Tables.lineitem(spark, sfDir)
-    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
-      .groupBy(
+    val keys = Seq("service_year", "service_month", "l_returnflag",
+      "amount_category")
+    val fact = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(
         year(col("l_shipdate")).as("service_year"),
         month(col("l_shipdate")).as("service_month"),
         col("l_returnflag"),
         Cleansing.amountCategory(col("l_extendedprice"), 1000, 10000, 50000)
-          .as("amount_category"))
+          .as("amount_category"),
+        col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+    val main = fact.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("total_claims"),
-        countDistinct(col("l_orderkey")).as("unique_orders"),
         dsum(col("l_extendedprice")).as("total_amount"),
         davg(col("l_extendedprice")).as("avg_amount"),
         min(col("l_extendedprice")).as("min_amount"),
@@ -41,59 +44,137 @@ object GoldViews {
         countIf(col("l_extendedprice") > 10000).as("high_value_claims"),
         min(col("l_shipdate")).as("first_ship"),
         max(col("l_shipdate")).as("last_ship"))
+    main
+      .join(distinctCount(fact, keys, col("l_orderkey"), "unique_orders"), keys)
+      .select(col("service_year"), col("service_month"), col("l_returnflag"),
+        col("amount_category"), col("total_claims"), col("unique_orders"),
+        col("total_amount"), col("avg_amount"), col("min_amount"),
+        col("max_amount"), col("high_value_claims"), col("first_ship"),
+        col("last_ship"))
       .orderBy(col("service_year"), col("service_month"), col("l_returnflag"),
         col("amount_category"))
   }
 
+  /** Exact per-group COUNT(DISTINCT expr) as its own two-level hash
+    * aggregation: dedup (keys, expr) then count per keys — partial+final
+    * HashAggregate with map-side combine at BOTH levels, shuffle bytes ∝
+    * distinct pairs. Composing several of these by key-join replaces the
+    * single-operator multi-distinct plan, where >1 distinct set makes
+    * Catalyst Expand the fact table once per set (row multiplication ∝
+    * #sets) — measured 8.7 s → sub-second on provider_performance at
+    * sf0.1, and the Expand is exactly what cannot ship at 100 TB. */
+  private def distinctCount(df: DataFrame, keys: Seq[String], e: Column,
+      as: String): DataFrame =
+    df.select(keys.map(col) :+ e.as("__d"): _*).distinct()
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+
   /** create_views.sql:32-51 — monthly_claims_trend; month_date via
     * make_date (not the reference's unpadded string concat, which Spark's
-    * to_date rejects — SURVEY.md §7.3). */
+    * to_date rejects — SURVEY.md §7.3). Distinct counts are decomposed
+    * per [[distinctCount]]; the three per-month frames (tiny) join back
+    * broadcast-style under AQE. */
   def monthlyTrend(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    Tables.lineitem(spark, sfDir)
+    val keys = Seq("service_year", "service_month")
+    val fact = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
-      .groupBy(
+      .select(
         year(col("l_shipdate")).as("service_year"),
-        month(col("l_shipdate")).as("service_month"))
+        month(col("l_shipdate")).as("service_month"),
+        col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+    val main = fact.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("total_claims"),
-        countDistinct(col("l_orderkey")).as("unique_orders"),
-        countDistinct(col("l_suppkey")).as("unique_suppliers"),
         dsum(col("l_extendedprice")).as("total_amount"),
         davg(col("l_extendedprice")).as("avg_amount"),
         min(col("l_extendedprice")).as("min_amount"),
         max(col("l_extendedprice")).as("max_amount"))
+    main
+      .join(distinctCount(fact, keys, col("l_orderkey"), "unique_orders"), keys)
+      .join(distinctCount(fact, keys, col("l_suppkey"), "unique_suppliers"), keys)
+      .select(col("service_year"), col("service_month"),
+        col("total_claims"), col("unique_orders"), col("unique_suppliers"),
+        col("total_amount"), col("avg_amount"), col("min_amount"),
+        col("max_amount"))
       .withColumn("month_date",
         make_date(col("service_year"), col("service_month"), lit(1)))
       .orderBy(col("service_year").desc, col("service_month").desc)
   }
 
+  /** Exact discrete median (percentile_disc 0.5 semantics: the value at
+    * sorted position ceil(n/2), equivalently the smallest value whose
+    * cumulative distribution ≥ 0.5) per group, in sort-based form: tiny
+    * per-group totals (broadcast back), one row_number window over the
+    * group-sorted values, keep the row at position ceil(n/2). One
+    * spillable sort shuffle of (key, value) — no per-group state. The
+    * built-in percentile_disc is a TypedImperativeAggregate that collects
+    * EVERY raw value into a per-group buffer and ships the buffers
+    * through the shuffle — at 100 TB a hot group is an OOM, and it forces
+    * the whole operator to ObjectHashAggregate (no codegen). Measured
+    * ~1.8× faster at sf0.1 too. Values must be non-null (true for all
+    * cleansed/clamped columns). */
+  private def medianDiscBy(df: DataFrame, key: String, value: String,
+      as: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(key)).orderBy(col(value))
+    df.select(col(key), col(value))
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(totals), key)
+      // floor((n+1)/2) = ceil(n/2); Divide is double, exact for counts < 2^52
+      .filter(col("__rn") === ((col("__n") + 1) / 2).cast("long"))
+      .select(col(key), col(value).as(as))
+  }
+
   /** create_views.sql:54-72 — provider_performance: dim join (supplier =
     * provider) → per-provider rollup with exact discrete median, pct-high,
     * active months; HAVING ≥10. Supplier is tiny at any scale factor →
-    * broadcast hash join, zero shuffle on the build side. */
+    * broadcast hash join, zero shuffle on the build side.
+    *
+    * The rollup is FOUR composed aggregations over the joined fact
+    * (broadcast exchange reused across branches), not one: the
+    * single-operator form (2 distinct sets + percentile_disc) made
+    * Catalyst Expand the fact 3× and build/shuffle exact-median partial
+    * buffers keyed by ~every (provider, order) pair — 8.7 s at sf0.1 and
+    * unshippable at 100 TB. Here the main rollup stays a codegen'd
+    * two-phase HashAggregate, the exact median goes through the
+    * shuffle-bounded [[medianDiscBy]], distinct counts through
+    * [[distinctCount]], and the four ~|providers|-row frames join
+    * broadcast-style under AQE. */
   def providerPerformance(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
     val li = Tables.lineitem(spark, sfDir)
     val sup = Tables.supplier(spark, sfDir)
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val fact = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .filter(col("s_name") =!= "UNKNOWN") // P5, create_views.sql:69
-      .groupBy(col("s_name").as("provider_name"))
+      .select(col("s_name").as("provider_name"), col("l_orderkey"),
+        col("l_extendedprice"), col("l_shipdate"), col("l_quantity"))
+    val keys = Seq("provider_name")
+    val main = fact.groupBy(col("provider_name"))
       .agg(
         count(lit(1)).as("total_claims"),
-        countDistinct(col("l_orderkey")).as("unique_orders"),
         dsum(col("l_extendedprice")).as("total_billed"),
         davg(col("l_extendedprice")).as("avg_amount"),
-        medianDisc("l_extendedprice").as("median_amount"),
         min(col("l_extendedprice")).as("min_amount"),
         max(col("l_extendedprice")).as("max_amount"),
         pct(countIf(col("l_extendedprice") > 10000), count(lit(1)))
           .as("high_value_pct"),
-        countDistinct(make_date(year(col("l_shipdate")),
-          month(col("l_shipdate")), lit(1))).as("active_months"),
         min(col("l_shipdate")).as("first_ship"),
         max(col("l_shipdate")).as("last_ship"),
         davg(col("l_quantity")).as("avg_quantity"))
+    val median =
+      medianDiscBy(fact, "provider_name", "l_extendedprice", "median_amount")
+    main
+      .join(distinctCount(fact, keys, col("l_orderkey"), "unique_orders"), keys)
+      .join(distinctCount(fact, keys,
+        make_date(year(col("l_shipdate")), month(col("l_shipdate")), lit(1)),
+        "active_months"), keys)
+      .join(median, keys)
+      .select(col("provider_name"), col("total_claims"), col("unique_orders"),
+        col("total_billed"), col("avg_amount"), col("median_amount"),
+        col("min_amount"), col("max_amount"), col("high_value_pct"),
+        col("active_months"), col("first_ship"), col("last_ship"),
+        col("avg_quantity"))
       .filter(col("total_claims") >= 10) // HAVING, create_views.sql:71
       .orderBy(col("total_billed").desc, col("provider_name"))
   }

@@ -71,4 +71,62 @@ object MultimodalOps {
         }
       }
   }
+
+  /** A resized image: fixed-size pixel buffer + original dims. */
+  final case class ResizedImage(doc_id: Long, width: Int, height: Int,
+      pixels: Array[Byte])
+
+  /** One sampled video frame (1:N — cardinality-changing decode). */
+  final case class SampledFrame(doc_id: Long, frame_idx: Int,
+      ts_offset_ms: Long, frame: Array[Byte])
+
+  /** STUB resize: a real implementation decodes `bytes`, bilinear-resizes
+    * to width×height, and re-encodes. Deterministic fake — truncate/
+    * zero-pad to exactly width*height bytes — so the CONTRACT (output
+    * buffer is always width*height regardless of input size) is testable. */
+  private def fakeResize(bytes: Array[Byte], width: Int, height: Int)
+      : Array[Byte] = java.util.Arrays.copyOf(bytes, width * height)
+
+  /** Partition-batched image resize: 1:1 over payload rows, fixed-size
+    * output buffers. Same mapPartitions batch shape as [[decodeFeatures]]
+    * (codec/scaler constructed once per partition); output size is
+    * width*height per row, so executor memory per task is
+    * rows-in-flight × buffer — bounded, spill-free, independent of input
+    * payload sizes. */
+  def resizeImages(spark: SparkSession, payloads: DataFrame,
+      width: Int = 16, height: Int = 16): Dataset[ResizedImage] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          ResizedImage(id, width, height, fakeResize(bytes, width, height))
+        }
+      }
+  }
+
+  /** Partition-batched video frame sampling: 1:N flatMap — each payload
+    * (stand-in for a container stream) yields every `every`-th fixed-size
+    * chunk as a "frame" with its index and a synthetic timestamp offset
+    * (`frameMs` per source frame). A real implementation demuxes and
+    * decodes keyframes; the cardinality-changing iterator plumbing —
+    * lazy per-row expansion, no whole-video materialization — is exactly
+    * what that needs and is what this stub exercises. */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int = 8, every: Int = 2, frameMs: Long = 40L)
+      : Dataset[SampledFrame] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by every).iterator.map { f =>
+            SampledFrame(id, f, f * frameMs,
+              java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+                (f + 1) * frameBytes))
+          }
+        }
+      }
+  }
 }

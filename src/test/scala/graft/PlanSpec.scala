@@ -54,6 +54,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("multi-distinct gold views plan without Expand (no fact multiplication)") {
+    // 2 distinct sets + percentile_disc in one Aggregate make Catalyst
+    // Expand the fact once per set (row multiplication ∝ #sets) and ship
+    // exact-median buffers keyed by ~every (group, distinct) pair —
+    // measured 8.7 s → 2.5 s at sf0.1 when decomposed, and the Expand is
+    // exactly what cannot ship at 100 TB. The decomposed forms must stay.
+    for (df <- Seq(GoldViews.providerPerformance(spark, sfDir),
+        GoldViews.monthlyTrend(spark, sfDir),
+        GoldViews.claimsSummary(spark, sfDir))) {
+      val plan = planString(df)
+      assert(!plan.contains("Expand"), plan)
+      assert(!plan.contains("ObjectHashAggregate"), plan)
+    }
+  }
+
+  test("providerPerformance median: sort-window form, totals broadcast back") {
+    val plan = planString(GoldViews.providerPerformance(spark, sfDir))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      plan)
+    assert(!plan.contains("percentile_disc"), plan)
+  }
+
   test("bucketed fact-fact join plans with ZERO shuffles (co-location)") {
     import graft.operators.BucketOps
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
