@@ -43,6 +43,12 @@ object Engine {
       .master(master)
       .config("spark.sql.shuffle.partitions",
         Runtime.getRuntime.availableProcessors().toString)
+      // build-time only (a reused session keeps its own): the
+      // multi-distinct split rule for verbatim-SQL users. withExtensions,
+      // not the spark.sql.extensions conf — the conf is static, read from
+      // the SparkContext, and silently ignored when the builder attaches
+      // to an existing context.
+      .withExtensions(new GraftExtensions)
       .getOrCreate())
 
   /** Guarantee at least the session's default parallelism before a

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge.ofRows
+import org.apache.spark.sql.functions._
+import graft.operators.{GoldSql, SilverCleanse}
+import graft.plans.SplitMultiDistinctAggregate
+
+/** [[graft.plans.SplitMultiDistinctAggregate]]: differential correctness
+  * (rewritten plan == stock plan, row for row) on the verbatim SQL gold
+  * views and on synthetic edge cases (null group keys, global
+  * aggregates, multi-arg distinct, sum/avg distinct), plan-shape
+  * assertions (no Expand after the rewrite), bail-out cases, and the
+  * SparkSessionExtensions wiring end-to-end.
+  */
+class RewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val silver = {
+    val s = SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
+      .withColumn("processing_timestamp",
+        lit("2024-01-01 00:00:00").cast("timestamp"))
+    s.createOrReplaceTempView("silver_claims")
+    GoldSql.createViews(spark)
+    s
+  }
+
+  /** Stock result vs hand-applied-rule result. Doubles compare with
+    * relative tolerance: SUM/AVG over IEEE doubles is
+    * accumulation-order-dependent and the rewrite (like any
+    * repartitioning) reorders it — stock Spark itself doesn't promise
+    * bit-equality for those run-to-run. Everything else compares exact. */
+  private def assertSame(df: DataFrame): Unit = {
+    val analyzed = df.queryExecution.analyzed
+    val rewritten = SplitMultiDistinctAggregate(analyzed)
+    assert(rewritten != analyzed, "rule did not fire")
+    def key(r: org.apache.spark.sql.Row) =
+      r.toSeq.map { case d: Double => "" case v => String.valueOf(v) }.mkString("|")
+    val a = df.collect().sortBy(key)
+    val b = ofRows(spark, rewritten).collect().sortBy(key)
+    assert(a.length == b.length, s"rows ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (ra, rb) =>
+      ra.toSeq.zip(rb.toSeq).foreach {
+        case (x: Double, y: Double) =>
+          assert(x == y || math.abs(x - y) <= 1e-9 * math.max(math.abs(x), 1.0),
+            s"$x vs $y in $ra / $rb")
+        case (x, y) => assert(x == y, s"$x vs $y in $ra / $rb")
+      }
+    }
+    // schema (names, order, types) must be preserved for parent operators
+    assert(ofRows(spark, rewritten).schema == df.schema)
+  }
+
+  test("gold_provider_performance (2 distincts + percentile_disc): equal, no Expand") {
+    silver
+    val df = GoldSql.view(spark, "gold_provider_performance")
+    assertSame(df)
+    val plan = ofRows(spark,
+      SplitMultiDistinctAggregate(df.queryExecution.analyzed))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("gold_member_activity and gold_recent_activity: equal under rewrite") {
+    silver
+    assertSame(GoldSql.view(spark, "gold_member_activity"))
+    assertSame(GoldSql.view(spark, "gold_recent_activity"))
+  }
+
+  test("null group keys join null-safe; multi-arg distinct counts all-non-null rows") {
+    val df = Seq[(Option[String], Option[Int], Option[Int], Double)](
+      (Some("a"), Some(1), Some(10), 1.0), (Some("a"), Some(1), None, 2.0),
+      (Some("a"), Some(2), Some(10), 3.0), (None, Some(3), Some(30), 4.0),
+      (None, Some(3), Some(30), 5.0), (None, None, Some(40), 6.0))
+      .toDF("k", "x", "y", "v")
+    df.createOrReplaceTempView("t_nulls")
+    val q = spark.sql("""SELECT k, count(DISTINCT x) AS dx,
+        count(DISTINCT x, y) AS dxy, count(DISTINCT y) AS dy,
+        sum(v) AS sv, count(*) AS n
+      FROM t_nulls GROUP BY k""")
+    assertSame(q)
+    // spot-check semantics survived: count(distinct x,y) skips any-null rows
+    val byK = q.collect().map(r => Option(r.get(0)) -> r).toMap
+    assert(byK(Some("a")).getAs[Long]("dxy") == 2L) // (1,10), (2,10)
+    assert(byK(None).getAs[Long]("dxy") == 1L)      // (3,30) twice, (null,40) skipped
+  }
+
+  test("global aggregate (no GROUP BY) with distincts + percentile: 1-row cross join") {
+    silver
+    val q = spark.sql("""SELECT count(DISTINCT member_id) AS m,
+        count(DISTINCT provider_name) AS p,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY claim_amount) AS med,
+        sum(claim_amount) AS s, count(*) AS n
+      FROM silver_claims""")
+    assertSame(q)
+  }
+
+  test("sum/avg/min/max DISTINCT rewrite to plain aggs over deduped values") {
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 2.0))
+      .toDF("k", "v")
+    df.createOrReplaceTempView("t_dist")
+    val q = spark.sql("""SELECT k, sum(DISTINCT v) AS sd, avg(DISTINCT v) AS ad,
+        min(DISTINCT v) AS mn, max(DISTINCT v) AS mx, count(DISTINCT k, v) AS c2
+      FROM t_dist GROUP BY k""")
+    assertSame(q)
+    val m = q.collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Double]("sd") == 4.0 && m("a").getAs[Double]("ad") == 2.0)
+  }
+
+  test("bails out: single distinct set without percentile is left to stock planning") {
+    silver
+    val q = spark.sql(
+      "SELECT provider_name, count(DISTINCT member_id) AS m, count(*) AS n " +
+        "FROM silver_claims GROUP BY provider_name")
+    assert(SplitMultiDistinctAggregate(q.queryExecution.analyzed)
+      == q.queryExecution.analyzed)
+  }
+
+  test("bails out: FILTER clause on a distinct aggregate") {
+    silver
+    val q = spark.sql("""SELECT provider_name,
+        count(DISTINCT member_id) FILTER (WHERE claim_amount > 0) AS m,
+        count(DISTINCT claim_id) AS c
+      FROM silver_claims GROUP BY provider_name""")
+    assert(SplitMultiDistinctAggregate(q.queryExecution.analyzed)
+      == q.queryExecution.analyzed)
+  }
+
+  test("SparkSessionExtensions wiring: verbatim SQL optimizes without Expand") {
+    silver // materialize the fixture on the shared session first
+    val stock = GoldSql.view(spark, "gold_provider_performance")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("total_claims"))
+      .sortBy(_._1)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        // NOT .config("spark.sql.extensions", ...): that conf is static,
+        // read from the SparkContext, and silently ignored when the
+        // builder attaches to an existing context (as here)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      Engine.configure(ext)
+      assert(ext ne spark) // a genuinely new session over the same context
+      SilverCleanse.fromOrders(Tables.orders(ext, sfDir))
+        .withColumn("processing_timestamp",
+          lit("2024-01-01 00:00:00").cast("timestamp"))
+        .createOrReplaceTempView("silver_claims")
+      GoldSql.createViews(ext)
+      val df = GoldSql.view(ext, "gold_provider_performance")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("Expand"), optimized)
+      assert(optimized.contains("Join"), optimized)
+      val got = df.collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("total_claims"))
+        .sortBy(_._1)
+      assert(got.sameElements(stock))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
