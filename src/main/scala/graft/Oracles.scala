@@ -401,6 +401,48 @@ SELECT * FROM (
 ) p WHERE jaccard >= 0.08
 ORDER BY doc_a, doc_b""",
 
+    // Composed pipeline: exact dedup (keep min doc_id per normalized-text
+    // hash) → near-dup removal on survivors (inverted-index-equivalent
+    // blocked Jaccard; doc_b of every pair drops) → quality gate ≥ 0.5 →
+    // per-(lang, source) stats. Mean quality via the fixed-point
+    // floor(q·1e6) exact-long path (see q_text_quality).
+    "q_corpus_clean" -> """WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+base AS (
+  SELECT d.doc_id, d.lang, d.source,
+    string_split_regex(trim(d.text), '\s+') AS t
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+sh AS (
+  SELECT doc_id, lang, source, t,
+    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM base),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.08),
+clean AS (
+  SELECT doc_id, lang, source, t,
+    least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE)) * 0.4
+      + (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.3
+      + least(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+          / CAST(len(t) AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE)) * 0.3 AS q
+  FROM sh
+  WHERE doc_id NOT IN (SELECT doc_b FROM pairs))
+SELECT lang, source,
+  count(*) AS n_docs,
+  CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+  CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+    / CAST(count(*) AS DOUBLE) AS avg_quality,
+  min(doc_id) AS min_doc_id,
+  max(doc_id) AS max_doc_id
+FROM clean WHERE q >= 0.5
+GROUP BY lang, source ORDER BY lang, source""",
+
     "q_embedding_norms" -> """SELECT vec_id, label,
   sqrt(list_sum(list_transform(embedding,
     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm

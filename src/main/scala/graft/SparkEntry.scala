@@ -45,6 +45,7 @@ object SparkEntry {
     "q_dedup_simhash" -> TextOps.simhashDocs _,
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => TextOps.simhashPairs(s, d)),
     "q_fingerprint" -> TextOps.fingerprintDocs _,
+    "q_corpus_clean" -> ((s: SparkSession, d: String) => TextOps.corpusClean(s, d)),
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),

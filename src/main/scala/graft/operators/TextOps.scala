@@ -115,15 +115,15 @@ object TextOps {
     * Jaccard stays a ratio of exact integers: no float hazard. The
     * round-1 blocked-cross-join form computed array_intersect/union over
     * every pair and was the #2 bench hotspot. */
-  def nearDupPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.08): DataFrame = {
-    Engine.configure(spark)
-    val docs = Engine.spread(Tables.documents(spark, sfDir))
-      .withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), col("lang"), col("source"),
-        shinglesOf(col("t"), 3).as("sh"))
-      .withColumn("n", size(col("sh")))
-    val inv = docs.select(col("doc_id"), col("lang"), col("source"), col("n"),
+  /** Inverted-index pair search over a (doc_id, lang, source, sh) frame:
+    * explode shingles, self-join on (block, shingle) to count the
+    * intersection per pair, join back per-doc set sizes —
+    * |A∪B| = |A|+|B|−|A∩B|. Shared by [[nearDupPairs]] and
+    * [[corpusClean]]. */
+  private def invertedIndexPairs(docs: DataFrame, threshold: Double)
+      : DataFrame = {
+    val sized = docs.withColumn("n", size(col("sh")))
+    val inv = sized.select(col("doc_id"), col("lang"), col("source"), col("n"),
       explode(col("sh")).as("shingle"))
     val a = inv.select(col("lang"), col("source"), col("shingle"),
       col("doc_id").as("doc_a"), col("n").as("n_a"))
@@ -139,7 +139,60 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("source"),
         col("jaccard"))
+  }
+
+  def nearDupPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.08): DataFrame = {
+    Engine.configure(spark)
+    val docs = Engine.spread(Tables.documents(spark, sfDir))
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        shinglesOf(col("t"), 3).as("sh"))
+    invertedIndexPairs(docs, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** End-to-end corpus cleaning — the composed shape of a training-data
+    * pipeline, as one declarative plan:
+    *
+    *  1. EXACT DEDUP: md5(normalized text) groupBy, keep min doc_id.
+    *  2. NEAR-DUP REMOVAL over the survivors: inverted-index exact
+    *     Jaccard within (lang, source) blocks; for every pair the larger
+    *     doc_id drops (deterministic keep-canonical policy).
+    *  3. QUALITY GATE: composite text quality ≥ `minQuality`, computed
+    *     once from the staged token array.
+    *  4. Per-(lang, source) corpus stats (counts, tokens, fixed-point
+    *     exact mean quality) — the report a data curator reads.
+    *
+    * Every stage is shuffle-disciplined (hash-agg dedup ∝ distinct texts,
+    * candidate pairs ∝ Σ df(shingle)², quality is a map): the composition
+    * adds nothing beyond its parts, which is the point — at 100 TB the
+    * stages fuse into scans + a handful of key-bounded shuffles. */
+  def corpusClean(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.08, minQuality: Double = 0.5): DataFrame = {
+    Engine.configure(spark)
+    val raw = Engine.spread(Tables.documents(spark, sfDir))
+    val keep = raw.groupBy(contentHash(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val base = raw.join(keep, "doc_id")
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"), col("t"),
+        shinglesOf(col("t"), 3).as("sh"))
+    val dropped = invertedIndexPairs(base, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    base.join(dropped, Seq("doc_id"), "left_anti")
+      .withColumn("q", textQualityOf(col("t")))
+      .filter(col("q") >= minQuality)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("t"))).as("total_tokens"),
+        (sum(floor(col("q") * 1e6)).cast(DoubleType) / lit(1e6) /
+          count(lit(1)).cast(DoubleType)).as("avg_quality"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("lang"), col("source"))
   }
 
   /** MinHash+LSH near-dedup (shingle → minhash → band → bucket-join):

@@ -212,6 +212,28 @@ class TextVectorSpec extends SparkSpec {
     assert(empty == (1L << T.SimhashBits) - 1)
   }
 
+  test("corpusClean: composed stages agree with the stand-alone operators") {
+    val stats = TextOps.corpusClean(spark, sfDir).collect()
+    assert(stats.nonEmpty)
+    // surviving docs = exact-dedup keepers − near-dup doc_bs − low-quality
+    val keepers = Tables.documents(spark, sfDir)
+      .groupBy(T.contentHash($"text")).agg(min($"doc_id").as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val droppedB = TextOps.nearDupPairs(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_b")).toSet // pairs among keepers ⊆ all pairs
+    val quality = Tables.documents(spark, sfDir)
+      .select($"doc_id", T.textQuality($"text").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = keepers.filterNot(droppedB).count(quality(_) >= 0.5)
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == expected,
+      s"got ${stats.map(_.getAs[Long]("n_docs")).sum}, expected $expected")
+    // textQualityOf over staged tokens is bit-identical to textQuality
+    val diff = Tables.documents(spark, sfDir)
+      .withColumn("t", T.tokens($"text"))
+      .filter(T.textQualityOf($"t") =!= T.textQuality($"text")).count()
+    assert(diff == 0)
+  }
+
   test("simhashPairs: ordered pairs, hamming within threshold, self-pairs absent") {
     val rows = TextOps.simhashPairs(spark, sfDir, maxHamming = 12).collect()
     assert(rows.nonEmpty)
