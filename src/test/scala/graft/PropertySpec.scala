@@ -112,4 +112,53 @@ class PropertySpec extends SparkSpec {
       assert(r.getAs[Int]("bpe") >= r.getAs[Int]("ws"))
     }
   }
+
+  test("∀ texts: contentHash invariant under case, internal whitespace runs, space padding") {
+    // contract: INTERNAL whitespace runs (any \s) collapse to one space,
+    // but trim strips only ASCII spaces at the edges (same in DuckDB — a
+    // trailing tab is part of the canonical form on both engines)
+    val word = Gen.oneOf("Alpha", "beta", "GAMMA", "d1")
+    val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    val mangle = for {
+      t <- text
+      pad <- Gen.oneOf("  ", "\t", " \n ")
+      up <- Gen.oneOf(true, false)
+    } yield (t, "  " + (if (up) t.toUpperCase else t).replace(" ", pad) + "  ")
+    val df = samples(mangle, 200).toDF("a", "b")
+      .select((T.contentHash($"a") === T.contentHash($"b")).as("same"))
+    assert(df.filter(not($"same")).count() == 0)
+  }
+
+  test("∀ feature sets: SimHash48 is order-invariant and in [0, 2^48)") {
+    val word = Gen.oneOf("a", "b", "cat", "dog gram", "x1 y2 z3")
+    val feats = Gen.nonEmptyListOf(word).map(_.distinct)
+    val df = samples(feats, 200).map(f => (f, f.reverse))
+      .toDF("f", "shuf")
+      .select(T.simhash48($"f").as("s1"), T.simhash48($"shuf").as("s2"))
+    df.collect().foreach { r =>
+      val s = r.getAs[Long]("s1")
+      assert(s == r.getAs[Long]("s2")) // bit sums commute
+      assert(s >= 0L && s < (1L << 48))
+    }
+  }
+
+  test("∀ texts: textQuality ∈ [0,1]; equal shingle sets agree on every minhash band") {
+    val word = Gen.oneOf("the", "a", "of", "cat", "dog", "lorem", "ipsum")
+    val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    val qdf = samples(text, 200).toDF("t")
+      .select(T.textQuality($"t").as("q"))
+    qdf.collect().foreach { r =>
+      val q = r.getAs[Double]("q")
+      assert(q >= 0.0 && q <= 1.0, q)
+    }
+    // identical sets in different order ⇒ identical band values (array_min
+    // over salted hashes is order-free)
+    val perm = samples(Gen.nonEmptyListOf(word).map(_.distinct), 100)
+      .map(f => (f, f.reverse)).toDF("f", "r")
+    val bands = T.minhashBands($"f", 12, 3).zip(T.minhashBands($"r", 12, 3))
+      .zipWithIndex.map { case ((x, y), i) => (x === y).as(s"b$i") }
+    val bad = perm.select(bands: _*).collect()
+      .count(r => (0 until 4).exists(i => !r.getAs[Boolean](s"b$i")))
+    assert(bad == 0)
+  }
 }

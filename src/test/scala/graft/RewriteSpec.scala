@@ -107,6 +107,33 @@ class RewriteSpec extends SparkSpec {
     assert(m("a").getAs[Double]("sd") == 4.0 && m("a").getAs[Double]("ad") == 2.0)
   }
 
+  test("distinct over computed expressions; group expr reused inside aggregates") {
+    val df = Seq(("a", "X", 1.0), ("a", "x", 2.0), ("a", "Y", 2.0),
+      ("b", "z", 3.0), ("b", "Z", 3.0)).toDF("k", "s", "v")
+    df.createOrReplaceTempView("t_expr")
+    val q = spark.sql("""SELECT upper(k) AS ku, count(DISTINCT upper(s)) AS du,
+        count(DISTINCT v) AS dv, max(upper(k)) AS mk, sum(v) AS sv
+      FROM t_expr GROUP BY upper(k)""")
+    assertSame(q)
+    val m = q.collect().map(r => r.getString(0) -> r).toMap
+    assert(m("A").getAs[Long]("du") == 2L && m("A").getAs[Long]("dv") == 2L)
+    assert(m("B").getAs[String]("mk") == "B")
+  }
+
+  test("HAVING and ORDER BY above the rewritten aggregate still resolve") {
+    silver
+    val q = spark.sql("""SELECT provider_name, count(DISTINCT member_id) AS m,
+        count(DISTINCT claim_id) AS c, count(*) AS n
+      FROM silver_claims GROUP BY provider_name
+      HAVING count(*) > 5 ORDER BY n DESC, provider_name""")
+    assertSame(q)
+    // ordering preserved end-to-end (assertSame sorts; check directly too)
+    val ns = ofRows(spark,
+      SplitMultiDistinctAggregate(q.queryExecution.analyzed))
+      .collect().map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
   test("bails out: single distinct set without percentile is left to stock planning") {
     silver
     val q = spark.sql(
