@@ -70,18 +70,26 @@ object Checks {
           .as("unparseable_date"))
   }
 
-  /** trino_checks.sql:113-123 — whole-table statistics (A11). */
+  /** trino_checks.sql:113-123 — whole-table statistics (A11). The two
+    * distinct counts are decomposed ([[AggPatterns.globalDistinctCount]])
+    * and cross-joined back as 1-row frames — no Expand over orders. */
   def tableStats(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    Tables.orders(spark, sfDir).agg(
-      count(lit(1)).as("total_orders"),
-      countDistinct(col("o_custkey")).as("unique_customers"),
-      countDistinct(col("o_orderpriority")).as("n_priorities"),
-      min(col("o_orderdate")).as("first_order"),
-      max(col("o_orderdate")).as("last_order"),
-      dsum(col("o_totalprice")).as("total_value"),
-      min(col("o_totalprice")).as("min_price"),
-      max(col("o_totalprice")).as("max_price"))
+    val o = Tables.orders(spark, sfDir)
+    o.agg(
+        count(lit(1)).as("total_orders"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        dsum(col("o_totalprice")).as("total_value"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .crossJoin(AggPatterns.globalDistinctCount(o, col("o_custkey"),
+        "unique_customers"))
+      .crossJoin(AggPatterns.globalDistinctCount(o, col("o_orderpriority"),
+        "n_priorities"))
+      .select(col("total_orders"), col("unique_customers"),
+        col("n_priorities"), col("first_order"), col("last_order"),
+        col("total_value"), col("min_price"), col("max_price"))
   }
 
   /** SURVEY.md §7.1 dim-join rollup: customer ⋈ nation ⋈ region, both

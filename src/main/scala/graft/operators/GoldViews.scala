@@ -55,18 +55,10 @@ object GoldViews {
         col("amount_category"))
   }
 
-  /** Exact per-group COUNT(DISTINCT expr) as its own two-level hash
-    * aggregation: dedup (keys, expr) then count per keys — partial+final
-    * HashAggregate with map-side combine at BOTH levels, shuffle bytes ∝
-    * distinct pairs. Composing several of these by key-join replaces the
-    * single-operator multi-distinct plan, where >1 distinct set makes
-    * Catalyst Expand the fact table once per set (row multiplication ∝
-    * #sets) — measured 8.7 s → sub-second on provider_performance at
-    * sf0.1, and the Expand is exactly what cannot ship at 100 TB. */
+  /** See [[AggPatterns.distinctCount]] — the shared decomposed
+    * COUNT(DISTINCT) pattern. */
   private def distinctCount(df: DataFrame, keys: Seq[String], e: Column,
-      as: String): DataFrame =
-    df.select(keys.map(col) :+ e.as("__d"): _*).distinct()
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+      as: String): DataFrame = AggPatterns.distinctCount(df, keys, e, as)
 
   /** create_views.sql:32-51 — monthly_claims_trend; month_date via
     * make_date (not the reference's unpadded string concat, which Spark's
@@ -220,21 +212,29 @@ object GoldViews {
   /** create_views.sql:120-159 — recent_activity: three sliding-window
     * global aggregates UNION ALL'd, ordered by a CASE expression (O2).
     * Windows anchor on max(ts), not wall clock, so results are
-    * deterministic (SURVEY.md §7.4); the 1-row max side is broadcast. */
+    * deterministic (SURVEY.md §7.4); the 1-row max side is broadcast.
+    * Each arm's two distinct counts are decomposed
+    * ([[AggPatterns.globalDistinctCount]]) and cross-joined back as
+    * 1-row frames — no Expand over the filtered events. */
   def recentActivity(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
     val ev = Tables.events(spark, sfDir)
     val withMax = ev.crossJoin(broadcast(ev.agg(max(col("ts")).as("max_ts"))))
-    def arm(label: String, order: Int, interval: String): DataFrame =
-      withMax.filter(col("ts") >= col("max_ts") - expr(s"INTERVAL $interval"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          countDistinct(col("event_type")).as("n_event_types"),
-          dsum(col("value")).as("total_value"),
-          davg(col("value")).as("avg_value"))
+    def arm(label: String, order: Int, interval: String): DataFrame = {
+      val w = withMax
+        .filter(col("ts") >= col("max_ts") - expr(s"INTERVAL $interval"))
+      val main = w.agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        davg(col("value")).as("avg_value"))
+      main
+        .crossJoin(AggPatterns.globalDistinctCount(w, col("user_id"), "n_users"))
+        .crossJoin(AggPatterns.globalDistinctCount(w, col("event_type"),
+          "n_event_types"))
         .select(lit(label).as("period"), lit(order).as("period_order"),
-          col("*"))
+          col("n_events"), col("n_users"), col("n_event_types"),
+          col("total_value"), col("avg_value"))
+    }
     arm("Last 24 Hours", 1, "24 HOUR")
       .unionAll(arm("Last 7 Days", 2, "7 DAY"))
       .unionAll(arm("Last 30 Days", 3, "30 DAY"))

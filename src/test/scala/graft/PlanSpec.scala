@@ -62,7 +62,9 @@ class PlanSpec extends SparkSpec {
     // exactly what cannot ship at 100 TB. The decomposed forms must stay.
     for (df <- Seq(GoldViews.providerPerformance(spark, sfDir),
         GoldViews.monthlyTrend(spark, sfDir),
-        GoldViews.claimsSummary(spark, sfDir))) {
+        GoldViews.claimsSummary(spark, sfDir),
+        GoldViews.recentActivity(spark, sfDir),
+        Checks.tableStats(spark, sfDir))) {
       val plan = planString(df)
       assert(!plan.contains("Expand"), plan)
       assert(!plan.contains("ObjectHashAggregate"), plan)
