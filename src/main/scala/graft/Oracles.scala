@@ -497,6 +497,51 @@ SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INT) AS rank FROM (
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
 
+    // Deterministic 2-iteration Lloyd's k-means (init = vec_id < 8 cast
+    // to double, bit-exact l2² argmin with cell-id tiebreak, fixed-point
+    // centroid means) unrolled as a CTE chain, then the IVF probe/rerank
+    // of q_ann_ivf over the TRAINED cells.
+    "q_ann_ivf_trained" -> {
+      import graft.functions.VectorFunctions.{cosineSql, l2sqSql}
+      val fp = "1048576.0"
+      def cdims(src: String) = (0 until 64).map { d =>
+        s"CAST(sum(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * $fp) " +
+          s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
+      }.mkString(",\n    ")
+      def asg(cent: String) =
+        s"""SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${l2sqSql("e.embedding", "c.centroid")} ASC, c.cell) AS rn
+    FROM embeddings e CROSS JOIN $cent c) a WHERE rn = 1"""
+      s"""WITH cent0 AS (
+  SELECT CAST(vec_id AS INT) AS cell,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < 8),
+asg1 AS (${asg("cent0")}),
+cent1 AS (SELECT cell, [${cdims("asg1")}] AS centroid FROM asg1 GROUP BY cell),
+asg2 AS (${asg("cent1")}),
+cent2 AS (SELECT cell, [${cdims("asg2")}] AS centroid FROM asg2 GROUP BY cell),
+assign AS (${asg("cent2")}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY ${l2sqSql("q.qv", "c.centroid")} ASC, c.cell) AS pr
+    FROM q CROSS JOIN cent2 c) p
+  WHERE pr <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id, a.cell,
+    ${cosineSql("p.qv", "a.embedding")} AS cos_sim
+  FROM probe p JOIN assign a
+    ON a.cell = p.cell AND a.vec_id <> p.query_id)
+SELECT query_id, vec_id, cell, cos_sim, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) r
+WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
+
     "q_neardup_embedding" -> s"""SELECT label, id_a, id_b, cos_sim FROM (
   SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
     ${graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding")} AS cos_sim

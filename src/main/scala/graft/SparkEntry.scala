@@ -51,6 +51,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => VectorOps.annLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
+    "q_ann_ivf_trained" -> ((s: SparkSession, d: String) => VectorOps.annIvfTrained(s, d)),
     "q_neardup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
   )
 

@@ -94,6 +94,14 @@ object VectorFunctions {
       s"(CASE WHEN ${planeProjectionSql(v, p, dims)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB SQL for squared L2 distance matching
+    * [[graft.operators.VectorOps]]'s zip_with/aggregate formulation
+    * bit-for-bit (same subtraction, same left-to-right accumulation). */
+  def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+
   /** DuckDB SQL for cosine(a, b) matching [[cosine]] bit-for-bit. */
   def cosineSql(a: String, b: String): String = {
     def norm(v: String) =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Engine, Tables}
@@ -121,6 +121,91 @@ object VectorOps {
     probes.join(emb, "label")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("qv"), col("embedding")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Squared L2 distance with strict left-to-right double accumulation
+    * over the zipped arrays — the same op sequence as the DuckDB oracle's
+    * list_sum(list_transform(list_zip(...))), so distances (and therefore
+    * argmin assignments, tie-broken on cell id) are bit-identical. */
+  private def l2sq(v: Column, c: Column): Column =
+    aggregate(
+      zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Deterministic fixed-iteration Lloyd's k-means over the embeddings —
+    * the trained coarse quantizer [[annIvf]] documents as a training
+    * concern, made an operator:
+    *
+    *  - INIT: embeddings of vec_id < kCells, cast to double (no RNG).
+    *  - ASSIGN: argmin bit-exact [[l2sq]] against the broadcast centroid
+    *    table, ties on the lower cell id — a map over the corpus.
+    *  - UPDATE: per-cell fixed-point means (Σ floor(x·2²⁰) exact longs),
+    *    the same order-independent arithmetic as [[annIvf]]'s centroids,
+    *    so the trained index is bit-identical across partitionings,
+    *    retries, and engines.
+    *
+    * Each iteration is one broadcast join + one hash aggregate; the
+    * centroid table stays tiny, the corpus is never shuffled — the
+    * training loop a 100 TB pipeline can actually afford. Empty cells
+    * drop out (deterministically mirrored by the oracle). */
+  def kmeansCentroids(emb: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    val Fp = 1048576.0 // 2^20
+    val init = emb.filter(col("vec_id") < kCells)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__d"), col("cell"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("__d", l2sq(col("embedding"), col("centroid")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cell"), col("embedding"))
+      val dims = (0 until Dims).map { d =>
+        (sum(floor(element_at(col("embedding"), d + 1).cast("double") * Fp))
+          .cast("double") / Fp / count(lit(1))).as(s"c$d")
+      }
+      assigned.groupBy(col("cell"))
+        .agg(dims.head, dims.tail: _*)
+        .select(col("cell"),
+          array((0 until Dims).map(d => col(s"c$d")): _*).as("centroid"))
+    }
+  }
+
+  /** IVF ANN over the TRAINED quantizer ([[kmeansCentroids]]) instead of
+    * [[annIvf]]'s label stand-in: assign the corpus to trained cells,
+    * probe the nearest `nprobe` cells per query (same bit-exact distance
+    * + cell-id tiebreak), exact cosine re-rank inside probed cells. */
+  def annIvfTrained(spark: SparkSession, sfDir: String, k: Int = 5,
+      kCells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    Engine.configure(spark)
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+    val cents = kmeansCentroids(emb, kCells, iters)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__d"), col("cell"))
+    val assign = emb.crossJoin(broadcast(cents))
+      .withColumn("__d", l2sq(col("embedding"), col("centroid")))
+      .withColumn("__rn", row_number().over(aw))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("__d", l2sq(col("qv"), col("centroid")))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(assign, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
         cosine(col("qv"), col("embedding")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -295,6 +295,39 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("annIvfTrained: k-means assignment is a true argmin; k rows per query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = VectorOps.kmeansCentroids(emb, kCells = 8, iters = 2)
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Double](1).toArray).sortBy(_._1)
+    assert(cents.nonEmpty && cents.length <= 8)
+    // every centroid is a fixed-point-mean vector of finite doubles
+    cents.foreach { case (_, c) =>
+      assert(c.length == VectorOps.Dims && c.forall(d => !d.isNaN && !d.isInfinite))
+    }
+    // spot-check the argmin property of the final assignment by recomputing
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    def d2(v: Array[Float], c: Array[Double]) =
+      v.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + (x.toDouble - y) * (x.toDouble - y) }
+    val rows = VectorOps.annIvfTrained(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    perQuery.values.foreach { rs =>
+      assert(rs.length == 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+    }
+    // the probed cells really are the 2 nearest trained cells per query
+    for (q <- 0L to 4L) {
+      val qv = vecs.toMap.apply(q)
+      val nearest2 = cents.map { case (cell, c) => (d2(qv, c), cell) }
+        .sortBy(identity).take(2).map(_._2).toSet
+      val usedCells = perQuery(q).map(_.getAs[Int]("cell")).toSet
+      assert(usedCells.subsetOf(nearest2), s"q=$q used=$usedCells near=$nearest2")
+    }
+  }
+
   test("dedupExact finds injected duplicates") {
     import spark.implicits._
     val docs = Seq(
