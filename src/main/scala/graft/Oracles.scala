@@ -443,6 +443,31 @@ SELECT lang, source,
 FROM clean WHERE q >= 0.5
 GROUP BY lang, source ORDER BY lang, source""",
 
+    // Chunk count ⌈(n−overlap)/stride⌉ (min 1) in exact integer
+    // arithmetic; slice clamps the tail on both engines.
+    "q_doc_chunks" -> """WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+nch AS (
+  SELECT doc_id, t,
+    greatest((len(t) - 10 + 39) // 40, 1) AS nc
+  FROM tok),
+ch AS (
+  SELECT doc_id, t, unnest(range(0, nc)) AS chunk_idx FROM nch)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  CAST(len(t[chunk_idx*40+1 : chunk_idx*40+50]) AS INT) AS n_chunk_tokens,
+  md5(array_to_string(t[chunk_idx*40+1 : chunk_idx*40+50], ' ')) AS chunk_hash
+FROM ch ORDER BY doc_id, chunk_idx""",
+
+    // The same instr-nibble construction as SimhashCte: first 4 hex
+    // nibbles of md5(doc_id) → 16-bit value, mod 100, keep < pct.
+    "q_doc_sample" -> {
+      val bucket = (0 until 4)
+        .map(j => s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${j + 1}, 1)) - 1) * ${1 << (4 * (3 - j))}")
+        .mkString("(", " + ", ") % 100")
+      s"""SELECT doc_id, lang, source FROM documents
+WHERE $bucket < 20 ORDER BY doc_id"""
+    },
+
     "q_embedding_norms" -> """SELECT vec_id, label,
   sqrt(list_sum(list_transform(embedding,
     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm

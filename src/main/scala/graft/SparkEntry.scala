@@ -46,6 +46,8 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => TextOps.simhashPairs(s, d)),
     "q_fingerprint" -> TextOps.fingerprintDocs _,
     "q_corpus_clean" -> ((s: SparkSession, d: String) => TextOps.corpusClean(s, d)),
+    "q_doc_chunks" -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
+    "q_doc_sample" -> ((s: SparkSession, d: String) => TextOps.sampleDocs(s, d)),
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),

@@ -301,6 +301,55 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Document chunking for a context-window pipeline: split each doc's
+    * token sequence into windows of `chunkTokens` tokens advancing by
+    * `chunkTokens − overlap` (so consecutive chunks share `overlap`
+    * tokens), emit one row per chunk with its token count and content
+    * hash. Chunk count is exact integer arithmetic
+    * (⌈(n − overlap)/stride⌉, min 1) so the Spark plan and the DuckDB
+    * oracle agree row-for-row. Pure per-row map + posexplode: no shuffle,
+    * output rows ∝ Σ chunks — the shape that streams at 100 TB. */
+  def chunkDocs(spark: SparkSession, sfDir: String, chunkTokens: Int = 50,
+      overlap: Int = 10): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    Engine.configure(spark)
+    Engine.spread(Tables.documents(spark, sfDir))
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n", size(col("t")))
+      .withColumn("nc",
+        greatest(expr(s"(n - $overlap + $stride - 1) div $stride"), lit(1)))
+      .select(col("doc_id"), col("t"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("t"), i * stride + lit(1), lit(chunkTokens))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Deterministic hash sample: keep a document iff the integer formed by
+    * the first 4 hex nibbles of md5(doc_id) mod 100 falls below `pct`.
+    * Reproducible across runs, partitionings, and engines (the nibble →
+    * value map is the instr-based construction the oracle mirrors);
+    * decorrelated from ingestion order, unlike `doc_id % k`. (Mod-100 of
+    * a 16-bit hash carries a ≤0.2% bucket-size bias — irrelevant for
+    * pipeline sampling, noted for honesty.) A pure pushdown-friendly
+    * filter: no shuffle, no state. */
+  def sampleDocs(spark: SparkSession, sfDir: String, pct: Int = 20)
+      : DataFrame = {
+    Engine.configure(spark)
+    val h = md5(col("doc_id").cast("string"))
+    val bucket = (0 until 4)
+      .map(j => hexNibble(substring(h, j + 1, 1)) * (1 << (4 * (3 - j))))
+      .reduce(_ + _) % 100
+    Engine.spread(Tables.documents(spark, sfDir))
+      .filter(bucket < pct)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling-hash document fingerprint: min md5 over the in-order word
     * 5-gram windows (single-window winnowing). Collisions across docs ⇒
     * shared low-hash window ⇒ near-dup candidates. Pure map + tiny

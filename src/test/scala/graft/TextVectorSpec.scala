@@ -328,6 +328,45 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs: overlapped windows reconstruct the token stream exactly") {
+    val chunkTokens = 50; val overlap = 10; val stride = chunkTokens - overlap
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("t", T.tokens($"text"))
+      .select($"doc_id", $"t").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = TextOps.chunkDocs(spark, sfDir, chunkTokens, overlap)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == toks.keySet) // every doc chunked, even short ones
+    chunks.foreach { case (id, rs) =>
+      val t = toks(id)
+      val sorted = rs.sortBy(_.getAs[Int]("chunk_idx"))
+      assert(sorted.map(_.getAs[Int]("chunk_idx")).toSeq == sorted.indices.toSeq)
+      val expectedN = math.max((t.length - overlap + stride - 1) / stride, 1)
+      assert(sorted.length == expectedN, s"doc $id: ${t.length} tokens")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val expected = t.slice(i * stride, i * stride + chunkTokens)
+        assert(r.getAs[Int]("n_chunk_tokens") == expected.length)
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(expected.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(r.getAs[String]("chunk_hash") == dig)
+      }
+    }
+  }
+
+  test("sampleDocs: deterministic, a subset, and near the requested fraction") {
+    val total = Tables.documents(spark, sfDir).count()
+    val s1 = TextOps.sampleDocs(spark, sfDir, pct = 20).collect()
+    val s2 = TextOps.sampleDocs(spark, sfDir, pct = 20).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+    val frac = s1.length.toDouble / total
+    assert(frac > 0.1 && frac < 0.3, s"$frac of $total")
+    // monotone: a larger pct strictly contains a smaller one
+    val s50 = TextOps.sampleDocs(spark, sfDir, pct = 50).collect()
+      .map(_.getLong(0)).toSet
+    assert(s1.map(_.getLong(0)).toSet.subsetOf(s50))
+  }
+
   test("dedupExact finds injected duplicates") {
     import spark.implicits._
     val docs = Seq(
