@@ -44,7 +44,15 @@ object Exact {
   /** Exact discrete median (Trino PERCENTILE_DISC(0.5) WITHIN GROUP ...,
     * DuckDB quantile_disc(x, 0.5)): an actual element of the group, so the
     * double compares bit-for-bit across engines — interpolating medians
-    * don't. */
+    * don't.
+    *
+    * Scale caveat: percentile_disc is a TypedImperativeAggregate that
+    * buffers every raw group value and drags the whole operator to
+    * ObjectHashAggregate — fine for bounded groups, an OOM for hot ones.
+    * The gold views use the sort-based decomposition
+    * (GoldViews.medianDiscBy: value at ceil(n/2) via row_number +
+    * broadcast totals) instead; this single-expression form remains for
+    * callers whose group sizes are known-bounded. */
   def medianDisc(col: String): Column =
     expr(s"percentile_disc(0.5) within group (order by $col)")
 }
