@@ -529,7 +529,8 @@ WHERE rnk <= 5 ORDER BY query_id, rnk"""
     "q_ann_ivf_trained" -> {
       import graft.functions.VectorFunctions.{cosineSql, l2sqSql}
       val fp = "1048576.0"
-      def cdims(src: String) = (0 until 64).map { d =>
+      // the FROM relation is supplied by the enclosing CTE
+      val cdims = (0 until 64).map { d =>
         s"CAST(sum(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * $fp) " +
           s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
       }.mkString(",\n    ")
@@ -544,9 +545,9 @@ WHERE rnk <= 5 ORDER BY query_id, rnk"""
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
   FROM embeddings WHERE vec_id < 8),
 asg1 AS (${asg("cent0")}),
-cent1 AS (SELECT cell, [${cdims("asg1")}] AS centroid FROM asg1 GROUP BY cell),
+cent1 AS (SELECT cell, [$cdims] AS centroid FROM asg1 GROUP BY cell),
 asg2 AS (${asg("cent1")}),
-cent2 AS (SELECT cell, [${cdims("asg2")}] AS centroid FROM asg2 GROUP BY cell),
+cent2 AS (SELECT cell, [$cdims] AS centroid FROM asg2 GROUP BY cell),
 assign AS (${asg("cent2")}),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 probe AS (

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * primitive JVM loop per row (one md5 per feature, branch-free nibble
   * math), participating in whole-stage codegen via a static call.
   *
-  * Null contract: null input array → null; elements are assumed non-null
-  * (they come from concat_ws over tokenized text). Empty array → all 48
-  * sums are 0 ≥ 0 → all bits set, matching the HOF/oracle semantics.
+  * Null contract: null input array → null; null ELEMENTS are skipped
+  * (treated as absent features — the operator pipeline never produces
+  * them, concat_ws over tokenized text is null-free, but a library
+  * caller must not crash the task). Empty array → all 48 sums are 0 ≥ 0
+  * → all bits set, matching the HOF/oracle semantics.
   */
 case class SimHash48(child: Expression) extends UnaryExpression {
 
@@ -57,17 +59,19 @@ object SimHash48 {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val digest = DigestUtils.md5(arr.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < Bits / 4) {
-        val b = digest(j / 2) & 0xff
-        val v = if (j % 2 == 0) b >>> 4 else b & 0xf
-        var k = 0
-        while (k < 4) {
-          sums(j * 4 + k) += ((v >>> k) & 1) * 2 - 1
-          k += 1
+      if (!arr.isNullAt(i)) { // null features are skipped, not a crash
+        val digest = DigestUtils.md5(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < Bits / 4) {
+          val b = digest(j / 2) & 0xff
+          val v = if (j % 2 == 0) b >>> 4 else b & 0xf
+          var k = 0
+          while (k < 4) {
+            sums(j * 4 + k) += ((v >>> k) & 1) * 2 - 1
+            k += 1
+          }
+          j += 1
         }
-        j += 1
       }
       i += 1
     }

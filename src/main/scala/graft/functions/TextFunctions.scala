@@ -74,20 +74,16 @@ object TextFunctions {
 
   /** Composite quality score ∈ [0,1]: length saturation + lexical
     * diversity + stopword plausibility band (the quality-scoring trio the
-    * reference's data_quality_score plays for claims, re-cast for text). */
-  def textQuality(c: Column): Column = {
-    val lenScore = least(tokenCount(c).cast(DoubleType) / 100.0, lit(1.0))
-    val diversity = distinctTokenRatio(c)
-    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
-    // unrounded: see graft.functions.Exact.pct for the cross-engine
-    // double-rounding hazard
-    lenScore * 0.4 + diversity * 0.3 + stopScore * 0.3
-  }
+    * reference's data_quality_score plays for claims, re-cast for text).
+    * Delegates to [[textQualityOf]] — one formula, no drift. Unrounded:
+    * see graft.functions.Exact.pct for the cross-engine double-rounding
+    * hazard. */
+  def textQuality(c: Column): Column = textQualityOf(tokens(c))
 
-  /** [[textQuality]] over a MATERIALIZED token-array column (same staging
-    * contract as [[shinglesOf]]); identical arithmetic term order, so
-    * `textQualityOf(tokens-staged)` is bit-identical to
-    * `textQuality(text)` while tokenizing once instead of three times. */
+  /** The quality formula over a token-array column — [[textQuality]] is
+    * `textQualityOf(tokens(c))`. Operators stage the token array
+    * (`withColumn("t", tokens(...))`, the [[shinglesOf]] contract) and
+    * call this directly to tokenize once instead of three times. */
   def textQualityOf(t: Column): Column = {
     val n = size(t).cast(DoubleType)
     val lenScore = least(n / 100.0, lit(1.0))

@@ -22,11 +22,29 @@ object AggPatterns {
   def distinctCount(df: DataFrame, keys: Seq[String], e: Column,
       as: String): DataFrame =
     df.select(keys.map(col) :+ e.as("__d"): _*).distinct()
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+      // count(__d), not count(*): the dedup keeps one (keys, NULL) row
+      // per group, which COUNT(DISTINCT expr) does not count
+      .groupBy(keys.map(col): _*).agg(count(col("__d")).as(as))
 
   /** Global (no-group) exact COUNT(DISTINCT expr): dedup then count —
     * one row out; count(col) skips the null row exactly like
     * countDistinct. Cross-join the 1-row frames to compose. */
   def globalDistinctCount(df: DataFrame, e: Column, as: String): DataFrame =
     df.select(e.as("__d")).distinct().agg(count(col("__d")).as(as))
+
+  /** Inner join on group keys with NULL-SAFE equality, dropping the
+    * right side's key copies — the join a decomposed aggregation needs:
+    * a group whose key is NULL exists in every branch and must match
+    * itself (a plain using-join's EqualTo would silently drop the whole
+    * group). Mirrors the EqualNullSafe conditions
+    * [[graft.plans.SplitMultiDistinctAggregate]] emits on the SQL path. */
+  def nullSafeKeyJoin(l: DataFrame, r: DataFrame, keys: Seq[String])
+      : DataFrame = {
+    // rename-then-join: branch frames share lineage (same base plan), so
+    // l(k)/r(k) references would hit ambiguous-self-join resolution;
+    // renamed right keys are unambiguous by construction
+    val rr = keys.foldLeft(r)((df, k) => df.withColumnRenamed(k, s"__r_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    keys.foldLeft(l.join(rr, cond))((df, k) => df.drop(s"__r_$k"))
+  }
 }

@@ -44,8 +44,8 @@ object GoldViews {
         countIf(col("l_extendedprice") > 10000).as("high_value_claims"),
         min(col("l_shipdate")).as("first_ship"),
         max(col("l_shipdate")).as("last_ship"))
-    main
-      .join(distinctCount(fact, keys, col("l_orderkey"), "unique_orders"), keys)
+    AggPatterns.nullSafeKeyJoin(main,
+        distinctCount(fact, keys, col("l_orderkey"), "unique_orders"), keys)
       .select(col("service_year"), col("service_month"), col("l_returnflag"),
         col("amount_category"), col("total_claims"), col("unique_orders"),
         col("total_amount"), col("avg_amount"), col("min_amount"),
@@ -81,9 +81,9 @@ object GoldViews {
         davg(col("l_extendedprice")).as("avg_amount"),
         min(col("l_extendedprice")).as("min_amount"),
         max(col("l_extendedprice")).as("max_amount"))
-    main
-      .join(distinctCount(fact, keys, col("l_orderkey"), "unique_orders"), keys)
-      .join(distinctCount(fact, keys, col("l_suppkey"), "unique_suppliers"), keys)
+    AggPatterns.nullSafeKeyJoin(AggPatterns.nullSafeKeyJoin(main,
+        distinctCount(fact, keys, col("l_orderkey"), "unique_orders"), keys),
+        distinctCount(fact, keys, col("l_suppkey"), "unique_suppliers"), keys)
       .select(col("service_year"), col("service_month"),
         col("total_claims"), col("unique_orders"), col("unique_suppliers"),
         col("total_amount"), col("avg_amount"), col("min_amount"),
@@ -112,7 +112,7 @@ object GoldViews {
     val w = Window.partitionBy(col(key)).orderBy(col(value))
     df.select(col(key), col(value))
       .withColumn("__rn", row_number().over(w))
-      .join(broadcast(totals), key)
+      .transform(AggPatterns.nullSafeKeyJoin(_, broadcast(totals), Seq(key)))
       // floor((n+1)/2) = ceil(n/2); Divide is double, exact for counts < 2^52
       .filter(col("__rn") === ((col("__n") + 1) / 2).cast("long"))
       .select(col(key), col(value).as(as))
@@ -156,12 +156,13 @@ object GoldViews {
         davg(col("l_quantity")).as("avg_quantity"))
     val median =
       medianDiscBy(fact, "provider_name", "l_extendedprice", "median_amount")
-    main
-      .join(distinctCount(fact, keys, col("l_orderkey"), "unique_orders"), keys)
-      .join(distinctCount(fact, keys,
-        make_date(year(col("l_shipdate")), month(col("l_shipdate")), lit(1)),
-        "active_months"), keys)
-      .join(median, keys)
+    Seq(
+        distinctCount(fact, keys, col("l_orderkey"), "unique_orders"),
+        distinctCount(fact, keys,
+          make_date(year(col("l_shipdate")), month(col("l_shipdate")), lit(1)),
+          "active_months"),
+        median)
+      .foldLeft(main)(AggPatterns.nullSafeKeyJoin(_, _, keys))
       .select(col("provider_name"), col("total_claims"), col("unique_orders"),
         col("total_billed"), col("avg_amount"), col("median_amount"),
         col("min_amount"), col("max_amount"), col("high_value_pct"),

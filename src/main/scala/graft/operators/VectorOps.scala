@@ -136,6 +136,21 @@ object VectorOps {
       zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, d) => acc + d)
 
+  /** Nearest trained cells per vector: cross join against the (tiny,
+    * broadcast) centroid table, bit-exact [[l2sq]], rank by (distance,
+    * cell id) — the tiebreak is the correctness-critical part shared by
+    * training, final assignment, and probing — keep ranks ≤ `maxRank`.
+    * Output: input columns + `cell`. */
+  private def assignCells(df: DataFrame, cents: DataFrame, vec: String,
+      id: String, maxRank: Int): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("__d"), col("cell"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("__d", l2sq(col(vec), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxRank)
+      .drop("__d", "__rn", "centroid")
+  }
+
   /** Deterministic fixed-iteration Lloyd's k-means over the embeddings —
     * the trained coarse quantizer [[annIvf]] documents as a training
     * concern, made an operator:
@@ -158,12 +173,7 @@ object VectorOps {
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("centroid"))
     (1 to iters).foldLeft(init) { (cents, _) =>
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("__d"), col("cell"))
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("__d", l2sq(col("embedding"), col("centroid")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      val assigned = assignCells(emb, cents, "embedding", "vec_id", 1)
         .select(col("cell"), col("embedding"))
       val dims = (0 until Dims).map { d =>
         (sum(floor(element_at(col("embedding"), d + 1).cast("double") * Fp))
@@ -185,21 +195,11 @@ object VectorOps {
     Engine.configure(spark)
     val emb = Engine.spread(Tables.embeddings(spark, sfDir))
     val cents = kmeansCentroids(emb, kCells, iters)
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__d"), col("cell"))
-    val assign = emb.crossJoin(broadcast(cents))
-      .withColumn("__d", l2sq(col("embedding"), col("centroid")))
-      .withColumn("__rn", row_number().over(aw))
-      .filter(col("__rn") === 1)
+    val assign = assignCells(emb, cents, "embedding", "vec_id", 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("__d"), col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("__d", l2sq(col("qv"), col("centroid")))
-      .withColumn("__pr", row_number().over(pw))
-      .filter(col("__pr") <= nprobe)
+    val probes = assignCells(queries, cents, "qv", "query_id", nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

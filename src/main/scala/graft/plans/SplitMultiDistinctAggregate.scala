@@ -82,9 +82,22 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
         a.aggregateExpressions.forall(_.deterministic) &&
         a.groupingExpressions.forall(_.deterministic) &&
         !a.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]])) &&
-        !a.child.isStreaming && a.resolved
+        !a.child.isStreaming && a.resolved && childReplayable(a.child)
     worthIt && safe
   }
+
+  /** The rewrite evaluates the child once per branch, so the child must
+    * produce the same rows on every evaluation: no non-deterministic
+    * expressions anywhere below, no TABLESAMPLE, no LIMIT (its row choice
+    * is execution-order-dependent without a total order). Stock planning
+    * evaluates the child once; duplicating a non-replayable child would
+    * let branches aggregate different data. */
+  private def childReplayable(p: LogicalPlan): Boolean =
+    !p.exists {
+      case _: Sample => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case node => node.expressions.exists(e => !e.deterministic)
+    }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case a: Aggregate if shouldRewrite(a) => rewrite(a)

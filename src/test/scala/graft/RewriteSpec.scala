@@ -143,6 +143,47 @@ class RewriteSpec extends SparkSpec {
       == q.queryExecution.analyzed)
   }
 
+  test("bails out: non-replayable child (rand, TABLESAMPLE, LIMIT)") {
+    silver
+    val rand = spark.sql("""SELECT k, count(DISTINCT x) AS a, count(DISTINCT y) AS b
+      FROM (SELECT provider_name AS k, rand() AS x, rand() AS y
+            FROM silver_claims) GROUP BY k""")
+    assert(SplitMultiDistinctAggregate(rand.queryExecution.analyzed)
+      == rand.queryExecution.analyzed)
+    val lim = spark.sql("""SELECT count(DISTINCT member_id) AS a,
+        count(DISTINCT claim_id) AS b
+      FROM (SELECT * FROM silver_claims LIMIT 100)""")
+    assert(SplitMultiDistinctAggregate(lim.queryExecution.analyzed)
+      == lim.queryExecution.analyzed)
+    val samp = spark.sql("""SELECT count(DISTINCT member_id) AS a,
+        count(DISTINCT claim_id) AS b
+      FROM silver_claims TABLESAMPLE (50 PERCENT)""")
+    assert(SplitMultiDistinctAggregate(samp.queryExecution.analyzed)
+      == samp.queryExecution.analyzed)
+  }
+
+  test("AggPatterns: null distinct values skipped; null group keys survive the rejoin") {
+    import graft.operators.AggPatterns
+    val df = Seq[(Option[String], Option[Int])](
+      (Some("a"), Some(1)), (Some("a"), None), (Some("a"), Some(2)),
+      (None, Some(7)), (None, None), (None, Some(7)))
+      .toDF("k", "x")
+    // distinctCount must match countDistinct exactly, including NULLs
+    val expected = df.groupBy($"k").agg(countDistinct($"x").as("dx"))
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    val got = AggPatterns.distinctCount(df, Seq("k"), $"x", "dx")
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got(None) == 1L && got(Some("a")) == 2L)
+    // null-safe rejoin keeps the NULL-key group
+    val main = df.groupBy($"k").agg(count(lit(1)).as("n"))
+    val joined = AggPatterns.nullSafeKeyJoin(main,
+      AggPatterns.distinctCount(df, Seq("k"), $"x", "dx"), Seq("k"))
+      .collect().map(r => Option(r.get(0)) -> (r.getAs[Long]("n"), r.getAs[Long]("dx")))
+      .toMap
+    assert(joined(None) == ((3L, 1L)) && joined(Some("a")) == ((3L, 2L)))
+  }
+
   test("bails out: FILTER clause on a distinct aggregate") {
     silver
     val q = spark.sql("""SELECT provider_name,
