@@ -30,19 +30,27 @@ object Bench {
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // two timed runs, report the min — steady-state cost with scheduler/GC
-    // noise suppressed (single-shot per-query numbers vary run-to-run)
+    // noise suppressed (single-shot per-query numbers vary run-to-run).
+    // A throwing query reports -1, never a bogus time-to-failure.
+    val errors = collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { run(fn(spark, sfDir)); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            errors += name
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

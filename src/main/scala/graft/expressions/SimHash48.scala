@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * (treated as absent features — the operator pipeline never produces
   * them, concat_ws over tokenized text is null-free, but a library
   * caller must not crash the task). Empty array → all 48 sums are 0 ≥ 0
-  * → all bits set, matching the HOF/oracle semantics.
+  * → all bits set, matching the Spark HOF formulation (aggregate's 0L
+  * init). NB the DuckDB mirror arithmetic differs on THIS edge only:
+  * list_sum of an empty list is NULL there, giving 0 — the bit-for-bit
+  * oracle contract covers non-empty feature sets, which shinglesOf
+  * guarantees (≥1 shingle for any document, even empty text).
   */
 case class SimHash48(child: Expression) extends UnaryExpression {
 

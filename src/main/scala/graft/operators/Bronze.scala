@@ -121,7 +121,8 @@ object Pipeline {
       col("service_date").cast("string").as("service_date_raw"),
       col("ingestion_timestamp"), col("source_file"), col("batch_id"))
     val silver = SilverCleanse.clean(raw,
-      passthrough = Seq("ingestion_timestamp", "source_file", "batch_id"))
+      passthrough = Seq("ingestion_timestamp", "source_file", "batch_id"),
+      clock = clock)
     if (!Bronze.writeSilver(silver, silverPath)) return spark.emptyDataFrame
 
     val silverOut = spark.read.parquet(silverPath)

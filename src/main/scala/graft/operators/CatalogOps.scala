@@ -14,10 +14,14 @@ object CatalogOps {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
-  /** Register the star schema as temp views (the metastore analog). */
+  /** Register the star schema as temp views (the metastore analog).
+    * `events` goes through Tables.events (nanos conf + ns→µs ts), so the
+    * registered view exposes the same schema every operator sees. */
   def registerTables(spark: SparkSession, sfDir: String): Unit =
     TableNames.foreach { n =>
-      Tables.load(spark, sfDir, n).createOrReplaceTempView(n)
+      val df = if (n == "events") Tables.events(spark, sfDir)
+        else Tables.load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
     }
 
   /** SHOW TABLES (trino_checks.sql:14-17). */

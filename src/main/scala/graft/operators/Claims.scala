@@ -46,9 +46,12 @@ object SilverCleanse {
   /** Dirty claims → silver claims. Output columns: claim_id, member_id,
     * provider_name, claim_amount, service_date, service_year,
     * service_month, service_day, claim_amount_category,
-    * data_quality_score (+ any `passthrough` columns). */
+    * data_quality_score, processing_timestamp (+ any `passthrough`
+    * columns). The processing stamp is the reference's silver:76; the
+    * clock is injectable so tests/oracles stay deterministic. */
   def clean(raw: DataFrame,
-      passthrough: Seq[String] = Seq("o_orderpriority")): DataFrame = {
+      passthrough: Seq[String] = Seq("o_orderpriority"),
+      clock: Column = current_timestamp()): DataFrame = {
     val cleansed = raw
       .filter(col("claim_id_raw").isNotNull) // P1, silver:51
       .select(Seq(
@@ -67,6 +70,7 @@ object SilverCleanse {
       .withColumn("data_quality_score",
         Cleansing.qualityScore(col("claim_id"), col("member_id"),
           col("service_date"), col("claim_amount")))
+      .withColumn("processing_timestamp", clock) // silver:76
     // P2, silver:85 — the reference gate is data_quality_score >= 0.5.
     // The cascade gives scores < 0.5 EXACTLY when claim_id or member_id
     // is null (0.0 / 0.3 branches; 0.5, 0.7, 1.0 all pass), so the gate

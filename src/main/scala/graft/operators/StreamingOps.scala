@@ -84,7 +84,8 @@ object StreamingOps {
       : DataStreamWriter[Row] = {
     Engine.configure(spark)
     val incoming = spark.readStream.schema(schema)
-      .option("header", "true").option("escape", "\"").csv(srcDir)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(srcDir) // same reader options as batch S1
     SilverCleanse.withBatchMetadata(incoming)
       .writeStream
       .format("parquet")

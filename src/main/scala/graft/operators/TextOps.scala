@@ -105,21 +105,16 @@ object TextOps {
         (sum(col("copies")) - count(lit(1))).as("redundant_docs"))
   }
 
-  /** Near-duplicate pairs by exact n-gram (3-shingle) Jaccard within
-    * (lang, source) blocks, via an INVERTED INDEX: explode shingles,
-    * self-join on (block, shingle) to count the intersection per pair,
-    * then join back per-doc set sizes — |A∪B| = |A|+|B|−|A∩B|. Pairs
-    * sharing no shingle never materialize (they can't pass a positive
-    * threshold), so the work is ∝ Σ_shingle df(shingle)², not block
-    * size² — the standard candidate-generation shape at 100 TB scale.
-    * Jaccard stays a ratio of exact integers: no float hazard. The
-    * round-1 blocked-cross-join form computed array_intersect/union over
-    * every pair and was the #2 bench hotspot. */
   /** Inverted-index pair search over a (doc_id, lang, source, sh) frame:
     * explode shingles, self-join on (block, shingle) to count the
     * intersection per pair, join back per-doc set sizes —
-    * |A∪B| = |A|+|B|−|A∩B|. Shared by [[nearDupPairs]] and
-    * [[corpusClean]]. */
+    * |A∪B| = |A|+|B|−|A∩B|. Pairs sharing no shingle never materialize
+    * (they can't pass a positive threshold), so the work is
+    * ∝ Σ_shingle df(shingle)², not block size² — the standard
+    * candidate-generation shape at 100 TB scale. Jaccard stays a ratio
+    * of exact integers: no float hazard. (The round-1 blocked-cross-join
+    * form computed array_intersect/union over every pair and was the #2
+    * bench hotspot.) Shared by [[nearDupPairs]] and [[corpusClean]]. */
   private def invertedIndexPairs(docs: DataFrame, threshold: Double)
       : DataFrame = {
     val sized = docs.withColumn("n", size(col("sh")))
@@ -141,6 +136,9 @@ object TextOps {
         col("jaccard"))
   }
 
+  /** Near-duplicate pairs by exact n-gram (3-shingle) Jaccard within
+    * (lang, source) blocks — [[invertedIndexPairs]] over the documents
+    * table. */
   def nearDupPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.08): DataFrame = {
     Engine.configure(spark)

@@ -102,4 +102,22 @@ class PipelineSpec extends SparkSpec {
     Pipeline.run(spark, csvDir, lake, clock)
     assert(spark.read.parquet(s"$lake/silver/claims").count() == 12)
   }
+
+  test("pipeline silver carries processing_timestamp; gold SQL views build on it") {
+    val csvDir = tmp("csv_gold")
+    Files.writeString(java.nio.file.Paths.get(s"$csvDir/b.csv"),
+      csvHeader + "\n" + (1 to 12).map(i =>
+        s"C$i,M${i % 3},prov,${i * 10},2024-01-0${i % 9 + 1}").mkString("\n"))
+    val lake = tmp("lake_gold")
+    val clock = to_timestamp(lit("2024-06-01 12:00:00"))
+    val silver = Pipeline.run(spark, csvDir, lake, clock)
+    assert(silver.columns.contains("processing_timestamp")) // silver:76
+    assert(silver.select("processing_timestamp").distinct().count() == 1)
+    // the verbatim-SQL gold views resolve against the pipeline's own view
+    graft.operators.GoldSql.createViews(spark)
+    graft.operators.GoldSql.ViewNames.foreach { v =>
+      assert(spark.table(v).collect() != null, v) // resolves + executes
+    }
+    assert(spark.table("gold_recent_activity").count() == 3)
+  }
 }
