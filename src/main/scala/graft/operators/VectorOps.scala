@@ -127,11 +127,21 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Squared L2 distance with strict left-to-right double accumulation
-    * over the zipped arrays — the same op sequence as the DuckDB oracle's
-    * list_sum(list_transform(list_zip(...))), so distances (and therefore
-    * argmin assignments, tie-broken on cell id) are bit-identical. */
-  private def l2sq(v: Column, c: Column): Column =
+  /** Squared L2 distance — the native codegen'd
+    * [[graft.expressions.VectorL2Sq]], whose widen/subtract/square/
+    * accumulate-left-to-right order is exactly the DuckDB oracle's
+    * list_sum(list_transform(list_zip(...))), so distances (and
+    * therefore argmin assignments, tie-broken on cell id) are
+    * bit-identical. The HOF formulation stays as [[l2sqHof]] for the
+    * differential spec. */
+  private[graft] def l2sq(v: Column, c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.expressions.VectorL2Sq(toExpression(v), toExpression(c)))
+  }
+
+  /** Reference HOF formulation of [[l2sq]], kept for differential tests
+    * against the native expression. */
+  private[graft] def l2sqHof(v: Column, c: Column): Column =
     aggregate(
       zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, d) => acc + d)

@@ -295,6 +295,31 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("native VectorL2Sq == HOF formulation bit-for-bit; codegen'd; mixed types") {
+    // float embedding vs double centroid — the k-means assignment shape
+    val emb = Tables.embeddings(spark, sfDir)
+    val cent = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("cell"),
+        transform($"embedding", x => x.cast("double")).as("centroid"))
+    val pairs = emb.crossJoin(cent)
+    val diff = pairs.select(
+        VectorOps.l2sq($"embedding", $"centroid").as("native"),
+        VectorOps.l2sqHof($"embedding", $"centroid").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+    // participates in whole-stage codegen over a non-foldable input
+    val exec = spark.range(3)
+      .select(array($"id".cast("float")).as("a"),
+        array(($"id" + 1).cast("double")).as("b"))
+      .select(VectorOps.l2sq($"a", $"b").as("d"))
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(inCodegen.nonEmpty &&
+      inCodegen.map(_.toString).exists(_.contains("vector_l2sq")), exec.toString)
+  }
+
   test("annIvfTrained: k-means assignment is a true argmin; k rows per query") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = VectorOps.kmeansCentroids(emb, kCells = 8, iters = 2)
