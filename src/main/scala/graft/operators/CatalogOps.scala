@@ -35,4 +35,9 @@ object CatalogOps {
   /** SHOW SCHEMAS analog. */
   def listDatabases(spark: SparkSession): DataFrame =
     spark.sql("SHOW DATABASES")
+
+  /** SHOW CATALOGS (trino_checks.sql:8) — Spark's catalog-plugin list;
+    * `spark_catalog` plays Trino's hive/iceberg pair. */
+  def listCatalogs(spark: SparkSession): DataFrame =
+    spark.sql("SHOW CATALOGS")
 }

@@ -28,4 +28,16 @@ class CatalogOpsSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(dbs.contains("default"))
   }
+
+  test("SHOW CATALOGS lists the session catalog") {
+    val cats = CatalogOps.listCatalogs(spark).collect()
+      .map(_.getString(0)).toSet
+    assert(cats.contains("spark_catalog"), cats)
+  }
+
+  test("registered events view exposes the µs-timestamp schema, not raw ns") {
+    CatalogOps.registerTables(spark, sfDir)
+    val t = spark.table("events").schema("ts").dataType
+    assert(t == org.apache.spark.sql.types.TimestampType, t)
+  }
 }
