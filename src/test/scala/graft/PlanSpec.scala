@@ -106,6 +106,29 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
   }
 
+  test("no query plans an unpartitioned CartesianProduct (broadcast NLJ is fine)") {
+    // a CartesianProductExec means a non-broadcast cross join slipped in —
+    // at scale that is |A|×|B| work with a full shuffle of both sides;
+    // every intentional cross join in the library broadcasts a tiny side
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = planString(fn(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+    }
+  }
+
+  test("documents-table scans prune to the referenced columns") {
+    // sampleDocs filters on md5(doc_id) and projects 3 columns — the scan
+    // must not read the (dominant) text payload
+    val sample = planString(TextOps.sampleDocs(spark, sfDir))
+    val sampleRead = sample.split("ReadSchema: ").last
+    assert(!sampleRead.contains("text"), sampleRead)
+    // tokenStats aggregates lang/text/n_chars — no doc_id, no source
+    val toks = planString(TextOps.tokenStats(spark, sfDir))
+    val toksRead = toks.split("ReadSchema: ").last
+    assert(!toksRead.contains("doc_id") && !toksRead.contains("source"),
+      toksRead)
+  }
+
   test("silver cleanse collapses to a narrow pipeline: shuffles only for spread+agg") {
     val df = Checks.categoryHistogram(spark, sfDir)
     val p = df.queryExecution.executedPlan
