@@ -60,9 +60,25 @@ object Engine {
     * shuffle at scale. It kicks in only for small single-row-group
     * inputs (the driver's test files), whose whole narrow pipeline would
     * otherwise execute on ONE core: a round-robin repartition of a few
-    * MB buys 32× parallelism on everything downstream. */
+    * MB buys 32× parallelism on everything downstream.
+    *
+    * The split-count estimate is PLAN-SIDE: logical stats (file sizes
+    * for a parquet relation) through the same split-size formula the
+    * file source uses — min(maxPartitionBytes, max(openCostInBytes,
+    * bytes/parallelism)). The previous `df.rdd.getNumPartitions` probe
+    * answered the same question exactly but forced a full physical
+    * planning + RDD-lineage conversion of the subtree per call and hid
+    * the subtree from AQE (round-2 VERDICT item 5); stats need only the
+    * analyzed plan. */
   def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    val sc = df.sparkSession.sparkContext
+    val want = BigInt(sc.defaultParallelism)
+    val conf = df.sparkSession.sessionState.conf
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val splitSize = (BigInt(conf.filesOpenCostInBytes) max (bytes / want))
+      .min(BigInt(conf.filesMaxPartitionBytes))
+    val estSplits = if (splitSize > 0) (bytes + splitSize - 1) / splitSize
+      else BigInt(1)
+    if (estSplits < want) df.repartition(want.toInt) else df
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.{Engine, Tables}
@@ -15,17 +14,26 @@ import graft.functions.Exact._
   */
 object Checks {
 
-  /** trino_checks.sql:126-134 — category histogram with pct-of-total.
-    * W1: the empty-over() window runs on the AGGREGATED relation (≤5
-    * rows), never on the input — the single-partition hazard flagged in
-    * SURVEY.md §4 doesn't apply post-aggregation. */
+  /** W1 pct-of-total over an aggregated relation, as a broadcast
+    * cross-join with the grand total instead of an empty-over() window —
+    * the same decomposed shape as [[AggPatterns.globalDistinctCount]].
+    * The total aggregates the GROUPED frame, so the physical plan reuses
+    * the group-by's shuffle exchange for both branches (one input scan;
+    * plan-asserted by PlanSpec) and nothing ever moves to a single
+    * partition. cnt is a long, so summing it in either shape is exact —
+    * pct is bit-identical to the window form. */
+  private def withPctOfTotal(agg: DataFrame): DataFrame =
+    agg.crossJoin(broadcast(agg.agg(sum(col("cnt")).as("__total"))))
+      .withColumn("pct",
+        col("cnt").cast(DoubleType) * 100.0 / col("__total").cast(DoubleType))
+      .drop("__total")
+
+  /** trino_checks.sql:126-134 — category histogram with pct-of-total. */
   def categoryHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
     val agg = SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
       .groupBy(col("claim_amount_category")).agg(count(lit(1)).as("cnt"))
-    agg.withColumn("pct",
-        col("cnt").cast(DoubleType) * 100.0 /
-          sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType))
+    withPctOfTotal(agg)
       .orderBy(col("cnt").desc, col("claim_amount_category"))
   }
 
@@ -34,9 +42,7 @@ object Checks {
     Engine.configure(spark)
     val agg = SilverCleanse.fromOrders(Tables.orders(spark, sfDir))
       .groupBy(col("data_quality_score")).agg(count(lit(1)).as("cnt"))
-    agg.withColumn("pct",
-        col("cnt").cast(DoubleType) * 100.0 /
-          sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType))
+    withPctOfTotal(agg)
       .orderBy(col("data_quality_score").desc)
   }
 

@@ -137,11 +137,32 @@ class PlanSpec extends SparkSpec {
       case other => other
     }
     def countShuffles(sp: SparkPlan): Int =
-      sp.collect { case _: ShuffleExchangeExec => 1 }.sum
-    // spread round-robin + groupBy + the SinglePartition exchange of the
-    // pct-of-total window (on the ≤5-row AGGREGATED relation — the W1
-    // hazard of SURVEY.md §4 doesn't apply post-aggregation) = 3; the
-    // 12-withColumn cleanse chain must NOT introduce additional exchanges
-    assert(countShuffles(initial) <= 3, initial.toString)
+      sp.collect { case s: ShuffleExchangeExec => s.canonicalized }
+        .distinct.size
+    // spread round-robin + groupBy + the grand-total SinglePartition
+    // exchange + the final ≤5-row sort's range exchange = 4 DISTINCT
+    // shuffles; the groupBy exchange appears twice statically but AQE
+    // reuses it at runtime (asserted by the pct-of-total test below), and
+    // the 12-withColumn cleanse chain must NOT introduce additional
+    // exchanges. (The old empty-over() window form needed no sort
+    // exchange only because it had already collapsed everything to one
+    // partition — the thing VERDICT r2 item 8 removed.)
+    assert(countShuffles(initial) <= 4, initial.toString)
+  }
+
+  test("pct-of-total is the broadcast cross-join shape: no window, reused exchange") {
+    // round-2 VERDICT item 8: the empty-over() window form moved the
+    // (tiny) aggregated relation to a single partition and spammed
+    // WindowExec warnings; the decomposed form must stay window-free and
+    // must not rescan the input for the grand total (AQE runtime stage
+    // reuse — visible only in the final adaptive plan, so execute first)
+    for (df <- Seq(Checks.categoryHistogram(spark, sfDir),
+        Checks.qualityHistogram(spark, sfDir))) {
+      df.collect() // AQE finalizes (and reuses) stages only on execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("WindowExec") && !plan.contains(" Window "), plan)
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("ReusedExchange"), plan)
+    }
   }
 }
