@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.{Engine, Tables}
@@ -193,6 +193,48 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** In-bucket pair combinations from a `sids` sorted-array column —
+    * shared by the minhash and simhash band searches. `sids` is bounded
+    * by the bucket cap, so the quadratic stays small per row. */
+  private def bucketCombos(buckets: DataFrame): DataFrame =
+    buckets.select(explode(flatten(transform(
+      sequence(lit(0), size(col("sids")) - 2),
+      i => transform(
+        slice(col("sids"), i + lit(2), size(col("sids"))),
+        x => struct(element_at(col("sids"), i + lit(1)).as("a"),
+          x.as("b")))))).as("p"))
+
+  /** Expand canonical-representative near-dup pairs back to the full
+    * doc-pair set through the exact-duplicate group mapping
+    * (doc_id → rep, grp_n): each canonical pair (rep_a, rep_b, metric)
+    * fans out to all member cross pairs with the same metric (members
+    * are byte-identical to their rep under the collapse key, so the
+    * metric is theirs too), and every duplicate group of size > 1
+    * contributes its within-group pairs at `selfMetric` (the
+    * identical-content value: jaccard 1.0 / hamming 0). Output size is
+    * the inherent pair count — but it is produced by distributed joins,
+    * never held in one aggregation buffer.
+    *
+    * `mapping` is referenced by three joins; at cluster scale persist it
+    * (it is metadata-sized: two longs + a count per document). */
+  private def expandDupGroups(canon: DataFrame, mapping: DataFrame,
+      metric: String, selfMetric: Column): DataFrame = {
+    val cross = canon
+      .join(mapping.select(col("rep").as("rep_a"), col("doc_id").as("__a")),
+        "rep_a")
+      .join(mapping.select(col("rep").as("rep_b"), col("doc_id").as("__b")),
+        "rep_b")
+      .select(least(col("__a"), col("__b")).as("doc_a"),
+        greatest(col("__a"), col("__b")).as("doc_b"), col(metric))
+    val dups = mapping.filter(col("grp_n") > 1)
+    val within = dups.select(col("rep"), col("doc_id").as("__a"))
+      .join(dups.select(col("rep"), col("doc_id").as("__b")), "rep")
+      .filter(col("__a") < col("__b"))
+      .select(col("__a").as("doc_a"), col("__b").as("doc_b"),
+        selfMetric.as(metric))
+    cross.unionByName(within)
+  }
+
   /** MinHash+LSH near-dedup (shingle → minhash → band → bucket-join):
     * k=12 salted-md5 signature components in 4 bands of 3; documents
     * agreeing on a whole band become candidates, then candidates are
@@ -202,10 +244,46 @@ object TextOps {
     * the band collision probability s^r (s = true similarity), not by
     * any attribute's block size. */
   def dedupMinhash(spark: SparkSession, sfDir: String, k: Int = 12,
-      bandSize: Int = 3, threshold: Double = 0.05): DataFrame = {
+      bandSize: Int = 3, threshold: Double = 0.05,
+      maxBucket: Int = 1000): DataFrame = {
     Engine.configure(spark)
-    val docs = Engine.spread(Tables.documents(spark, sfDir))
-      .withColumn("t", tokens(col("text")))
+    dedupMinhashOf(Engine.spread(Tables.documents(spark, sfDir)),
+      k, bandSize, threshold, maxBucket)
+  }
+
+  /** [[dedupMinhash]] over an arbitrary (doc_id, text) frame.
+    *
+    * Duplicate-heavy-corpus robustness (the data shape a dedup pipeline
+    * actually processes — round-2 hardening):
+    *
+    *  1. PRE-COLLAPSE: exact duplicates are collapsed BEFORE banding.
+    *     The collapse key is md5 of the space-joined token stream, which
+    *     fully determines the shingle set and hence signatures and
+    *     Jaccard — so banding one representative per distinct stream is
+    *     output-equivalent to banding everyone, after [[expandDupGroups]]
+    *     fans pairs back out. 10M byte-identical documents contribute ONE
+    *     banded row, not a 10M-id band bucket.
+    *  2. BOUNDED BUCKETS: the per-band grouping uses the native
+    *     [[graft.expressions.BoundedCollectSet]], whose buffer never
+    *     exceeds `maxBucket` values (a pathological bucket of DISTINCT
+    *     texts evaluates to NULL and is dropped — the standard LSH
+    *     recall-vs-safety knob; audit dropped buckets by counting NULLs
+    *     with the same grouping). Candidate work per bucket is ≤
+    *     maxBucket², never corpus-shaped.
+    */
+  private[graft] def dedupMinhashOf(raw: DataFrame, k: Int, bandSize: Int,
+      threshold: Double, maxBucket: Int): DataFrame = {
+    import graft.expressions.BoundedCollectSet.boundedCollectSet
+    require(threshold <= 1.0, "a Jaccard threshold above 1.0 matches nothing")
+    val toks = raw.withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("t"),
+        md5(concat_ws(" ", col("t"))).as("tk"))
+    val groups = toks.groupBy(col("tk"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
+    val mapping = toks.select(col("doc_id"), col("tk"))
+      .join(groups, "tk")
+      .select(col("doc_id"), col("rep"), col("grp_n"))
+    val docs = toks.join(groups.select(col("rep").as("doc_id")), "doc_id")
       .select(col("doc_id"), shinglesOf(col("t"), 3).as("sh"))
     val bandCols = minhashBands(col("sh"), k, bandSize)
     val banded = docs.select(col("doc_id") +:
@@ -216,28 +294,23 @@ object TextOps {
     // ONE evaluation of the signature pipeline: group docs per band
     // bucket, then emit in-bucket pair combinations — a self-join would
     // evaluate the md5-heavy signature subtree once per side (exchange
-    // reuse is not guaranteed under AQE). Buckets are tiny by LSH
-    // construction, so combinations stay cheap; array is sorted so
-    // doc_a < doc_b holds structurally.
+    // reuse is not guaranteed under AQE). Post-collapse buckets hold
+    // distinct texts only; the bounded aggregate caps them structurally.
     val buckets = exploded.groupBy(col("band_idx"), col("band_val"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(boundedCollectSet(col("doc_id"), maxBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 1)
       .withColumn("sids", array_sort(col("ids")))
-    val cands = buckets
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("sids")) - 2),
-        i => transform(
-          slice(col("sids"), i + lit(2), size(col("sids"))),
-          x => struct(element_at(col("sids"), i + lit(1)).as("doc_a"),
-            x.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    val cands = bucketCombos(buckets)
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    cands
+    val canon = cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("jaccard"))
+    expandDupGroups(canon, mapping, "jaccard", lit(1.0))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -255,14 +328,14 @@ object TextOps {
     * aggregate traversals, all interpreted, plus seconds of janino
     * compilation for the 48-term assembly CASE) lives on in
     * TextFunctions for the differential spec. */
-  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame =
-    Engine.spread(Tables.documents(spark, sfDir))
-      .withColumn("t", tokens(col("text")))
+  private def simhashSigsOf(raw: DataFrame): DataFrame =
+    raw.withColumn("t", tokens(col("text")))
       .select(col("doc_id"), simhash48(shinglesOf(col("t"), 3)).as("simhash"))
 
   def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    simhashSigs(spark, sfDir).orderBy(col("doc_id"))
+    simhashSigsOf(Engine.spread(Tables.documents(spark, sfDir)))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs: 48-bit signatures from [[simhashDocs]],
@@ -272,30 +345,43 @@ object TextOps {
     * exact hamming distance via bit_count(xor). Same single-evaluation
     * bucket-combination shape as [[dedupMinhash]]; signatures ride along
     * in the buckets so no re-join re-evaluates the signature pipeline. */
-  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 12)
-      : DataFrame = {
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 12,
+      maxBucket: Int = 1000): DataFrame = {
     Engine.configure(spark)
-    val sigs = simhashSigs(spark, sfDir)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    simhashPairsOf(Engine.spread(Tables.documents(spark, sfDir)),
+      maxHamming, maxBucket)
+  }
+
+  /** [[simhashPairs]] over an arbitrary (doc_id, text) frame. Same
+    * duplicate-heavy hardening as [[dedupMinhashOf]], with the signature
+    * VALUE as the collapse key — banding and hamming read nothing else,
+    * so grouping signature-identical documents behind one representative
+    * is exactly output-preserving (within-group pairs are hamming 0). */
+  private[graft] def simhashPairsOf(raw: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    import graft.expressions.BoundedCollectSet.boundedCollectSet
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    val sigs = simhashSigsOf(raw)
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
+    val mapping = sigs.join(groups, "simhash")
+      .select(col("doc_id"), col("rep"), col("grp_n"))
+    val banded = groups.select(col("rep").as("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), j * 12).bitwiseAND(lit(4095L))): _*))
         .as(Seq("band_idx", "band_val")))
     val buckets = banded.groupBy(col("band_idx"), col("band_val"))
-      .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(boundedCollectSet(struct(col("doc_id"), col("simhash")), maxBucket)
+        .as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 1)
       .withColumn("sids", array_sort(col("ids")))
-    buckets
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("sids")) - 2),
-        i => transform(
-          slice(col("sids"), i + lit(2), size(col("sids"))),
-          x => struct(element_at(col("sids"), i + lit(1)).as("a"),
-            x.as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+    val canon = bucketCombos(buckets)
+      .select(col("p.a.doc_id").as("rep_a"), col("p.b.doc_id").as("rep_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
           .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    expandDupGroups(canon, mapping, "hamming", lit(0).cast("int"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
