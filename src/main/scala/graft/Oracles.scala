@@ -460,13 +460,8 @@ FROM ch ORDER BY doc_id, chunk_idx""",
 
     // The same instr-nibble construction as SimhashCte: first 4 hex
     // nibbles of md5(doc_id) → 16-bit value, mod 100, keep < pct.
-    "q_doc_sample" -> {
-      val bucket = (0 until 4)
-        .map(j => s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${j + 1}, 1)) - 1) * ${1 << (4 * (3 - j))}")
-        .mkString("(", " + ", ") % 100")
-      s"""SELECT doc_id, lang, source FROM documents
-WHERE $bucket < 20 ORDER BY doc_id"""
-    },
+    "q_doc_sample" -> s"""SELECT doc_id, lang, source FROM documents
+WHERE ${graft.functions.TextFunctions.hashBucket100Sql("doc_id")} < 20 ORDER BY doc_id""",
 
     "q_embedding_norms" -> """SELECT vec_id, label,
   sqrt(list_sum(list_transform(embedding,
@@ -525,30 +520,36 @@ WHERE rnk <= 5 ORDER BY query_id, rnk"""
     // Deterministic 2-iteration Lloyd's k-means (init = vec_id < 8 cast
     // to double, bit-exact l2² argmin with cell-id tiebreak, fixed-point
     // centroid means) unrolled as a CTE chain, then the IVF probe/rerank
-    // of q_ann_ivf over the TRAINED cells.
+    // of q_ann_ivf over the TRAINED cells. Training assigns only the
+    // deterministic 25% hash-sample (mirrors kmeansCentroids trainPct);
+    // the final `assign` covers the full corpus.
     "q_ann_ivf_trained" -> {
       import graft.functions.VectorFunctions.{cosineSql, l2sqSql}
+      import graft.functions.TextFunctions.hashBucket100Sql
       val fp = "1048576.0"
       // the FROM relation is supplied by the enclosing CTE
       val cdims = (0 until 64).map { d =>
         s"CAST(sum(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * $fp) " +
           s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
       }.mkString(",\n    ")
-      def asg(cent: String) =
+      def asg(cent: String, src: String) =
         s"""SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cell,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY ${l2sqSql("e.embedding", "c.centroid")} ASC, c.cell) AS rn
-    FROM embeddings e CROSS JOIN $cent c) a WHERE rn = 1"""
-      s"""WITH cent0 AS (
+    FROM $src e CROSS JOIN $cent c) a WHERE rn = 1"""
+      s"""WITH samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ${hashBucket100Sql("vec_id")} < 25),
+cent0 AS (
   SELECT CAST(vec_id AS INT) AS cell,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
   FROM embeddings WHERE vec_id < 8),
-asg1 AS (${asg("cent0")}),
+asg1 AS (${asg("cent0", "samp")}),
 cent1 AS (SELECT cell, [$cdims] AS centroid FROM asg1 GROUP BY cell),
-asg2 AS (${asg("cent1")}),
+asg2 AS (${asg("cent1", "samp")}),
 cent2 AS (SELECT cell, [$cdims] AS centroid FROM asg2 GROUP BY cell),
-assign AS (${asg("cent2")}),
+assign AS (${asg("cent2", "embeddings")}),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 probe AS (
   SELECT query_id, qv, cell FROM (

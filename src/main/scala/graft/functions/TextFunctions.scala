@@ -101,6 +101,25 @@ object TextFunctions {
   /** Exact-dedup key (md5 matches DuckDB's md5 bit-for-bit). */
   def contentHash(c: Column): Column = md5(normalized(c))
 
+  /** Deterministic mod-100 hash bucket from the first 4 hex nibbles of
+    * md5(id-as-string) — the engine-exact sampling key shared by
+    * document sampling and k-means training-corpus sampling. Reproducible
+    * across runs, partitionings, and engines (the DuckDB mirror uses the
+    * identical instr-based nibble arithmetic); decorrelated from
+    * ingestion order, unlike `id % k`. Mod-100 of a 16-bit hash carries a
+    * ≤0.2% bucket-size bias — irrelevant for pipeline sampling. */
+  def hashBucket100(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    (0 until 4)
+      .map(j => hexNibble(substring(h, j + 1, 1)) * (1 << (4 * (3 - j))))
+      .reduce(_ + _) % 100
+  }
+
+  /** DuckDB mirror of [[hashBucket100]]. */
+  def hashBucket100Sql(idExpr: String): String = (0 until 4)
+    .map(j => s"(instr('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), ${j + 1}, 1)) - 1) * ${1 << (4 * (3 - j))}")
+    .mkString("(", " + ", ") % 100")
+
   /** Word n-gram shingles (distinct) from a MATERIALIZED token-array
     * column — the input to both n-gram-Jaccard similarity and MinHash.
     *

@@ -424,12 +424,8 @@ object TextOps {
   def sampleDocs(spark: SparkSession, sfDir: String, pct: Int = 20)
       : DataFrame = {
     Engine.configure(spark)
-    val h = md5(col("doc_id").cast("string"))
-    val bucket = (0 until 4)
-      .map(j => hexNibble(substring(h, j + 1, 1)) * (1 << (4 * (3 - j))))
-      .reduce(_ + _) % 100
     Engine.spread(Tables.documents(spark, sfDir))
-      .filter(bucket < pct)
+      .filter(hashBucket100(col("doc_id")) < pct)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
   }

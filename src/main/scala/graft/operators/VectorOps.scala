@@ -176,35 +176,66 @@ object VectorOps {
     * Each iteration is one broadcast join + one hash aggregate; the
     * centroid table stays tiny, the corpus is never shuffled — the
     * training loop a 100 TB pipeline can actually afford. Empty cells
-    * drop out (deterministically mirrored by the oracle). */
-  def kmeansCentroids(emb: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    * drop out (deterministically mirrored by the oracle).
+    *
+    * `trainPct` < 100 trains on a deterministic hash-sample of the
+    * corpus ([[graft.functions.TextFunctions.hashBucket100]] on vec_id) —
+    * the standard practice at scale: quantizer quality needs a
+    * representative sample, not every vector, and the per-iteration cost
+    * drops proportionally. Engine-exact, so the oracle mirrors the same
+    * subset; the FULL corpus is still assigned exactly once by callers.
+    *
+    * The returned centroid table is MATERIALIZED per iteration (kCells ×
+    * Dims doubles collected to the driver — MODEL state, like MLlib's
+    * KMeansModel, not a data collect): each Lloyd's step is a shallow
+    * constant-depth query against literal centroids instead of one
+    * 2·iters-deep folded plan, so Catalyst re-optimization cost stays
+    * flat in `iters`, the generated code is identical across iterations
+    * (codegen cache hits), and downstream consumers referencing the
+    * centroids twice (assignment + probing) don't re-execute training.
+    * Values round-trip the driver as IEEE doubles — bit-exact. */
+  def kmeansCentroids(emb: DataFrame, kCells: Int, iters: Int,
+      trainPct: Int = 100): DataFrame = {
+    import graft.functions.TextFunctions.hashBucket100
+    val spark = emb.sparkSession
     val Fp = 1048576.0 // 2^20
-    val init = emb.filter(col("vec_id") < kCells)
+    val train = if (trainPct >= 100) emb
+      else emb.filter(hashBucket100(col("vec_id")) < trainPct)
+    val dims = (0 until Dims).map { d =>
+      (sum(floor(element_at(col("embedding"), d + 1).cast("double") * Fp))
+        .cast("double") / Fp / count(lit(1))).as(s"c$d")
+    }
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      import spark.implicits._
+      rows.toDF("cell", "centroid")
+    }
+    val init = localize(emb.filter(col("vec_id") < kCells)
       .select(col("vec_id").cast("int").as("cell"),
-        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+        transform(col("embedding"), x => x.cast("double")).as("centroid")))
     (1 to iters).foldLeft(init) { (cents, _) =>
-      val assigned = assignCells(emb, cents, "embedding", "vec_id", 1)
+      localize(assignCells(train, cents, "embedding", "vec_id", 1)
         .select(col("cell"), col("embedding"))
-      val dims = (0 until Dims).map { d =>
-        (sum(floor(element_at(col("embedding"), d + 1).cast("double") * Fp))
-          .cast("double") / Fp / count(lit(1))).as(s"c$d")
-      }
-      assigned.groupBy(col("cell"))
+        .groupBy(col("cell"))
         .agg(dims.head, dims.tail: _*)
         .select(col("cell"),
-          array((0 until Dims).map(d => col(s"c$d")): _*).as("centroid"))
+          array((0 until Dims).map(d => col(s"c$d")): _*).as("centroid")))
     }
   }
 
   /** IVF ANN over the TRAINED quantizer ([[kmeansCentroids]]) instead of
     * [[annIvf]]'s label stand-in: assign the corpus to trained cells,
     * probe the nearest `nprobe` cells per query (same bit-exact distance
-    * + cell-id tiebreak), exact cosine re-rank inside probed cells. */
+    * + cell-id tiebreak), exact cosine re-rank inside probed cells.
+    * Training reads a 25% hash-sample by default ([[kmeansCentroids]]
+    * `trainPct`); assignment and search always use the full corpus. */
   def annIvfTrained(spark: SparkSession, sfDir: String, k: Int = 5,
-      kCells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+      kCells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      trainPct: Int = 25): DataFrame = {
     Engine.configure(spark)
     val emb = Engine.spread(Tables.embeddings(spark, sfDir))
-    val cents = kmeansCentroids(emb, kCells, iters)
+    val cents = kmeansCentroids(emb, kCells, iters, trainPct)
     val assign = assignCells(emb, cents, "embedding", "vec_id", 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val queries = emb.filter(col("vec_id") < 5)

@@ -322,7 +322,9 @@ class TextVectorSpec extends SparkSpec {
 
   test("annIvfTrained: k-means assignment is a true argmin; k rows per query") {
     val emb = Tables.embeddings(spark, sfDir)
-    val cents = VectorOps.kmeansCentroids(emb, kCells = 8, iters = 2)
+    // trainPct must match annIvfTrained's default (25% hash-sample)
+    val cents = VectorOps.kmeansCentroids(emb, kCells = 8, iters = 2,
+        trainPct = 25)
       .collect().map(r => r.getInt(0) ->
         r.getSeq[Double](1).toArray).sortBy(_._1)
     assert(cents.nonEmpty && cents.length <= 8)
