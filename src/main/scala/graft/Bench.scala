@@ -29,12 +29,13 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // two timed runs, report the min — steady-state cost with scheduler/GC
-    // noise suppressed (single-shot per-query numbers vary run-to-run).
+    // three timed runs, report the min — steady-state cost with scheduler/
+    // GC noise suppressed (single-shot per-query numbers vary run-to-run;
+    // min-of-3 tightens the sub-second comparisons min-of-2 left noisy).
     // A throwing query reports -1, never a bogus time-to-failure.
     val errors = collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true } catch {
           case e: Throwable =>
