@@ -20,14 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * oracle's `list_sum(list_transform(list_zip(...)))`, so swapping it in
   * changes no result bit (TextVectorSpec asserts native == HOF).
   * Inputs are assumed equal-length with non-null elements (the
-  * embeddings/centroid contract); length mismatch uses the shorter
-  * prefix.
+  * embeddings/centroid contract); a LENGTH MISMATCH returns NULL —
+  * exactly what the HOF yields there (zip_with null-pads the shorter
+  * array, the null element nulls the aggregate sum), so native == HOF
+  * holds unconditionally and a ragged-array caller gets an honest null,
+  * never a plausible-but-wrong prefix distance.
   */
 case class VectorL2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_l2sq"
+  // null on length mismatch, independent of child nullability
+  override def nullable: Boolean = true
 
   private def elemType(t: DataType): Option[DataType] = t match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -50,16 +55,19 @@ case class VectorL2Sq(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (lt, rt) = (elemType(left.dataType).get, elemType(right.dataType).get)
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val d = get(x, i, lt) - get(y, i, rt)
-      acc += d * d
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val (lt, rt) = (elemType(left.dataType).get, elemType(right.dataType).get)
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = get(x, i, lt) - get(y, i, rt)
+        acc += d * d
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -74,13 +82,17 @@ case class VectorL2Sq(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ${getter(a, i, lt)} - ${getter(b, i, rt)};
-         |  $acc += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${getter(a, i, lt)} - ${getter(b, i, rt)};
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

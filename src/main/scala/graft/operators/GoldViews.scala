@@ -103,14 +103,21 @@ object GoldViews {
     * EVERY raw value into a per-group buffer and ships the buffers
     * through the shuffle — at 100 TB a hot group is an OOM, and it forces
     * the whole operator to ObjectHashAggregate (no codegen). Measured
-    * ~1.8× faster at sf0.1 too. Values must be non-null (true for all
-    * cleansed/clamped columns). */
+    * ~1.8× faster at sf0.1 too.
+    *
+    * NULL values are dropped before both the count and the window,
+    * matching percentile_disc (which ignores them); a group whose values
+    * are ALL null yields no row here — callers rejoin through an inner
+    * [[AggPatterns.nullSafeKeyJoin]], so such a group would drop from
+    * the view (the cleansed/clamped columns are non-null, so this is
+    * today a no-op guard, not a behavior change). */
   private def medianDiscBy(df: DataFrame, key: String, value: String,
       as: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val totals = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val vals = df.filter(col(value).isNotNull)
+    val totals = vals.groupBy(col(key)).agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(key)).orderBy(col(value))
-    df.select(col(key), col(value))
+    vals.select(col(key), col(value))
       .withColumn("__rn", row_number().over(w))
       .transform(AggPatterns.nullSafeKeyJoin(_, broadcast(totals), Seq(key)))
       // floor((n+1)/2) = ceil(n/2); Divide is double, exact for counts < 2^52

@@ -40,16 +40,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * rewriting a line. Output attribute ids are preserved, so parent
   * HAVING/ORDER BY/projections are untouched.
   *
+  * FILTERed distinct aggregates (`COUNT(DISTINCT x) FILTER (WHERE p)`)
+  * are split too — but NOT by pushing `p` below the dedup as a Filter
+  * node: that would drop groups where no row passes `p`, and the inner
+  * rejoin would silently delete those groups from the whole result (the
+  * stock plan keeps them with count 0). Instead `p` joins the dedup
+  * GROUPING KEY (so the branch still sees every group) and is re-applied
+  * as a plain aggregate FILTER on the deduplicated rows: for a fixed
+  * group, the deduped (value, p) rows restricted to p = true carry
+  * exactly the distinct values with ≥1 passing row.
+  *
   * Bails out (leaves the stock plan) on: a single distinct set with no
-  * percentile (planned without Expand already), FILTER clauses on
-  * distinct/percentile aggregates, unsupported distinct functions,
-  * non-deterministic or subquery-bearing expressions, and streaming
-  * children (the emitted self-join is a batch shape).
+  * percentile (planned without Expand already), unsupported distinct
+  * functions, non-deterministic or subquery-bearing expressions, and
+  * streaming children (the emitted self-join is a batch shape).
   */
 object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
 
   private def isPercentileLike(f: AggregateFunction): Boolean = f match {
-    case _: Percentile | _: PercentileDisc | _: Median => true
+    case _: Percentile | _: PercentileDisc | _: PercentileCont | _: Median |
+         _: ApproximatePercentile => true
     case _ => false
   }
 
@@ -70,15 +80,19 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
     seen.values.toSeq
   }
 
+  /** Branch identity of a distinct aggregate: its argument set AND its
+    * FILTER (two filters need two dedup branches). */
+  private def distinctKey(ae: AggregateExpression): (Seq[Expression], Option[Expression]) =
+    (ae.aggregateFunction.children.map(_.canonicalized), ae.filter.map(_.canonicalized))
+
   private def shouldRewrite(a: Aggregate): Boolean = {
     val aes = aggExprsOf(a)
     val distincts = aes.filter(_.isDistinct)
-    val distinctSets = distincts.map(_.aggregateFunction.children.map(_.canonicalized)).distinct
+    val distinctSets = distincts.map(distinctKey).distinct
     val percs = aes.filter(ae => !ae.isDistinct && isPercentileLike(ae.aggregateFunction))
     val worthIt = distinctSets.size >= 2 || (distinctSets.nonEmpty && percs.nonEmpty)
     def safe =
-      distincts.forall(ae => supportedDistinct(ae.aggregateFunction) && ae.filter.isEmpty) &&
-        percs.forall(_.filter.isEmpty) &&
+      distincts.forall(ae => supportedDistinct(ae.aggregateFunction)) &&
         a.aggregateExpressions.forall(_.deterministic) &&
         a.groupingExpressions.forall(_.deterministic) &&
         !a.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]])) &&
@@ -111,9 +125,11 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
     val distincts = aes.filter(_.isDistinct)
     val percs = aes.filter(ae => !ae.isDistinct && isPercentileLike(ae.aggregateFunction))
     val base = aes.filterNot(ae => ae.isDistinct || percs.contains(ae))
-    val distinctGroups: Seq[(Seq[Expression], Seq[AggregateExpression])] =
-      distincts.groupBy(_.aggregateFunction.children.map(_.canonicalized))
-        .toSeq.map { case (_, group) => (group.head.aggregateFunction.children, group) }
+    val distinctGroups
+        : Seq[(Seq[Expression], Option[Expression], Seq[AggregateExpression])] =
+      distincts.groupBy(distinctKey)
+        .toSeq.map { case (_, group) =>
+          (group.head.aggregateFunction.children, group.head.filter, group) }
 
     def freshGroupAliases(): Seq[Alias] =
       groupExprs.zipWithIndex.map { case (e, i) => Alias(e, s"_gk$i")() }
@@ -129,16 +145,23 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
         fns.zip(outs).map { case (ae, o) => ae.canonicalized -> o.toAttribute })
     }
 
-    def distinctBranch(children: Seq[Expression],
+    def distinctBranch(children: Seq[Expression], filter: Option[Expression],
         fns: Seq[AggregateExpression]): Branch = {
       val gs = freshGroupAliases()
       val ds = children.zipWithIndex.map { case (e, i) => Alias(e, s"_dv$i")() }
-      val dedup = Aggregate(groupExprs ++ children, gs ++ ds, child)
+      // the FILTER predicate dedups as an extra KEY (never a Filter node
+      // below the aggregate — that would drop groups with no passing row
+      // and the inner rejoin would lose them); re-applied on the deduped
+      // rows as a plain aggregate FILTER
+      val fs = filter.map(Alias(_, "_fv")())
+      val dedup = Aggregate(groupExprs ++ children ++ filter.toSeq,
+        gs ++ ds ++ fs.toSeq, child)
       val dAttrs = ds.map(_.toAttribute)
       val outs = fns.map { ae =>
         val plainFn = ae.aggregateFunction.withNewChildren(dAttrs)
           .asInstanceOf[AggregateFunction]
         Alias(ae.copy(aggregateFunction = plainFn, isDistinct = false,
+          filter = fs.map(_.toAttribute),
           resultId = NamedExpression.newExprId), plainFn.prettyName)()
       }
       val gAttrs = gs.map(_.toAttribute)
@@ -150,7 +173,8 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
     val branches: Seq[Branch] =
       (if (base.nonEmpty || distinctGroups.isEmpty && percs.isEmpty)
         Seq(plainBranch(base)) else Nil) ++
-        distinctGroups.map { case (children, fns) => distinctBranch(children, fns) } ++
+        distinctGroups.map { case (children, filter, fns) =>
+          distinctBranch(children, filter, fns) } ++
         (if (percs.nonEmpty) Seq(plainBranch(percs)) else Nil)
 
     val (anchorPlan, anchorGroupAttrs, anchorMap) = branches.head

@@ -34,8 +34,12 @@ class RewriteSpec extends SparkSpec {
     val analyzed = df.queryExecution.analyzed
     val rewritten = SplitMultiDistinctAggregate(analyzed)
     assert(rewritten != analyzed, "rule did not fire")
+    // doubles enter the sort key ROUNDED (not blanked): rows identical on
+    // the other columns still pair deterministically, while the per-cell
+    // comparison below stays tolerance-based
     def key(r: org.apache.spark.sql.Row) =
-      r.toSeq.map { case d: Double => "" case v => String.valueOf(v) }.mkString("|")
+      r.toSeq.map { case d: Double => f"$d%.6f" case v => String.valueOf(v) }
+        .mkString("|")
     val a = df.collect().sortBy(key)
     val b = ofRows(spark, rewritten).collect().sortBy(key)
     assert(a.length == b.length, s"rows ${a.length} vs ${b.length}")
@@ -184,14 +188,51 @@ class RewriteSpec extends SparkSpec {
     assert(joined(None) == ((3L, 1L)) && joined(Some("a")) == ((3L, 2L)))
   }
 
-  test("bails out: FILTER clause on a distinct aggregate") {
+  test("FILTERed distinct aggregates: equal under rewrite, no Expand, groups kept") {
     silver
     val q = spark.sql("""SELECT provider_name,
-        count(DISTINCT member_id) FILTER (WHERE claim_amount > 0) AS m,
-        count(DISTINCT claim_id) AS c
+        count(DISTINCT member_id) FILTER (WHERE claim_amount > 100) AS m,
+        count(DISTINCT member_id) AS m_all,
+        count(DISTINCT claim_id) AS c,
+        sum(claim_amount) FILTER (WHERE claim_amount > 100) AS s,
+        count(*) AS n
       FROM silver_claims GROUP BY provider_name""")
-    assert(SplitMultiDistinctAggregate(q.queryExecution.analyzed)
-      == q.queryExecution.analyzed)
+    assertSame(q)
+    val plan = ofRows(spark,
+      SplitMultiDistinctAggregate(q.queryExecution.analyzed))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    // a group where NO row passes the filter must survive with m = 0:
+    // the filter dedups as a grouping key, never as a pre-filter
+    val all = Seq(("a", 1, 5.0), ("a", 2, 7.0), ("z", 3, 1.0))
+      .toDF("k", "mid", "amt")
+    all.createOrReplaceTempView("t_filter_groups")
+    val fq = spark.sql("""SELECT k,
+        count(DISTINCT mid) FILTER (WHERE amt > 4) AS hi,
+        count(DISTINCT mid) AS total
+      FROM t_filter_groups GROUP BY k""")
+    assertSame(fq)
+    val byK = fq.collect().map(r => r.getString(0) -> r).toMap
+    assert(byK("z").getAs[Long]("hi") == 0L && byK("z").getAs[Long]("total") == 1L)
+    assert(byK("a").getAs[Long]("hi") == 2L)
+  }
+
+  test("percentile_cont and approx_percentile are isolated like percentile_disc") {
+    silver
+    val q = spark.sql("""SELECT provider_name,
+        count(DISTINCT member_id) AS m,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY claim_amount) AS pc,
+        approx_percentile(claim_amount, 0.5) AS ap,
+        count(*) AS n
+      FROM silver_claims GROUP BY provider_name""")
+    assertSame(q)
+    val plan = ofRows(spark,
+      SplitMultiDistinctAggregate(q.queryExecution.analyzed))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    // the buffer-collecting percentiles must not drag the base branch
+    // into ObjectHashAggregate
+    assert(plan.contains("HashAggregate"), plan)
   }
 
   test("SparkSessionExtensions wiring: verbatim SQL optimizes without Expand") {

@@ -320,6 +320,32 @@ class TextVectorSpec extends SparkSpec {
       inCodegen.map(_.toString).exists(_.contains("vector_l2sq")), exec.toString)
   }
 
+  test("VectorDot / VectorL2Sq: ragged arrays return NULL, matching the HOF") {
+    // native == HOF must hold UNCONDITIONALLY: zip_with null-pads the
+    // shorter array, so the HOF yields null on a length mismatch — a
+    // library caller must get that same honest null from the native
+    // expressions, never a silent shorter-prefix value
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f, 1.0f)), // equal length
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f)),       // ragged
+      (Seq(1.0f), Seq(1.0f, 5.0f))                    // ragged, other side
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorOps.l2sq($"a", $"b").as("nat_l2"),
+      VectorOps.l2sqHof($"a", $"b").as("hof_l2"),
+      graft.functions.VectorFunctions.dot($"a", $"b").as("nat_dot"),
+      graft.functions.VectorFunctions.dotHof($"a", $"b").as("hof_dot"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"l2sq null parity: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3), s"dot null parity: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3))
+    }
+    assert(!rows.head.isNullAt(0) && rows.tail.forall(_.isNullAt(0)))
+    assert(!rows.head.isNullAt(2) && rows.tail.forall(_.isNullAt(2)))
+  }
+
   test("annIvfTrained: k-means assignment is a true argmin; k rows per query") {
     val emb = Tables.embeddings(spark, sfDir)
     // trainPct must match annIvfTrained's default (25% hash-sample)
