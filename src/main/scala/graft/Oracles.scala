@@ -381,9 +381,34 @@ FROM (
   count(CASE WHEN copies > 1 THEN 1 END) AS dup_groups,
   CAST(sum(copies) - count(*) AS BIGINT) AS redundant_docs
 FROM (
-  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+  SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS h,
     count(*) AS copies, min(doc_id) AS keep_id
   FROM documents GROUP BY 1) g""",
+
+    // NFC-canonicalization probe: precomposed U+00E9 vs e + combining
+    // U+0301 variants appended to real corpus text must collapse to ONE
+    // content hash each (they differ as bytes, agree under NFC). A
+    // missing nfc step would report dup_groups = 0.
+    "q_dedup_unicode" -> {
+      // suffixes built from explicit code points so no editor/tool can
+      // silently re-normalize this source file
+      val pre = "caf\u00e9"           // precomposed e-acute
+      val comb = "cafe\u0301"         // e + combining acute
+      s"""WITH v AS (
+  SELECT doc_id, text || ' $pre' AS text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' $comb' FROM documents WHERE doc_id < 50),
+g AS (
+  SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS h,
+    count(*) AS copies, min(doc_id) AS keep_id
+  FROM v GROUP BY 1)
+SELECT
+  CAST(count(*) AS BIGINT) AS distinct_texts,
+  CAST(sum(copies) AS BIGINT) AS total_docs,
+  count(CASE WHEN copies > 1 THEN 1 END) AS dup_groups,
+  CAST(sum(copies) - count(*) AS BIGINT) AS redundant_docs
+FROM g"""
+    },
 
     "q_neardup_pairs" -> """WITH sh AS (
   SELECT doc_id, lang, source,
@@ -409,7 +434,7 @@ ORDER BY doc_a, doc_b""",
     "q_corpus_clean" -> """WITH keep AS (
   SELECT min(doc_id) AS doc_id
   FROM documents
-  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+  GROUP BY md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))),
 base AS (
   SELECT d.doc_id, d.lang, d.source,
     string_split_regex(trim(d.text), '\s+') AS t

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_lang_confusion" -> TextOps.langConfusion _,
     "q_text_quality" -> TextOps.textQualityBySource _,
     "q_dedup_exact" -> TextOps.dedupExact _,
+    "q_dedup_unicode" -> ((s: SparkSession, d: String) => TextOps.dedupUnicode(s, d)),
     "q_neardup_pairs" -> ((s: SparkSession, d: String) => TextOps.nearDupPairs(s, d)),
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => TextOps.dedupMinhash(s, d)),
     "q_dedup_simhash" -> TextOps.simhashDocs _,

@@ -94,9 +94,19 @@ object TextFunctions {
     lenScore * 0.4 + diversity * 0.3 + stopScore * 0.3
   }
 
-  /** Canonical text form for exact dedup: lower + collapse whitespace. */
+  /** Unicode NFC canonicalization (codegen'd JDK Normalizer; DuckDB
+    * mirror `nfc_normalize`) — see [[graft.expressions.NfcNormalize]]. */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.expressions.NfcNormalize(toExpression(c)))
+  }
+
+  /** Canonical text form for exact dedup: NFC + lower + collapse
+    * whitespace. NFC runs FIRST (canonical equivalence before case
+    * folding — mixed-normalization corpora otherwise under-merge; a
+    * no-op on ASCII, so the TPC-H-ish fixtures hash identically). */
   def normalized(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    regexp_replace(lower(trim(nfc(c))), "\\s+", " ")
 
   /** Exact-dedup key (md5 matches DuckDB's md5 bit-for-bit). */
   def contentHash(c: Column): Column = md5(normalized(c))

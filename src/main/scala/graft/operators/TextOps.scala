@@ -193,6 +193,34 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** NFC-canonicalization probe for [[dedupExact]]'s content hash: two
+    * variants of each of the first `n` documents — one suffixed with
+    * precomposed é (U+00E9), one with e + combining acute (U+0301) —
+    * must collapse to ONE hash each (different bytes, same text under
+    * canonical equivalence). Real multilingual corpora mix normalization
+    * forms; without the codegen'd
+    * [[graft.expressions.NfcNormalize]] step inside `contentHash`, this
+    * reports dup_groups = 0 and exact dedup silently under-merges. */
+  def dedupUnicode(spark: SparkSession, sfDir: String, n: Int = 50)
+      : DataFrame = {
+    Engine.configure(spark)
+    val docs = Engine.spread(Tables.documents(spark, sfDir))
+      .filter(col("doc_id") < n)
+    val pre = docs.select(col("doc_id"),
+      concat(col("text"), lit(" caf\u00e9")).as("text"))
+    val comb = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" cafe\u0301")).as("text"))
+    pre.unionByName(comb)
+      .select(col("doc_id"), contentHash(col("text")).as("h"))
+      .groupBy(col("h")).agg(
+        count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
+      .agg(
+        count(lit(1)).as("distinct_texts"),
+        sum(col("copies")).as("total_docs"),
+        countIf(col("copies") > 1).as("dup_groups"),
+        (sum(col("copies")) - count(lit(1))).as("redundant_docs"))
+  }
+
   /** In-bucket pair combinations from a `sids` sorted-array column —
     * shared by the minhash and simhash band searches. `sids` is bounded
     * by the bucket cap, so the quadratic stays small per row. */
