@@ -75,6 +75,68 @@ object StreamingOps {
     }
   }
 
+  /** Streaming NEAR-dup pair detection — the banded-simhash extension of
+    * [[dedupFirstSeen]] (round-2 VERDICT item 4): signatures are computed
+    * per document in the stream (codegen'd
+    * [[graft.functions.TextFunctions.simhash48]]), exploded into the same
+    * 4×12-bit bands as the batch [[TextOps.simhashPairs]], and grouped
+    * per band value with `flatMapGroupsWithState`; state = the (doc_id,
+    * signature) list seen in that band bucket. Each arriving document is
+    * compared against its bucket's state by exact hamming distance and
+    * every match ≤ `maxHamming` is emitted as a pair.
+    *
+    * Parity with the batch operator: a pair is emitted iff the two
+    * signatures agree on ≥1 band AND hamming ≤ maxHamming — exactly the
+    * batch candidate+verify contract — so on the same files the emitted
+    * pair SET equals the batch result (the spec asserts it). Pairs
+    * agreeing on several bands emit once per band (at-least-once;
+    * downstream `dropDuplicates` restores exactly-once — cross-band
+    * dedup would need a second stateful stage keyed on the pair).
+    *
+    * Scale bounds: state per band bucket is capped at `maxBucket`
+    * signatures (the same recall-vs-safety knob as the batch
+    * BoundedCollectSet; beyond it, new signatures still PAIR against the
+    * tracked set but stop enrolling — no unbounded state). 16 bytes per
+    * tracked signature: a band bucket costs at most 16·maxBucket bytes
+    * of store. */
+  def simhashPairsStream(docs: DataFrame, maxHamming: Int = 12,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.TextFunctions.{simhash48, shinglesOf, tokens}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), simhash48(shinglesOf(col("t"), 3)).as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 12).bitwiseAND(lit(4095L))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .select(concat_ws(":", col("band_idx"), col("band_val")).as("band"),
+        col("doc_id"), col("simhash"))
+      .as[(String, Long, Long)]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty)
+          val out = Seq.newBuilder[(Long, Long, Int)]
+          rows.foreach { case (_, docId, sig) =>
+            seen.foreach { case (d2, s2) =>
+              if (d2 != docId) {
+                val ham = java.lang.Long.bitCount(sig ^ s2)
+                if (ham <= maxHamming)
+                  out += ((math.min(docId, d2), math.max(docId, d2), ham))
+              }
+            }
+            if (seen.size < maxBucket) seen = seen :+ ((docId, sig))
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("doc_a", "doc_b", "hamming")
+  }
+
   /** Streaming bronze: CSV file source → batch-metadata stamp → parquet
     * sink, Trigger.AvailableNow — the faithful Structured Streaming
     * restatement of the reference's hourly bronze DAG (SURVEY.md §2.8).

@@ -60,6 +60,41 @@ class StreamingSpec extends SparkSpec {
     assert(batchDedup.count() == expectedKeys)
   }
 
+  test("simhashPairsStream: streamed near-dup pairs == batch simhashPairs set") {
+    import graft.operators.TextOps
+    val src = tmp("simhash_src")
+    // real corpus slice + injected exact duplicates + a known near-dup
+    // pair (the MassDupSpec deterministic collision texts)
+    val nearA = "training data pipelines deduplicate documents using " +
+      "minhash signatures over shingle sets for scalable similarity detection"
+    import spark.implicits._
+    val extra = Seq((900000L, nearA), (900001L, nearA + " exactly")).toDF("doc_id", "text")
+    Tables.documents(spark, sfDir).limit(150).select($"doc_id", $"text")
+      .union(Tables.documents(spark, sfDir).limit(30)
+        .select($"doc_id" + 500000, $"text")) // exact dups, hamming 0
+      .union(extra)
+      .write.mode("overwrite").parquet(src)
+
+    val batchDf = spark.read.parquet(src)
+    val batch = TextOps.simhashPairsOf(batchDf, 12, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val stream = spark.readStream.schema(batchDf.schema).parquet(src)
+    val q = StreamingOps.simhashPairsStream(stream)
+      .writeStream.format("memory").queryName("simhash_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("simhash_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    assert(streamed == batch, // SET equality: same candidate+verify contract
+      s"stream ${streamed.size} vs batch ${batch.size}; " +
+        s"onlyStream=${(streamed -- batch).take(5)} onlyBatch=${(batch -- streamed).take(5)}")
+    assert(batch.nonEmpty && batch.contains((900000L, 900001L, 5)))
+    // the injected exact duplicates surface as hamming-0 pairs
+    assert(batch.exists(_._3 == 0))
+  }
+
   test("bronzeCsvStream: AvailableNow incremental ingest with metadata") {
     val src = tmp("csv_stream")
     val sink = tmp("bronze_stream")
