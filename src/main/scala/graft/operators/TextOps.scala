@@ -306,6 +306,10 @@ object TextOps {
     val toks = raw.withColumn("t", tokens(col("text")))
       .select(col("doc_id"), col("t"),
         md5(concat_ws(" ", col("t"))).as("tk"))
+    // NB measured: carrying t through the groupBy (first(t)) to skip the
+    // rep join ships every token array through the tk exchange and is
+    // ~1 s SLOWER at sf0.1 — the skinny (tk, doc_id) exchange + rep join
+    // wins, and AQE reuses it across the mapping/docs consumers
     val groups = toks.groupBy(col("tk"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
     val mapping = toks.select(col("doc_id"), col("tk"))
