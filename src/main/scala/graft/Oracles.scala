@@ -410,6 +410,37 @@ SELECT
 FROM g"""
     },
 
+    // per-language top-20 token vocabulary, deterministic tie-break on
+    // the token string
+    "q_vocab_topk" -> """WITH tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents),
+c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token)
+SELECT lang, token, cnt, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+    ORDER BY cnt DESC, token) AS rnk FROM c) r
+WHERE rnk <= 20 ORDER BY lang, rnk""",
+
+    // benchmark decontamination: corpus docs whose distinct word 5-grams
+    // overlap the doc_id<20 "eval set" by >= 0.5
+    "q_decontaminate" -> """WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 5, 0) + 1),
+    i -> array_to_string(t[i+1:i+5], ' '))) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents) a),
+bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id < 20),
+corpus AS (SELECT doc_id, len(s) AS n_grams, s FROM sh WHERE doc_id >= 20),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(s) AS gram FROM corpus) c
+  JOIN bench USING (gram)
+  GROUP BY c.doc_id)
+SELECT corpus.doc_id, CAST(corpus.n_grams AS INT) AS n_grams, h.n_hit,
+  CAST(h.n_hit AS DOUBLE) / CAST(corpus.n_grams AS DOUBLE) AS overlap
+FROM corpus JOIN hits h ON corpus.doc_id = h.doc_id
+WHERE CAST(h.n_hit AS DOUBLE) / CAST(corpus.n_grams AS DOUBLE) >= 0.5
+ORDER BY corpus.doc_id""",
+
     "q_neardup_pairs" -> """WITH sh AS (
   SELECT doc_id, lang, source,
     list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
@@ -592,6 +623,30 @@ SELECT query_id, vec_id, cell, cos_sim, CAST(rnk AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) r
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
+
+    // symmetric int8 quantization report; floor(x+0.5) instead of
+    // round() (engine tie-handling differs), reconstruction error via
+    // the shared bit-exact l2sq formulation
+    "q_embed_quantize" -> {
+      import graft.functions.VectorFunctions.l2sqSql
+      s"""WITH s AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+  FROM embeddings),
+sc AS (
+  SELECT vec_id, embedding,
+    CASE WHEN maxabs = 0 THEN 1.0 ELSE 127.0 / maxabs END AS scale
+  FROM s),
+q AS (
+  SELECT vec_id, embedding, scale,
+    list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0,
+      floor(CAST(v AS DOUBLE) * scale + 0.5))) AS INT)) AS qv
+  FROM sc)
+SELECT vec_id, scale,
+  CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max,
+  ${l2sqSql("embedding", "list_transform(qv, v -> CAST(v AS DOUBLE) / scale)")} AS l2_err
+FROM q ORDER BY vec_id"""
     },
 
     "q_neardup_embedding" -> s"""SELECT label, id_a, id_b, cos_sim FROM (

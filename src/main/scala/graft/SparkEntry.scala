@@ -46,6 +46,8 @@ object SparkEntry {
     "q_dedup_simhash" -> TextOps.simhashDocs _,
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => TextOps.simhashPairs(s, d)),
     "q_fingerprint" -> TextOps.fingerprintDocs _,
+    "q_vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopK(s, d)),
+    "q_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "q_corpus_clean" -> ((s: SparkSession, d: String) => TextOps.corpusClean(s, d)),
     "q_doc_chunks" -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
     "q_doc_sample" -> ((s: SparkSession, d: String) => TextOps.sampleDocs(s, d)),
@@ -56,6 +58,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
     "q_ann_ivf_trained" -> ((s: SparkSession, d: String) => VectorOps.annIvfTrained(s, d)),
     "q_neardup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
+    "q_embed_quantize" -> VectorOps.embedQuantize _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

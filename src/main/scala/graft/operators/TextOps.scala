@@ -462,6 +462,63 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language top-`k` token vocabulary by frequency — the corpus
+    * vocabulary report every tokenizer-training / data-mix decision
+    * starts from. explode → two-level hash aggregate (map-side combine:
+    * shuffle ∝ distinct (lang, token), not corpus tokens) → per-lang
+    * top-k via a rank window over the (tiny, ≤ |vocab|) aggregated
+    * relation. Ties break on the token string so the cut is
+    * deterministic across engines. */
+  def vocabTopK(spark: SparkSession, sfDir: String, k: Int = 20)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.configure(spark)
+    val counts = Engine.spread(Tables.documents(spark, sfDir))
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Benchmark DECONTAMINATION scan — the eval-set n-gram overlap check
+    * every serious training-data pipeline runs before training: for each
+    * corpus document, the fraction of its word 5-grams that appear in
+    * ANY benchmark document (here: doc_id < `benchDocs` stands in for
+    * the eval set). Overlap ≥ `minOverlap` flags the document for
+    * removal.
+    *
+    * Shape at scale: benchmark grams are a DISTINCT (usually small —
+    * broadcastable) relation; the corpus side explodes its grams once
+    * and inner-joins on the gram string, so work is ∝ matching grams
+    * (inverted-index semantics, never pairwise doc × doc). The final
+    * per-doc rollup is a hash aggregate on doc_id. */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      benchDocs: Int = 20, n: Int = 5, minOverlap: Double = 0.5)
+      : DataFrame = {
+    Engine.configure(spark)
+    val docs = Engine.spread(Tables.documents(spark, sfDir))
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), shinglesOf(col("t"), n).as("sh"))
+    val benchGrams = docs.filter(col("doc_id") < benchDocs)
+      .select(explode(col("sh")).as("gram")).distinct()
+    val corpus = docs.filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id"), size(col("sh")).as("n_grams"), col("sh"))
+    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("gram"))
+      .join(benchGrams, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), col("n_grams"))
+      .join(hits, "doc_id")
+      .withColumn("overlap",
+        col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling-hash document fingerprint: min md5 over the in-order word
     * 5-gram windows (single-window winnowing). Collisions across docs ⇒
     * shared low-hash window ⇒ near-dup candidates. Pure map + tiny

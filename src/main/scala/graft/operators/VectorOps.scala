@@ -253,6 +253,37 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Symmetric int8 embedding quantization report — the 4× memory /
+    * bandwidth lever an ANN index at 100 TB actually deploys — with
+    * per-vector reconstruction error so a curator can decide whether
+    * int8 recall is acceptable: scale = 127 / max|x| (per vector), q =
+    * clamp(floor(x·scale + 0.5), ±127), error = ‖x − q/scale‖².
+    *
+    * Engine-exactness: floor(x + 0.5) is used instead of round() (Spark
+    * HALF_UP vs DuckDB's tie-handling differ), every op is a single IEEE
+    * double op in a fixed order, and the reconstruction error reuses the
+    * bit-exact [[l2sq]] expression — so the oracle matches on the hash,
+    * not a tolerance. Pure per-row map: no shuffle. */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val x = transform(col("embedding"), v => v.cast("double"))
+    val maxAbs = array_max(transform(col("embedding"),
+      v => abs(v.cast("double"))))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxAbs)
+    Engine.spread(Tables.embeddings(spark, sfDir))
+      .withColumn("scale", scale)
+      .withColumn("q", transform(x, v => greatest(lit(-127.0),
+        least(lit(127.0), floor(v * col("scale") + 0.5))).cast("int")))
+      .select(col("vec_id"),
+        col("scale"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        l2sq(col("embedding"),
+          transform(col("q"), v => v.cast("double") / col("scale")))
+          .as("l2_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * cluster id): exact cosine within each block, pairs above `minCos`.
     * Blocking bounds the pair count by block size² exactly like the
