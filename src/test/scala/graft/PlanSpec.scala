@@ -54,6 +54,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("vocabTopK: token counts combine map-side; rank window only on the aggregate") {
+    val plan = planString(TextOps.vocabTopK(spark, sfDir))
+    // partial+final on (lang, token): shuffle ∝ distinct tokens, not corpus
+    assert(plan.contains("partial_count"), plan)
+    // exactly one Window (the per-lang rank over the aggregated relation)
+    assert("Window\\b".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("decontaminate: gram join is hash-keyed, never pairwise docs") {
+    val plan = planString(TextOps.decontaminate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("embedQuantize: pure per-row map — no shuffle beyond spread, no join") {
+    val plan = planString(graft.operators.VectorOps.embedQuantize(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"spread round-robin + output sort only:\n$plan")
+  }
+
   test("multi-distinct gold views plan without Expand (no fact multiplication)") {
     // 2 distinct sets + percentile_disc in one Aggregate make Catalyst
     // Expand the fact once per set (row multiplication ∝ #sets) and ship
