@@ -63,19 +63,25 @@ object Engine {
     * MB buys 32× parallelism on everything downstream.
     *
     * The split-count estimate is PLAN-SIDE: logical stats (file sizes
-    * for a parquet relation) through the same split-size formula the
-    * file source uses — min(maxPartitionBytes, max(openCostInBytes,
-    * bytes/parallelism)). The previous `df.rdd.getNumPartitions` probe
-    * answered the same question exactly but forced a full physical
-    * planning + RDD-lineage conversion of the subtree per call and hid
-    * the subtree from AQE (round-2 VERDICT item 5); stats need only the
-    * analyzed plan. */
+    * for a parquet relation) plus the per-file open-cost padding, through
+    * the same packing formula the file source uses —
+    * ceil(paddedBytes / min(maxPartitionBytes, max(openCostInBytes,
+    * paddedBytes/parallelism))). Without the padding, a many-small-files
+    * input (64 × 1 MB) estimates far fewer splits than the scan actually
+    * plans and would eat a redundant full-data round-robin on every
+    * query. `inputFiles` is a listing-cache metadata read (empty for
+    * non-file plans → padding degrades to zero). The previous
+    * `df.rdd.getNumPartitions` probe answered the question exactly but
+    * forced full physical planning + an RDD-lineage conversion per call
+    * and hid the subtree from AQE (round-2 VERDICT item 5). */
   def spread(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val want = BigInt(sc.defaultParallelism)
     val conf = df.sparkSession.sessionState.conf
-    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
-    val splitSize = (BigInt(conf.filesOpenCostInBytes) max (bytes / want))
+    val openCost = BigInt(conf.filesOpenCostInBytes)
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes +
+      BigInt(df.inputFiles.length) * openCost
+    val splitSize = (openCost max (bytes / want))
       .min(BigInt(conf.filesMaxPartitionBytes))
     val estSplits = if (splitSize > 0) (bytes + splitSize - 1) / splitSize
       else BigInt(1)

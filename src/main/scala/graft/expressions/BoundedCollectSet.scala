@@ -32,9 +32,16 @@ final class BoundedSetBuffer {
   * cardinality ≤ maxSize, else NULL. Never a silently truncated set.
   *
   * Serialization mirrors stock CollectSet's UnsafeProjection scheme with
-  * the overflow flag as a leading boolean field; buffer values are
-  * defensively copied on both update and deserialize (unsafe-row backed
-  * values are mutable views).
+  * the overflow flag as a leading boolean field.
+  *
+  * Element canonicalization: every value is stored as a COPIED
+  * single-field UnsafeRow projection of itself, so set membership is
+  * byte equality in one canonical representation. Inserting raw values
+  * would be wrong for struct/array elements: update-path values arrive
+  * as GenericInternalRow (identity equals) while deserialize-path values
+  * arrive as UnsafeRow views — mixing them in one HashSet double-counts
+  * equal values under sort-based fallback merges and could trip the cap
+  * on a group whose true cardinality is within bounds.
   */
 case class BoundedCollectSet(
     child: Expression,
@@ -62,11 +69,21 @@ case class BoundedCollectSet(
     b.set.clear() // free the memory immediately — the group is decided
   }
 
+  // canonical stored form: a copied 1-field UnsafeRow holding the value
+  private lazy val elemProj = UnsafeProjection.create(Array[DataType](child.dataType))
+  private lazy val elemHolder = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+  private def toElem(v: Any): Any = {
+    elemHolder.update(0, v)
+    elemProj.apply(elemHolder).copy()
+  }
+  private def fromElem(e: Any): Any =
+    e.asInstanceOf[UnsafeRow].get(0, child.dataType)
+
   override def update(b: BoundedSetBuffer, input: InternalRow): BoundedSetBuffer = {
     if (!b.overflowed) {
       val v = child.eval(input)
       if (v != null) {
-        b.set += InternalRow.copyValue(v)
+        b.set += toElem(v)
         if (b.set.size > maxSize) trip(b)
       }
     }
@@ -83,7 +100,8 @@ case class BoundedCollectSet(
   }
 
   override def eval(b: BoundedSetBuffer): Any =
-    if (b.overflowed) null else new GenericArrayData(b.set.toArray)
+    if (b.overflowed) null
+    else new GenericArrayData(b.set.toArray.map(fromElem))
 
   private lazy val projection = UnsafeProjection.create(
     Array[DataType](BooleanType, ArrayType(child.dataType, containsNull = false)))
@@ -91,7 +109,7 @@ case class BoundedCollectSet(
 
   override def serialize(b: BoundedSetBuffer): Array[Byte] =
     projection.apply(InternalRow(b.overflowed,
-      new GenericArrayData(b.set.toArray))).getBytes
+      new GenericArrayData(b.set.toArray.map(fromElem)))).getBytes
 
   override def deserialize(bytes: Array[Byte]): BoundedSetBuffer = {
     val b = createAggregationBuffer()
@@ -99,7 +117,7 @@ case class BoundedCollectSet(
     b.overflowed = row.getBoolean(0)
     if (!b.overflowed) {
       row.getArray(1).foreach(child.dataType,
-        (_, v: Any) => b.set += InternalRow.copyValue(v))
+        (_, v: Any) => b.set += toElem(v))
     }
     b
   }

@@ -38,13 +38,13 @@ object AggPatterns {
     * itself (a plain using-join's EqualTo would silently drop the whole
     * group). Mirrors the EqualNullSafe conditions
     * [[graft.plans.SplitMultiDistinctAggregate]] emits on the SQL path. */
-  def nullSafeKeyJoin(l: DataFrame, r: DataFrame, keys: Seq[String])
-      : DataFrame = {
+  def nullSafeKeyJoin(l: DataFrame, r: DataFrame, keys: Seq[String],
+      joinType: String = "inner"): DataFrame = {
     // rename-then-join: branch frames share lineage (same base plan), so
     // l(k)/r(k) references would hit ambiguous-self-join resolution;
     // renamed right keys are unambiguous by construction
     val rr = keys.foldLeft(r)((df, k) => df.withColumnRenamed(k, s"__r_$k"))
     val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
-    keys.foldLeft(l.join(rr, cond))((df, k) => df.drop(s"__r_$k"))
+    keys.foldLeft(l.join(rr, cond, joinType))((df, k) => df.drop(s"__r_$k"))
   }
 }

@@ -107,10 +107,11 @@ object GoldViews {
     *
     * NULL values are dropped before both the count and the window,
     * matching percentile_disc (which ignores them); a group whose values
-    * are ALL null yields no row here — callers rejoin through an inner
-    * [[AggPatterns.nullSafeKeyJoin]], so such a group would drop from
-    * the view (the cleansed/clamped columns are non-null, so this is
-    * today a no-op guard, not a behavior change). */
+    * are ALL null yields no row here — callers must LEFT-join this
+    * branch (as providerPerformance does) so such a group keeps its main
+    * row with a NULL median, exactly percentile_disc's answer (the
+    * cleansed/clamped columns are non-null today, so this is a latent
+    * contract, not a behavior change). */
   private def medianDiscBy(df: DataFrame, key: String, value: String,
       as: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -167,9 +168,11 @@ object GoldViews {
         distinctCount(fact, keys, col("l_orderkey"), "unique_orders"),
         distinctCount(fact, keys,
           make_date(year(col("l_shipdate")), month(col("l_shipdate")), lit(1)),
-          "active_months"),
-        median)
+          "active_months"))
       .foldLeft(main)(AggPatterns.nullSafeKeyJoin(_, _, keys))
+      // LEFT: an all-null-values group keeps its row with median NULL
+      // (percentile_disc semantics); inner would delete the whole group
+      .transform(AggPatterns.nullSafeKeyJoin(_, median, keys, "left_outer"))
       .select(col("provider_name"), col("total_claims"), col("unique_orders"),
         col("total_billed"), col("avg_amount"), col("median_amount"),
         col("min_amount"), col("max_amount"), col("high_value_pct"),

@@ -80,25 +80,30 @@ object StreamingOps {
     * per document in the stream (codegen'd
     * [[graft.functions.TextFunctions.simhash48]]), exploded into the same
     * 4×12-bit bands as the batch [[TextOps.simhashPairs]], and grouped
-    * per band value with `flatMapGroupsWithState`; state = the (doc_id,
-    * signature) list seen in that band bucket. Each arriving document is
-    * compared against its bucket's state by exact hamming distance and
-    * every match ≤ `maxHamming` is emitted as a pair.
+    * per band value with `flatMapGroupsWithState`; state = one
+    * FIRST-SEEN REPRESENTATIVE doc per DISTINCT signature in that band
+    * bucket (the streaming analog of the batch operator's
+    * exact-duplicate pre-collapse). Each arriving document is compared
+    * against the tracked representatives by exact hamming distance and
+    * every match ≤ `maxHamming` is emitted as a (representative,
+    * arrival) pair — including the hamming-0 pair when the signature was
+    * already tracked.
     *
-    * Parity with the batch operator: a pair is emitted iff the two
-    * signatures agree on ≥1 band AND hamming ≤ maxHamming — exactly the
-    * batch candidate+verify contract — so on the same files the emitted
-    * pair SET equals the batch result (the spec asserts it). Pairs
+    * Contract vs batch: a pair is emitted iff the signatures agree on
+    * the band AND hamming ≤ maxHamming, so the streamed set is a SUBSET
+    * of batch [[TextOps.simhashPairs]] — each arrival pairs against one
+    * representative per matching signature, not against every historical
+    * member of its clique (the full clique is unbounded history; the
+    * flag-on-arrival contract is what a streaming dedup needs). Pairs
     * agreeing on several bands emit once per band (at-least-once;
-    * downstream `dropDuplicates` restores exactly-once — cross-band
-    * dedup would need a second stateful stage keyed on the pair).
+    * downstream `dropDuplicates` restores exactly-once).
     *
-    * Scale bounds: state per band bucket is capped at `maxBucket`
-    * signatures (the same recall-vs-safety knob as the batch
-    * BoundedCollectSet; beyond it, new signatures still PAIR against the
-    * tracked set but stop enrolling — no unbounded state). 16 bytes per
-    * tracked signature: a band bucket costs at most 16·maxBucket bytes
-    * of store. */
+    * Scale bounds, both hard: state per band bucket ≤ `maxBucket`
+    * DISTINCT signatures (16 bytes each) — mass duplication costs ONE
+    * entry, so a dup-heavy stream cannot exhaust the cap and suppress
+    * later distinct near-dups; and emission is a lazy iterator (≤
+    * maxBucket matches per arriving row, state committed by the
+    * terminal flush step), never a materialized per-batch buffer. */
   def simhashPairsStream(docs: DataFrame, maxHamming: Int = 12,
       maxBucket: Int = 1000): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -119,20 +124,22 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[(String, Long, Long)],
             state: GroupState[Seq[(Long, Long)]]) =>
+          // (rep doc_id, signature), one entry per distinct signature
           var seen = state.getOption.getOrElse(Vector.empty)
-          val out = Seq.newBuilder[(Long, Long, Int)]
-          rows.foreach { case (_, docId, sig) =>
-            seen.foreach { case (d2, s2) =>
-              if (d2 != docId) {
-                val ham = java.lang.Long.bitCount(sig ^ s2)
-                if (ham <= maxHamming)
-                  out += ((math.min(docId, d2), math.max(docId, d2), ham))
-              }
+          val matches = rows.flatMap { case (_, docId, sig) =>
+            val hits = seen.flatMap { case (rep, s2) =>
+              val ham = java.lang.Long.bitCount(sig ^ s2)
+              if (ham <= maxHamming && rep != docId)
+                Some((math.min(docId, rep), math.max(docId, rep), ham))
+              else None
             }
-            if (seen.size < maxBucket) seen = seen :+ ((docId, sig))
+            if (seen.size < maxBucket && !seen.exists(_._2 == sig))
+              seen = seen :+ ((docId, sig))
+            hits
           }
-          state.update(seen)
-          out.result().iterator
+          // lazy ++: the flush step runs after `matches` is exhausted,
+          // committing the final state without materializing the output
+          matches ++ { state.update(seen); Iterator.empty }
       }
       .toDF("doc_a", "doc_b", "hamming")
   }

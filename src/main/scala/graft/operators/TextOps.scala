@@ -505,13 +505,16 @@ object TextOps {
       .select(col("doc_id"), shinglesOf(col("t"), n).as("sh"))
     val benchGrams = docs.filter(col("doc_id") < benchDocs)
       .select(explode(col("sh")).as("gram")).distinct()
-    val corpus = docs.filter(col("doc_id") >= benchDocs)
-      .select(col("doc_id"), size(col("sh")).as("n_grams"), col("sh"))
-    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("gram"))
+    // n_grams rides through the explode so the corpus tokenize+shingle
+    // pipeline evaluates ONCE and no doc_id re-join is needed (grouping
+    // by the functionally-dependent (doc_id, n_grams) pair is free)
+    val hits = docs.filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id"), size(col("sh")).as("n_grams"),
+        explode(col("sh")).as("gram"))
       .join(benchGrams, "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    corpus.select(col("doc_id"), col("n_grams"))
-      .join(hits, "doc_id")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit"))
+    hits
       .withColumn("overlap",
         col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType))
       .filter(col("overlap") >= minOverlap)

@@ -85,6 +85,22 @@ class MassDupSpec extends SparkSpec {
     assert(agg("cold").map(_.toSet.size) === Some(7), "group under the cap is exact")
   }
 
+  test("boundedCollectSet: repeated struct values dedup (canonical element form)") {
+    // 5000 copies of the SAME struct value across 8 partitions with cap
+    // 10: must dedup to one element, never trip the cap. Guards the
+    // element canonicalization — raw GenericInternalRow storage has
+    // identity equals and would count every copy as distinct (false
+    // overflow), and sort-based fallback merges mix update-origin and
+    // deserialize-origin representations
+    val df = (0 until 5000).map(_ => ("k", 1L, "same")).toDF("k", "a", "b")
+      .repartition(8)
+    val r = df.groupBy($"k")
+      .agg(boundedCollectSet(struct($"a", $"b"), 10).as("ids"))
+      .collect().head
+    assert(!r.isNullAt(1), "identical values must never overflow the cap")
+    assert(r.getSeq[Any](1).size === 1)
+  }
+
   test("boundedCollectSet: struct elements and the exact-cap boundary") {
     val df = (0 until 100).map(i => ("k", i.toLong, s"s$i")).toDF("k", "a", "b")
       .repartition(5)

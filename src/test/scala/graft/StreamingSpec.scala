@@ -60,7 +60,7 @@ class StreamingSpec extends SparkSpec {
     assert(batchDedup.count() == expectedKeys)
   }
 
-  test("simhashPairsStream: streamed near-dup pairs == batch simhashPairs set") {
+  test("simhashPairsStream: streamed pairs ⊆ batch; near-dups and dup reps surface") {
     import graft.operators.TextOps
     val src = tmp("simhash_src")
     // real corpus slice + injected exact duplicates + a known near-dup
@@ -87,12 +87,43 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("simhash_stream")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
-    assert(streamed == batch, // SET equality: same candidate+verify contract
-      s"stream ${streamed.size} vs batch ${batch.size}; " +
-        s"onlyStream=${(streamed -- batch).take(5)} onlyBatch=${(batch -- streamed).take(5)}")
-    assert(batch.nonEmpty && batch.contains((900000L, 900001L, 5)))
-    // the injected exact duplicates surface as hamming-0 pairs
-    assert(batch.exists(_._3 == 0))
+    // flag-on-arrival contract: every streamed pair is a true batch pair
+    // (subset — arrivals pair against one representative per signature,
+    // not the full historical clique)
+    assert(streamed.subsetOf(batch),
+      s"not in batch: ${(streamed -- batch).take(5)}")
+    assert(streamed.contains((900000L, 900001L, 5)))
+    // every injected duplicate is flagged against its representative
+    val dupPairs = streamed.filter(p => p._2 >= 500000L && p._3 == 0)
+    assert(dupPairs.map(_._2) == (0 until 30).map(_ + 500000L).toSet, dupPairs)
+  }
+
+  test("simhashPairsStream: mass duplicates occupy ONE state slot, never the cap") {
+    import spark.implicits._
+    val src = tmp("simhash_cap")
+    // 40 identical docs with maxBucket=1: per-distinct-signature state
+    // means the duplicates all match the single tracked representative —
+    // per-document state would enroll only the first doc and a cap this
+    // small would also suppress any later distinct signature
+    val text = "identical content repeated many times across this stream " +
+      "to prove state is per distinct signature not per document"
+    (0L until 40L).map(i => (i, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = StreamingOps.simhashPairsStream(stream, maxBucket = 1)
+      .writeStream.format("memory").queryName("simhash_cap")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("simhash_cap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // all 39 non-representative docs flagged against ONE representative
+    // (whichever arrived first in the shuffled micro-batch) at hamming 0
+    assert(out.size == 39 && out.forall(_._3 == 0), out.take(5))
+    val rep = (0L until 40L).find(r =>
+      out == (0L until 40L).filter(_ != r).map(i =>
+        (math.min(r, i), math.max(r, i), 0)).toSet)
+    assert(rep.nonEmpty, s"no single representative explains ${out.take(5)}")
   }
 
   test("bronzeCsvStream: AvailableNow incremental ingest with metadata") {
