@@ -410,6 +410,35 @@ SELECT
 FROM g"""
     },
 
+    // Gopher/C4-style quality-rule audit per source; every rule is a
+    // per-row boolean, rollup is exact integer counting
+    "q_quality_rules" -> """WITH staged AS (
+  SELECT source,
+    string_split_regex(trim(text), '\s+') AS t,
+    length(regexp_replace(text, '\s+', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g')) AS n_sym,
+    list_transform(range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+      i -> array_to_string((string_split_regex(trim(text), '\s+'))[i+1:i+2], ' ')) AS g2
+  FROM documents),
+flags AS (
+  SELECT source,
+    (len(t) < 10) AS r1,
+    (CAST(n_alpha AS DOUBLE) / CAST(len(t) AS DOUBLE) < 3.0
+      OR CAST(n_alpha AS DOUBLE) / CAST(len(t) AS DOUBLE) > 10.0) AS r2,
+    (1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+      / CAST(greatest(len(t) - 1, 1) AS DOUBLE) > 0.2) AS r3,
+    (len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x))) = 0) AS r4,
+    (CAST(n_sym AS DOUBLE) / CAST(n_alpha AS DOUBLE) > 0.1) AS r5
+  FROM staged)
+SELECT source, count(*) AS n_docs,
+  count(CASE WHEN r1 THEN 1 END) AS r_too_short,
+  count(CASE WHEN r2 THEN 1 END) AS r_word_len,
+  count(CASE WHEN r3 THEN 1 END) AS r_repetition,
+  count(CASE WHEN r4 THEN 1 END) AS r_no_stopword,
+  count(CASE WHEN r5 THEN 1 END) AS r_symbol_heavy,
+  count(CASE WHEN NOT (r1 OR r2 OR r3 OR r4 OR r5) THEN 1 END) AS n_pass
+FROM flags GROUP BY source ORDER BY source""",
+
     // per-language top-20 token vocabulary, deterministic tie-break on
     // the token string
     "q_vocab_topk" -> """WITH tok AS (

@@ -462,6 +462,53 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher/C4-style quality-rule audit, per source: how many documents
+    * fail each of five classic pre-training filters, plus the all-rules
+    * pass count. One scan, one aggregate — every rule is a per-row
+    * boolean over the staged token array, and the per-source rollup is
+    * exact integer counting (no float aggregation hazard; the only
+    * doubles are per-row single divisions, bit-identical cross-engine).
+    *
+    * Rules (thresholds scaled to the fixture corpus's short documents):
+    * too_short (< 10 tokens), word-length outlier (mean word length
+    * outside [3, 10]), repetition (duplicate word-2-gram fraction
+    * > 0.2 — the within-document repetition signal), no stopword hit
+    * (English marker set), symbol-heavy (non-alphanumeric, non-space
+    * chars > 10% of non-space chars). */
+  def qualityRules(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    qualityRulesOf(Engine.spread(Tables.documents(spark, sfDir)))
+  }
+
+  /** [[qualityRules]] over an arbitrary (source, text) frame. */
+  private[graft] def qualityRulesOf(raw: DataFrame): DataFrame = {
+    val t = col("t")
+    val nTok = size(t).cast(DoubleType)
+    val meanWordLen = col("n_alpha").cast(DoubleType) / nTok
+    val total2g = greatest(size(t) - 1, lit(1)).cast(DoubleType)
+    val dup2gFrac = lit(1.0) -
+      size(array_distinct(col("g2"))).cast(DoubleType) / total2g
+    val symFrac = col("n_sym").cast(DoubleType) / col("n_alpha").cast(DoubleType)
+    val rules = Seq(
+      "r_too_short" -> (size(t) < 10),
+      "r_word_len" -> (meanWordLen < 3.0 || meanWordLen > 10.0),
+      "r_repetition" -> (dup2gFrac > 0.2),
+      "r_no_stopword" -> (size(filter(t,
+        x => x.isin(LangMarkers.head._2: _*))) === 0),
+      "r_symbol_heavy" -> (symFrac > 0.1))
+    val staged = raw
+      .withColumn("t", tokens(col("text")))
+      .withColumn("g2", shingleSeqOf(t, 2))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "\\s+", "")))
+      .withColumn("n_sym",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]+", "")))
+    staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (rules.map { case (name, pred) => countIf(pred).as(name) } :+
+          countIf(rules.map(_._2).reduce(_ || _) === false).as("n_pass")): _*)
+      .orderBy(col("source"))
+  }
+
   /** Per-language top-`k` token vocabulary by frequency — the corpus
     * vocabulary report every tokenizer-training / data-mix decision
     * starts from. explode → two-level hash aggregate (map-side combine:
