@@ -95,7 +95,23 @@ sig AS (
   FROM nib)"""
   }
 
-  val all: Map[String, String] = Map(
+  // lazy: `base` is declared below (initialization order)
+  lazy val all: Map[String, String] = base + ("q_ann_recall" ->
+    // index-quality evaluation: recall@5 of the IVF index against the
+    // brute-force ground truth, composed from the two oracle pipelines
+    s"""WITH bf AS (${"\n"}SELECT * FROM (${base("q_ann_bruteforce")})),
+ivf AS (SELECT * FROM (${base("q_ann_ivf")})),
+hit AS (
+  SELECT bf.query_id, count(*) AS n_hit
+  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+  GROUP BY bf.query_id)
+SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
+  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hit h ON q.query_id = h.query_id
+ORDER BY q.query_id""")
+
+  private val base: Map[String, String] = Map(
     "q_claims_summary" -> """SELECT
   CAST(year(l_shipdate) AS INT) AS service_year,
   CAST(month(l_shipdate) AS INT) AS service_month,

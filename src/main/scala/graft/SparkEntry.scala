@@ -60,6 +60,7 @@ object SparkEntry {
     "q_ann_ivf_trained" -> ((s: SparkSession, d: String) => VectorOps.annIvfTrained(s, d)),
     "q_neardup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "q_embed_quantize" -> VectorOps.embedQuantize _,
+    "q_ann_recall" -> ((s: SparkSession, d: String) => VectorOps.annRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -253,6 +253,30 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Index-quality evaluation: recall@k of the IVF index against the
+    * brute-force exact ground truth, per query — the report that
+    * justifies (or rejects) an ANN index before it ships. Composes two
+    * existing operators; at scale the ground truth runs on a sampled
+    * query set, so the cost is bounded by the brute-force baseline on
+    * that sample. LEFT join from the query set keeps recall-0 queries
+    * visible (an inner join would hide exactly the worst cases). */
+  def annRecall(spark: SparkSession, sfDir: String, k: Int = 5)
+      : DataFrame = {
+    Engine.configure(spark)
+    val bf = annBruteForce(spark, sfDir, k)
+      .select(col("query_id"), col("vec_id"))
+    val ivf = annIvf(spark, sfDir, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = bf.join(ivf, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    bf.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Symmetric int8 embedding quantization report — the 4× memory /
     * bandwidth lever an ANN index at 100 TB actually deploys — with
     * per-vector reconstruction error so a curator can decide whether
