@@ -486,20 +486,32 @@ FROM corpus JOIN hits h ON corpus.doc_id = h.doc_id
 WHERE CAST(h.n_hit AS DOUBLE) / CAST(corpus.n_grams AS DOUBLE) >= 0.5
 ORDER BY corpus.doc_id""",
 
+    // inverted-index form with the maxDf=1000 posting cap mirrored:
+    // shingles shared by more than 1000 docs in a block drop from
+    // candidate generation; jaccard = kept-inter / (n_a + n_b - inter)
     "q_neardup_pairs" -> """WITH sh AS (
   SELECT doc_id, lang, source,
     list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
       i -> array_to_string(t[i+1:i+3], ' '))) AS s
   FROM (SELECT doc_id, lang, source,
-          string_split_regex(trim(text), '\s+') AS t FROM documents) a
-)
-SELECT * FROM (
+          string_split_regex(trim(text), '\s+') AS t FROM documents) a),
+inv AS (
+  SELECT doc_id, lang, source, len(s) AS n, unnest(s) AS g FROM sh),
+kept AS (
+  SELECT lang, source, g FROM inv GROUP BY lang, source, g
+  HAVING count(*) > 1 AND count(*) <= 1000),
+pr AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
-    CAST(len(list_filter(list_distinct(a.s), x -> list_contains(b.s, x))) AS DOUBLE)
-      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
-  FROM sh a JOIN sh b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-) p WHERE jaccard >= 0.08
+    a.n AS n_a, b.n AS n_b, count(*) AS inter
+  FROM inv a
+  JOIN kept k ON k.lang = a.lang AND k.source = a.source AND k.g = a.g
+  JOIN inv b ON b.lang = a.lang AND b.source = a.source AND b.g = a.g
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.lang, a.source, a.n, b.n)
+SELECT doc_a, doc_b, lang, source,
+  CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+FROM pr
+WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.08
 ORDER BY doc_a, doc_b""",
 
     // Composed pipeline: exact dedup (keep min doc_id per normalized-text
@@ -520,12 +532,21 @@ sh AS (
     list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
       i -> array_to_string(t[i+1:i+3], ' '))) AS s
   FROM base),
+inv AS (
+  SELECT doc_id, lang, source, len(s) AS n, unnest(s) AS g FROM sh),
+kept AS (
+  SELECT lang, source, g FROM inv GROUP BY lang, source, g
+  HAVING count(*) > 1 AND count(*) <= 1000),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.08),
+  SELECT doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      a.n AS n_a, b.n AS n_b, count(*) AS inter
+    FROM inv a
+    JOIN kept k ON k.lang = a.lang AND k.source = a.source AND k.g = a.g
+    JOIN inv b ON b.lang = a.lang AND b.source = a.source AND b.g = a.g
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n, b.n) x
+  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.08),
 clean AS (
   SELECT doc_id, lang, source, t,
     least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE)) * 0.4

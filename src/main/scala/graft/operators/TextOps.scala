@@ -106,26 +106,36 @@ object TextOps {
   }
 
   /** Inverted-index pair search over a (doc_id, lang, source, sh) frame:
-    * explode shingles, self-join on (block, shingle) to count the
-    * intersection per pair, join back per-doc set sizes —
+    * explode shingles into BOUNDED per-(block, shingle) posting lists,
+    * emit in-list pair combinations, count the intersection per pair —
     * |A∪B| = |A|+|B|−|A∩B|. Pairs sharing no shingle never materialize
     * (they can't pass a positive threshold), so the work is
-    * ∝ Σ_shingle df(shingle)², not block size² — the standard
-    * candidate-generation shape at 100 TB scale. Jaccard stays a ratio
-    * of exact integers: no float hazard. (The round-1 blocked-cross-join
-    * form computed array_intersect/union over every pair and was the #2
-    * bench hotspot.) Shared by [[nearDupPairs]] and [[corpusClean]]. */
-  private def invertedIndexPairs(docs: DataFrame, threshold: Double)
-      : DataFrame = {
+    * ∝ Σ_shingle df(shingle)², not block size² — and the posting lists
+    * are hard-capped at `maxDf` by [[graft.expressions.BoundedCollectSet]]:
+    * a BOILERPLATE shingle shared by millions of documents (the df²
+    * blowup exact dedup does not defuse — distinct texts share headers)
+    * evaluates to NULL and drops out of candidate generation, the same
+    * audited recall-vs-safety knob as the banded searches. Pairs whose
+    * overlap is only boilerplate disappear; pairs sharing any non-hot
+    * shingle keep their (kept-shingle) intersection count. Jaccard stays
+    * a ratio of exact integers: no float hazard. This form also
+    * evaluates the tokenize+shingle pipeline ONCE (the previous a/b
+    * self-join evaluated it per side). Shared by [[nearDupPairs]] and
+    * [[corpusClean]]. */
+  private def invertedIndexPairs(docs: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
+    import graft.expressions.BoundedCollectSet.boundedCollectSet
     val sized = docs.withColumn("n", size(col("sh")))
     val inv = sized.select(col("doc_id"), col("lang"), col("source"), col("n"),
       explode(col("sh")).as("shingle"))
-    val a = inv.select(col("lang"), col("source"), col("shingle"),
-      col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = inv.select(col("lang"), col("source"), col("shingle"),
-      col("doc_id").as("doc_b"), col("n").as("n_b"))
-    a.join(b, Seq("lang", "source", "shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val posts = inv.groupBy(col("lang"), col("source"), col("shingle"))
+      .agg(boundedCollectSet(struct(col("doc_id"), col("n")), maxDf).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 1)
+      .withColumn("sids", array_sort(col("ids")))
+    bucketCombos(posts, Seq("lang", "source"))
+      .select(col("lang"), col("source"),
+        col("p.a.doc_id").as("doc_a"), col("p.a.n").as("n_a"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.n").as("n_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("lang"), col("source"),
         col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
@@ -140,13 +150,21 @@ object TextOps {
     * (lang, source) blocks — [[invertedIndexPairs]] over the documents
     * table. */
   def nearDupPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.08): DataFrame = {
+      threshold: Double = 0.08, maxDf: Int = 1000): DataFrame = {
     Engine.configure(spark)
-    val docs = Engine.spread(Tables.documents(spark, sfDir))
+    nearDupPairsOf(Engine.spread(Tables.documents(spark, sfDir)),
+      threshold, maxDf)
+  }
+
+  /** [[nearDupPairs]] over an arbitrary (doc_id, lang, source, text)
+    * frame. */
+  private[graft] def nearDupPairsOf(raw: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
+    val docs = raw
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), col("lang"), col("source"),
         shinglesOf(col("t"), 3).as("sh"))
-    invertedIndexPairs(docs, threshold)
+    invertedIndexPairs(docs, threshold, maxDf)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -167,7 +185,8 @@ object TextOps {
     * adds nothing beyond its parts, which is the point — at 100 TB the
     * stages fuse into scans + a handful of key-bounded shuffles. */
   def corpusClean(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.08, minQuality: Double = 0.5): DataFrame = {
+      threshold: Double = 0.08, minQuality: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
     Engine.configure(spark)
     val raw = Engine.spread(Tables.documents(spark, sfDir))
     val keep = raw.groupBy(contentHash(col("text")).as("h"))
@@ -177,7 +196,7 @@ object TextOps {
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), col("lang"), col("source"), col("t"),
         shinglesOf(col("t"), 3).as("sh"))
-    val dropped = invertedIndexPairs(base, threshold)
+    val dropped = invertedIndexPairs(base, threshold, maxDf)
       .select(col("doc_b").as("doc_id")).distinct()
     base.join(dropped, Seq("doc_id"), "left_anti")
       .withColumn("q", textQualityOf(col("t")))
@@ -222,15 +241,17 @@ object TextOps {
   }
 
   /** In-bucket pair combinations from a `sids` sorted-array column —
-    * shared by the minhash and simhash band searches. `sids` is bounded
-    * by the bucket cap, so the quadratic stays small per row. */
-  private def bucketCombos(buckets: DataFrame): DataFrame =
-    buckets.select(explode(flatten(transform(
+    * shared by the minhash/simhash band searches and the inverted-index
+    * posting lists. `sids` is bounded by the bucket cap, so the
+    * quadratic stays small per row; `keep` columns ride along. */
+  private def bucketCombos(buckets: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    buckets.select(keep.map(col) :+ explode(flatten(transform(
       sequence(lit(0), size(col("sids")) - 2),
       i => transform(
         slice(col("sids"), i + lit(2), size(col("sids"))),
         x => struct(element_at(col("sids"), i + lit(1)).as("a"),
-          x.as("b")))))).as("p"))
+          x.as("b")))))).as("p"): _*)
 
   /** Expand canonical-representative near-dup pairs back to the full
     * doc-pair set through the exact-duplicate group mapping

@@ -73,6 +73,27 @@ class MassDupSpec extends SparkSpec {
     assert(out.length >= withinPairs)
   }
 
+  test("nearDupPairs: boilerplate shingles cap out of candidate generation") {
+    // ten docs in one block share ONLY a boilerplate header; two of them
+    // also share real content. With maxDf=5 the header shingles (df=10)
+    // drop from the posting lists: header-only pairs disappear, the
+    // genuinely-similar pair survives on its own shingles
+    val header = "standard corporate disclaimer header boilerplate text"
+    val docs = (
+      (0L until 8L).map(i =>
+        (i, "en", "s0", s"$header unique$i apple$i banana$i cherry$i")) ++
+      Seq((100L, "en", "s0",
+            header + " shared real content sentence about spacecraft"),
+          (101L, "en", "s0",
+            header + " shared real content sentence about spacecraft today"))
+    ).toDF("doc_id", "lang", "source", "text")
+    val uncapped = TextOps.nearDupPairsOf(docs, 0.01, 1000).collect()
+    assert(uncapped.length > 10, "header-only pairs appear without the cap")
+    val capped = TextOps.nearDupPairsOf(docs, 0.01, 5).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((100L, 101L)), capped.mkString(","))
+  }
+
   test("boundedCollectSet: exact below the cap, NULL above it, across partitions") {
     val df = (0 until 3000).map {
       case i if i < 2500 => ("hot", i)    // 2500 distinct values
