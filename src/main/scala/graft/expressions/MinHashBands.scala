@@ -1,0 +1,88 @@
+package graft.expressions
+
+import org.apache.commons.codec.digest.DigestUtils
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native banded MinHash over an `array<string>` shingle column: k
+  * salted-md5 signature components (component i = min over shingles of
+  * hex md5 of "i:" + shingle; hex-string min = byte-lexicographic, the
+  * cross-engine-stable order) grouped into k/r bands of r, each band
+  * value the hex md5 of its components joined with "|". Bit-identical
+  * to the layered HOF formulation in
+  * [[graft.functions.TextFunctions.minhashBands]] (kept for the
+  * differential spec) and to the DuckDB oracle.
+  *
+  * Why a custom Expression (same rationale as [[SimHash48]]): the HOF
+  * version runs k interpreted `transform` traversals + k `array_min`
+  * reductions per row — one boxed lambda call and one md5 Expression
+  * evaluation per (component, shingle) — and materializes k intermediate
+  * arrays. Here the whole signature is one primitive loop (k digests
+  * per shingle, tracked mins, no intermediate allocation) participating
+  * in whole-stage codegen via a static call.
+  *
+  * Null contract: null input array → null; null ELEMENTS are skipped
+  * (absent features). A feature-less input yields md5("") per band —
+  * exactly the HOF's concat_ws-skips-null behavior — but shinglesOf
+  * guarantees ≥1 shingle per document.
+  */
+case class MinHashBands(child: Expression, k: Int, bandSize: Int)
+    extends UnaryExpression {
+
+  require(k > 0 && bandSize > 0 && k % bandSize == 0,
+    "k must be a positive multiple of bandSize")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashBands.compute(input.asInstanceOf[ArrayData], k, bandSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.expressions.MinHashBands.compute($a, $k, $bandSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  def compute(arr: ArrayData, k: Int, r: Int): ArrayData = {
+    val mins = new Array[String](k)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { // null features are skipped, not a crash
+        val s = arr.getUTF8String(i).toString
+        var c = 0
+        while (c < k) {
+          val h = DigestUtils.md5Hex((c + ":" + s).getBytes("UTF-8"))
+          if (mins(c) == null || h.compareTo(mins(c)) < 0) mins(c) = h
+          c += 1
+        }
+      }
+      i += 1
+    }
+    val bands = new Array[AnyRef](k / r)
+    var j = 0
+    while (j < k / r) {
+      // concat_ws semantics: null components (feature-less input) skip
+      val joined = mins.slice(j * r, (j + 1) * r).filter(_ != null)
+        .mkString("|")
+      bands(j) = UTF8String.fromString(DigestUtils.md5Hex(
+        joined.getBytes("UTF-8")))
+      j += 1
+    }
+    new GenericArrayData(bands)
+  }
+}

@@ -167,11 +167,22 @@ object TextFunctions {
 
   /** Banded MinHash: k components grouped into bands of r; two documents
     * are LSH candidates iff they agree on ALL components of SOME band.
-    * Returns the band-value columns (md5 of the concatenated band). */
+    * Returns the band-value columns (md5 of the concatenated band).
+    * Layered HOF formulation — kept for the differential spec against
+    * the native [[minhashBandsNative]], which operators use. */
   def minhashBands(sh: Column, k: Int, r: Int): Seq[Column] = {
     require(k % r == 0, "k must be a multiple of band size r")
     val comps = (0 until k).map(minhashComponent(sh, _))
     comps.grouped(r).map(band => md5(concat_ws("|", band: _*))).toSeq
+  }
+
+  /** Native codegen'd banded MinHash — one primitive loop per row
+    * instead of k interpreted HOF traversals; bit-identical to
+    * [[minhashBands]] (TextVectorSpec asserts it). Returns ONE
+    * array<string> column of the k/r band values. */
+  def minhashBandsNative(sh: Column, k: Int, r: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.expressions.MinHashBands(toExpression(sh), k, r))
   }
 
   // --- SimHash ---------------------------------------------------------

@@ -338,11 +338,9 @@ object TextOps {
       .select(col("doc_id"), col("rep"), col("grp_n"))
     val docs = toks.join(groups.select(col("rep").as("doc_id")), "doc_id")
       .select(col("doc_id"), shinglesOf(col("t"), 3).as("sh"))
-    val bandCols = minhashBands(col("sh"), k, bandSize)
-    val banded = docs.select(col("doc_id") +:
-      bandCols.zipWithIndex.map { case (c, j) => c.as(s"band_$j") }: _*)
-    val exploded = banded.select(col("doc_id"),
-      posexplode(array((0 until k / bandSize).map(j => col(s"band_$j")): _*))
+    // native one-loop signature (12 HOF traversals → one codegen'd call)
+    val exploded = docs.select(col("doc_id"),
+      posexplode(minhashBandsNative(col("sh"), k, bandSize))
         .as(Seq("band_idx", "band_val")))
     // ONE evaluation of the signature pipeline: group docs per band
     // bucket, then emit in-bucket pair combinations — a self-join would

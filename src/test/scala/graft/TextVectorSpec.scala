@@ -320,6 +320,29 @@ class TextVectorSpec extends SparkSpec {
       inCodegen.map(_.toString).exists(_.contains("vector_l2sq")), exec.toString)
   }
 
+  test("native MinHashBands == HOF formulation bit-for-bit on real documents") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("t", T.tokens($"text"))
+      .withColumn("sh", T.shinglesOf($"t", 3))
+    val hofBands = T.minhashBands($"sh", 12, 3)
+    val diff = docs.select(
+        T.minhashBandsNative($"sh", 12, 3).as("nat"),
+        array(hofBands: _*).as("hof"))
+      .filter($"nat" =!= $"hof").count()
+    assert(diff == 0)
+    // participates in whole-stage codegen over a non-foldable input
+    val exec = spark.range(3)
+      .select(array(concat($"id".cast("string"), lit(" words here")))
+        .as("sh"))
+      .select(T.minhashBandsNative($"sh", 12, 3).as("b"))
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(inCodegen.nonEmpty &&
+      inCodegen.map(_.toString).exists(_.contains("minhash_bands")), exec.toString)
+  }
+
   test("VectorDot / VectorL2Sq: ragged arrays return NULL, matching the HOF") {
     // native == HOF must hold UNCONDITIONALLY: zip_with null-pads the
     // shorter array, so the HOF yields null on a length mismatch — a
