@@ -129,6 +129,45 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(not($"same")).count() == 0)
   }
 
+  test("∀ frames: boundedCollectSet == collect_set when under the cap, NULL over it") {
+    import graft.expressions.BoundedCollectSet.boundedCollectSet
+    val gen = for {
+      k <- Gen.choose(0, 5)
+      v <- Gen.choose(0, 30)
+    } yield (s"k$k", v)
+    val df = samples(gen, 600).toDF("k", "v").repartition(7)
+    val both = df.groupBy($"k")
+      .agg(collect_set($"v").as("stock"),
+        boundedCollectSet($"v", 8).as("bounded"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val stock = r.getSeq[Int](1).toSet
+      if (stock.size <= 8)
+        assert(Option(r.getSeq[Int](2)).map(_.toSet).contains(stock), r)
+      else assert(r.isNullAt(2), r)
+    }
+  }
+
+  test("∀ texts: nfc is idempotent and normalizes combining == precomposed") {
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("café"), Gen.const("café"),
+      Gen.const("über"), Gen.const("über")))
+      .map(_.mkString(" "))
+    val df = samples(gen, 400).toDF("s")
+      .select(T.nfc($"s").as("n1"), T.nfc(T.nfc($"s")).as("n2"),
+        T.contentHash($"s").as("h"),
+        T.contentHash(T.nfc($"s")).as("hn"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1), "idempotent")
+      assert(r.getString(2) == r.getString(3), "contentHash already canonicalizes")
+    }
+    // the two accent encodings collapse to one hash
+    val hs = Seq("x café y", "x café y").toDF("s")
+      .select(T.contentHash($"s")).distinct().count()
+    assert(hs == 1)
+  }
+
   test("∀ feature sets: SimHash48 is order-invariant and in [0, 2^48)") {
     val word = Gen.oneOf("a", "b", "cat", "dog gram", "x1 y2 z3")
     val feats = Gen.nonEmptyListOf(word).map(_.distinct)
