@@ -265,7 +265,12 @@ object TextOps {
     * never held in one aggregation buffer.
     *
     * `mapping` is referenced by three joins; at cluster scale persist it
-    * (it is metadata-sized: two longs + a count per document). */
+    * (it is metadata-sized: two longs + a count per document). Measured
+    * at sf0.01: AQE reuses 6 exchanges across the references, but the
+    * final adaptive plan still executes ~16 documents scans — free on
+    * the test files, a real cost at 100 TB, which is why the persist
+    * note above is part of the contract and a materialization knob is a
+    * SURVEY §9 seed. */
   private def expandDupGroups(canon: DataFrame, mapping: DataFrame,
       metric: String, selfMetric: Column): DataFrame = {
     val cross = canon
