@@ -144,6 +144,25 @@ object StreamingOps {
       .toDF("doc_a", "doc_b", "hamming")
   }
 
+  /** Exactly-once variant of [[simhashPairsStream]]: a second stateful
+    * stage keyed on the (doc_a, doc_b) pair ([[dedupFirstSeen]]) absorbs
+    * the per-band at-least-once duplication — Spark 4 supports chaining
+    * the two flatMapGroupsWithState operators in one streaming query
+    * (verified by StreamingSpec end-to-end). Hamming is deterministic
+    * per pair, so first-seen keeps the correct value. State cost of the
+    * second stage is one boolean per distinct emitted pair — the
+    * inherent price of exactly-once; at 100 TB bound it with a state
+    * TTL (GroupStateTimeout) if the pair stream is unbounded. */
+  def simhashPairsStreamExactlyOnce(docs: DataFrame, maxHamming: Int = 12,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = simhashPairsStream(docs, maxHamming, maxBucket)
+      .as[(Long, Long, Int)]
+    dedupFirstSeen(pairs.groupByKey(p => p._1 + ":" + p._2))
+      .toDF("doc_a", "doc_b", "hamming")
+  }
+
   /** Streaming bronze: CSV file source → batch-metadata stamp → parquet
     * sink, Trigger.AvailableNow — the faithful Structured Streaming
     * restatement of the reference's hourly bronze DAG (SURVEY.md §2.8).

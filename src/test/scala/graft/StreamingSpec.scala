@@ -98,6 +98,28 @@ class StreamingSpec extends SparkSpec {
     assert(dupPairs.map(_._2) == (0 until 30).map(_ + 500000L).toSet, dupPairs)
   }
 
+  test("simhashPairsStreamExactlyOnce: chained stateful dedup — one row per pair") {
+    import spark.implicits._
+    val src = tmp("simhash_once")
+    // identical docs: every rep pair is emitted once PER MATCHING BAND
+    // (4 bands for equal signatures) by the first stage; the pair-keyed
+    // second stage must collapse that to exactly one row
+    val text = "identical content for the exactly once chained dedup check"
+    (0L until 15L).map(i => (i, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = StreamingOps.simhashPairsStreamExactlyOnce(stream)
+      .writeStream.format("memory").queryName("simhash_once")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("simhash_once")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == rows.distinct.length, "no pair twice")
+    assert(rows.length == 14 && rows.forall(_._3 == 0),
+      s"14 rep pairs exactly once, got ${rows.length}")
+  }
+
   test("simhashPairsStream: mass duplicates occupy ONE state slot, never the cap") {
     import spark.implicits._
     val src = tmp("simhash_cap")
