@@ -715,11 +715,15 @@ SELECT vec_id, scale,
 FROM q ORDER BY vec_id"""
     },
 
-    "q_neardup_embedding" -> s"""SELECT label, id_a, id_b, cos_sim FROM (
+    // maxBlock=10000 mirror: labels with more members are excluded
+    "q_neardup_embedding" -> s"""WITH okl AS (
+  SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 10000)
+SELECT label, id_a, id_b, cos_sim FROM (
   SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
     ${graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding")} AS cos_sim
   FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id) p
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN okl ON okl.label = a.label) p
 WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""",
 
     "q_dedup_minhash" -> {

@@ -312,14 +312,30 @@ object VectorOps {
     * cluster id): exact cosine within each block, pairs above `minCos`.
     * Blocking bounds the pair count by block size² exactly like the
     * n-gram near-dup blocking — the property that keeps this viable at
-    * scale; an unblocked variant is [[annLsh]]. */
+    * scale — and the bound is made EXPLICIT: blocks larger than
+    * `maxBlock` are excluded (the same audited recall-vs-safety knob as
+    * the LSH bucket and posting-list caps; a mega-cluster would
+    * otherwise put an n² join on one key). An unblocked variant is
+    * [[annLsh]]. */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
-      minCos: Double = 0.3): DataFrame = {
+      minCos: Double = 0.3, maxBlock: Int = 10000): DataFrame = {
     Engine.configure(spark)
-    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
-    val a = emb.select(col("vec_id").as("id_a"),
+    embeddingNearDupOf(Engine.spread(Tables.embeddings(spark, sfDir)),
+      minCos, maxBlock)
+  }
+
+  /** [[embeddingNearDup]] over an arbitrary (vec_id, label, embedding)
+    * frame. */
+  private[graft] def embeddingNearDupOf(emb: DataFrame, minCos: Double,
+      maxBlock: Int): DataFrame = {
+    val okLabels = broadcast(emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBlock)
+      .select(col("label")))
+    val bounded = emb.join(okLabels, "label")
+    val a = bounded.select(col("vec_id").as("id_a"),
       col("embedding").as("va"), col("label"))
-    val b = emb.select(col("vec_id").as("id_b"),
+    val b = bounded.select(col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("label"))
     a.join(b, "label").filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),

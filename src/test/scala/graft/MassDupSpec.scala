@@ -94,6 +94,21 @@ class MassDupSpec extends SparkSpec {
       == Seq((100L, 101L)), capped.mkString(","))
   }
 
+  test("embeddingNearDup: oversized blocks are excluded by maxBlock") {
+    import graft.operators.VectorOps
+    // hot cluster of 8 identical vectors + a small pair; cap 5 excludes
+    // the hot label entirely, keeping only the small block's pair
+    val v = Seq(1.0f, 0.0f)
+    val rows = (0L until 8L).map(i => (i, 0, v)) ++
+      Seq((100L, 1, v), (101L, 1, v))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val uncapped = VectorOps.embeddingNearDupOf(df, 0.5, 10000).collect()
+    assert(uncapped.length == 8 * 7 / 2 + 1)
+    val capped = VectorOps.embeddingNearDupOf(df, 0.5, 5).collect()
+    assert(capped.map(r => (r.getLong(1), r.getLong(2))).toSeq
+      == Seq((100L, 101L)), capped.mkString(","))
+  }
+
   test("boundedCollectSet: exact below the cap, NULL above it, across partitions") {
     val df = (0 until 3000).map {
       case i if i < 2500 => ("hot", i)    // 2500 distinct values
