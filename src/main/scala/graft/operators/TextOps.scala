@@ -572,14 +572,24 @@ object TextOps {
       : DataFrame = {
     Engine.configure(spark)
     val docs = Engine.spread(Tables.documents(spark, sfDir))
+    decontaminateAgainst(docs.filter(col("doc_id") >= benchDocs),
+      docs.filter(col("doc_id") < benchDocs), n, minOverlap)
+  }
+
+  /** [[decontaminate]] against a real evaluation table: `corpus` and
+    * `bench` are any (doc_id, text) frames (a production pipeline passes
+    * the eval-set parquet as `bench`). */
+  def decontaminateAgainst(corpus: DataFrame, bench: DataFrame,
+      n: Int = 5, minOverlap: Double = 0.5): DataFrame = {
+    def grams(df: DataFrame) = df
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), shinglesOf(col("t"), n).as("sh"))
-    val benchGrams = docs.filter(col("doc_id") < benchDocs)
+    val benchGrams = grams(bench)
       .select(explode(col("sh")).as("gram")).distinct()
     // n_grams rides through the explode so the corpus tokenize+shingle
     // pipeline evaluates ONCE and no doc_id re-join is needed (grouping
     // by the functionally-dependent (doc_id, n_grams) pair is free)
-    val hits = docs.filter(col("doc_id") >= benchDocs)
+    val hits = grams(corpus)
       .select(col("doc_id"), size(col("sh")).as("n_grams"),
         explode(col("sh")).as("gram"))
       .join(benchGrams, "gram")

@@ -11,6 +11,26 @@ class QualityRulesSpec extends SparkSpec {
   private val good = "the quick brown fox jumps over a lazy dog and then " +
     "walks away into the calm evening woods looking for food"
 
+  test("decontaminateAgainst: verbatim eval doc scores overlap 1.0; clean doc absent") {
+    val evalSet = Seq((0L, good)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, good),                                           // verbatim leak
+      (11L, good + " followed by a long appended tail of many extra " +
+        "original words that dilute the overlapping prefix well below " +
+        "half of the total five gram count for this document"), // partial leak
+      (12L, "completely unrelated content about orbital mechanics and " +
+        "spacecraft navigation systems during launch windows")
+    ).toDF("doc_id", "text")
+    val out = TextOps.decontaminateAgainst(corpus, evalSet, 5, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.keySet == Set(10L))
+    assert(out(10L) == 1.0)
+    // lowering the threshold surfaces the partial leak too
+    val loose = TextOps.decontaminateAgainst(corpus, evalSet, 5, 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(10L, 11L))
+  }
+
   test("every rule fires on its crafted violation and only that one") {
     val docs = Seq(
       ("good", good),
