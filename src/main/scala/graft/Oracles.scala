@@ -100,16 +100,12 @@ sig AS (
     // index-quality evaluation: recall@5 of the IVF index against the
     // brute-force ground truth, composed from the two oracle pipelines
     s"""WITH bf AS (${"\n"}SELECT * FROM (${base("q_ann_bruteforce")})),
-ivf AS (SELECT * FROM (${base("q_ann_ivf")})),
-hit AS (
-  SELECT bf.query_id, count(*) AS n_hit
-  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
-  GROUP BY bf.query_id)
-SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
-  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
-FROM (SELECT DISTINCT query_id FROM bf) q
-LEFT JOIN hit h ON q.query_id = h.query_id
-ORDER BY q.query_id""")
+ivf AS (SELECT * FROM (${base("q_ann_ivf")}))
+SELECT bf.query_id, count(ivf.vec_id) AS n_hit,
+  CAST(count(ivf.vec_id) AS DOUBLE) / 5.0 AS recall
+FROM bf LEFT JOIN ivf
+  ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+GROUP BY bf.query_id ORDER BY bf.query_id""")
 
   private val base: Map[String, String] = Map(
     "q_claims_summary" -> """SELECT
@@ -444,7 +440,8 @@ flags AS (
     (1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
       / CAST(greatest(len(t) - 1, 1) AS DOUBLE) > 0.2) AS r3,
     (len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x))) = 0) AS r4,
-    (CAST(n_sym AS DOUBLE) / CAST(n_alpha AS DOUBLE) > 0.1) AS r5
+    (CASE WHEN n_alpha = 0 THEN 0.0
+          ELSE CAST(n_sym AS DOUBLE) / CAST(n_alpha AS DOUBLE) END > 0.1) AS r5
   FROM staged)
 SELECT source, count(*) AS n_docs,
   count(CASE WHEN r1 THEN 1 END) AS r_too_short,

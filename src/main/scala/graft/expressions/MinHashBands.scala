@@ -25,10 +25,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * per shingle, tracked mins, no intermediate allocation) participating
   * in whole-stage codegen via a static call.
   *
-  * Null contract: null input array → null; null ELEMENTS are skipped
-  * (absent features). A feature-less input yields md5("") per band —
-  * exactly the HOF's concat_ws-skips-null behavior — but shinglesOf
-  * guarantees ≥1 shingle per document.
+  * Null contract: null input array → NULL. NB this deliberately
+  * DIVERGES from the HOF layering on that one edge (there, array_min of
+  * a null array nulls each component but concat_ws skips nulls, so a
+  * NULL input quirkily yields md5("") bands) — a library caller gets an
+  * honest NULL, and the operators never produce a null shingle array
+  * (tokens() of non-null text). Null ELEMENTS are skipped (absent
+  * features); a feature-less (empty) input yields md5("") per band,
+  * which DOES match the HOF. The differential spec asserts native==HOF
+  * null-safely on real documents and pins the NULL-input divergence
+  * explicitly.
   */
 case class MinHashBands(child: Expression, k: Int, bandSize: Int)
     extends UnaryExpression {
@@ -58,15 +64,23 @@ case class MinHashBands(child: Expression, k: Int, bandSize: Int)
 
 object MinHashBands {
   def compute(arr: ArrayData, k: Int, r: Int): ArrayData = {
+    // one MessageDigest reused across the k·n digest calls, shingle
+    // bytes encoded once per shingle, salt prefixes once per call —
+    // the O(k·n) loop allocates only the k running-min hex strings
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val salts = Array.tabulate(k)(c => (c + ":").getBytes("UTF-8"))
     val mins = new Array[String](k)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) { // null features are skipped, not a crash
-        val s = arr.getUTF8String(i).toString
+        val sBytes = arr.getUTF8String(i).getBytes
         var c = 0
         while (c < k) {
-          val h = DigestUtils.md5Hex((c + ":" + s).getBytes("UTF-8"))
+          md.reset()
+          md.update(salts(c))
+          md.update(sBytes)
+          val h = org.apache.commons.codec.binary.Hex.encodeHexString(md.digest())
           if (mins(c) == null || h.compareTo(mins(c)) < 0) mins(c) = h
           c += 1
         }

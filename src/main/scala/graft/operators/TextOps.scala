@@ -512,7 +512,12 @@ object TextOps {
     val total2g = greatest(size(t) - 1, lit(1)).cast(DoubleType)
     val dup2gFrac = lit(1.0) -
       size(array_distinct(col("g2"))).cast(DoubleType) / total2g
-    val symFrac = col("n_sym").cast(DoubleType) / col("n_alpha").cast(DoubleType)
+    // guard 0/0: Spark (ansi off) divides to NULL but DuckDB's IEEE
+    // semantics give NaN (and NaN > 0.1 is TRUE there) — an empty or
+    // all-whitespace document must count as NOT symbol-heavy on both
+    // engines, not hash-diverge
+    val symFrac = when(col("n_alpha") === 0, lit(0.0))
+      .otherwise(col("n_sym").cast(DoubleType) / col("n_alpha").cast(DoubleType))
     val rules = Seq(
       "r_too_short" -> (size(t) < 10),
       "r_word_len" -> (meanWordLen < 3.0 || meanWordLen > 10.0),
@@ -523,7 +528,7 @@ object TextOps {
     val staged = raw
       .withColumn("t", tokens(col("text")))
       .withColumn("g2", shingleSeqOf(t, 2))
-      .withColumn("n_alpha", length(regexp_replace(col("text"), "\\s+", "")))
+      .withColumn("n_alpha", charCount(col("text")))
       .withColumn("n_sym",
         length(regexp_replace(col("text"), "[A-Za-z0-9\\s]+", "")))
     staged.groupBy(col("source"))

@@ -258,22 +258,24 @@ object VectorOps {
     * justifies (or rejects) an ANN index before it ships. Composes two
     * existing operators; at scale the ground truth runs on a sampled
     * query set, so the cost is bounded by the brute-force baseline on
-    * that sample. LEFT join from the query set keeps recall-0 queries
-    * visible (an inner join would hide exactly the worst cases). */
+    * that sample. ONE evaluation of the expensive baseline: bf
+    * left-joins the index result and a single group-by counts matches —
+    * every query keeps its k ground-truth rows, so recall-0 queries
+    * stay visible without a second bf branch (exchange reuse across
+    * branches is AQE-dependent; one branch needs no reuse). */
   def annRecall(spark: SparkSession, sfDir: String, k: Int = 5)
       : DataFrame = {
+    import graft.functions.Exact.countIf
     Engine.configure(spark)
     val bf = annBruteForce(spark, sfDir, k)
       .select(col("query_id"), col("vec_id"))
     val ivf = annIvf(spark, sfDir, k)
-      .select(col("query_id"), col("vec_id"))
-    val hits = bf.join(ivf, Seq("query_id", "vec_id"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    bf.select(col("query_id")).distinct()
-      .join(hits, Seq("query_id"), "left_outer")
-      .select(col("query_id"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+    bf.join(ivf, Seq("query_id", "vec_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(countIf(col("__hit").isNotNull).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
       .orderBy(col("query_id"))
   }
 

@@ -325,11 +325,20 @@ class TextVectorSpec extends SparkSpec {
       .withColumn("t", T.tokens($"text"))
       .withColumn("sh", T.shinglesOf($"t", 3))
     val hofBands = T.minhashBands($"sh", 12, 3)
+    // null-safe inequality: a plain =!= filter is null-blind and would
+    // pass vacuously if either side ever went NULL
     val diff = docs.select(
         T.minhashBandsNative($"sh", 12, 3).as("nat"),
         array(hofBands: _*).as("hof"))
-      .filter($"nat" =!= $"hof").count()
+      .filter(!($"nat" <=> $"hof")).count()
     assert(diff == 0)
+    // NULL-input contract divergence, pinned: native gives an honest
+    // NULL; the HOF layering quirkily yields md5("") bands there
+    val nullIn = Seq(Tuple1(Option.empty[Seq[String]])).toDF("sh")
+      .select(T.minhashBandsNative($"sh", 12, 3).as("nat"),
+        array(T.minhashBands($"sh", 12, 3): _*).as("hof"))
+      .collect().head
+    assert(nullIn.isNullAt(0) && !nullIn.isNullAt(1))
     // participates in whole-stage codegen over a non-foldable input
     val exec = spark.range(3)
       .select(array(concat($"id".cast("string"), lit(" words here")))
