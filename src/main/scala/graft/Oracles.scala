@@ -593,11 +593,14 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_lsh" -> s"""WITH sig AS (
   SELECT vec_id, embedding,
     ${graft.functions.VectorFunctions.lshSignatureSql("embedding", 12, 64)} AS bucket
-  FROM embeddings)
+  FROM embeddings),
+okb AS (
+  SELECT bucket FROM sig GROUP BY bucket HAVING count(*) <= 10000)
 SELECT id_a, id_b, cos_sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     ${graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding")} AS cos_sim
-  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN okb ON okb.bucket = a.bucket) p
 WHERE cos_sim >= 0.2 ORDER BY id_a, id_b""",
 
     // Centroid dims are fixed-point means (floor(x·2^20) exact long sums)

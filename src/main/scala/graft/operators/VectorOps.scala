@@ -54,17 +54,33 @@ object VectorOps {
   /** LSH-bucketed ANN: signature → bucket self-join → exact cosine
     * re-rank within bucket. Trades recall for turning the O(n²) cross
     * join into a per-bucket join — the 100 TB path: shuffle is on the
-    * bucket key, pair count bounded by bucket size². Returns candidate
-    * pairs above `minCos`. */
+    * bucket key, pair count bounded by bucket size². The bound is made
+    * EXPLICIT: buckets larger than `maxBucket` are excluded (mass
+    * near-identical embeddings all share a signature — without the cap
+    * that one bucket is an n² join on a single key; same audited
+    * recall-vs-safety knob as every other pairwise operator here).
+    * Returns candidate pairs above `minCos`. */
   def annLsh(spark: SparkSession, sfDir: String, planes: Int = 12,
-      minCos: Double = 0.2): DataFrame = {
+      minCos: Double = 0.2, maxBucket: Int = 10000): DataFrame = {
     Engine.configure(spark)
-    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+    annLshOf(Engine.spread(Tables.embeddings(spark, sfDir)),
+      planes, minCos, maxBucket)
+  }
+
+  /** [[annLsh]] over an arbitrary (vec_id, embedding) frame. */
+  private[graft] def annLshOf(raw: DataFrame, planes: Int, minCos: Double,
+      maxBucket: Int): DataFrame = {
+    val emb = raw
       .select(col("vec_id"), col("embedding"),
         lshSignature(col("embedding"), planes, Dims).as("bucket"))
-    val a = emb.select(col("vec_id").as("id_a"),
+    val okBuckets = broadcast(emb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("bucket")))
+    val bounded = emb.join(okBuckets, "bucket")
+    val a = bounded.select(col("vec_id").as("id_a"),
       col("embedding").as("va"), col("bucket"))
-    val b = emb.select(col("vec_id").as("id_b"),
+    val b = bounded.select(col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("bucket"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -109,6 +109,25 @@ class MassDupSpec extends SparkSpec {
       == Seq((100L, 101L)), capped.mkString(","))
   }
 
+  test("annLsh: a hot signature bucket is excluded by maxBucket") {
+    import graft.operators.VectorOps
+    // identical embeddings share every hyperplane sign → one bucket of 8;
+    // a distinct well-separated pair lands elsewhere (verified below)
+    val hot = (0 until 64).map(i => if (i == 0) 1.0f else 0.0f)
+    val other = (0 until 64).map(i => if (i == 1) 1.0f else 0.1f)
+    val other2 = (0 until 64).map(i => if (i == 1) 1.0f else 0.11f)
+    val rows = (0L until 8L).map(i => (i, hot)) ++
+      Seq((100L, other), (101L, other2))
+    val df = rows.toDF("vec_id", "embedding")
+    val un = VectorOps.annLshOf(df, 12, 0.2, 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(un.contains((100L, 101L)) && un.size == 8 * 7 / 2 + 1,
+      s"hot-bucket pairs + the distinct pair expected, got $un")
+    val capped = VectorOps.annLshOf(df, 12, 0.2, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), capped)
+  }
+
   test("boundedCollectSet: exact below the cap, NULL above it, across partitions") {
     val df = (0 until 3000).map {
       case i if i < 2500 => ("hot", i)    // 2500 distinct values
