@@ -148,7 +148,15 @@ object TextOps {
 
   /** Near-duplicate pairs by exact n-gram (3-shingle) Jaccard within
     * (lang, source) blocks — [[invertedIndexPairs]] over the documents
-    * table. */
+    * table.
+    *
+    * Duplicate-heavy corpora: N exact copies put N entries in each of
+    * their shingles' posting lists, so beyond `maxDf` those shingles cap
+    * out and the copies' pairs are not reported — a RECALL effect (the
+    * memory/work bounds always hold), by the cap's design. When
+    * duplicate-heavy recall matters, run exact dedup first and the caps
+    * bound work with no recall loss — exactly the composition
+    * [[corpusClean]] ships. */
   def nearDupPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.08, maxDf: Int = 1000): DataFrame = {
     Engine.configure(spark)
