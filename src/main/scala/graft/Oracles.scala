@@ -452,6 +452,33 @@ SELECT source, count(*) AS n_docs,
   count(CASE WHEN NOT (r1 OR r2 OR r3 OR r4 OR r5) THEN 1 END) AS n_pass
 FROM flags GROUP BY source ORDER BY source""",
 
+    // data-mix plan: scarcest target language saturates; realized kept
+    // counts via the shared hash-bucket sampling key
+    "q_data_mix" -> {
+      import graft.functions.TextFunctions.hashBucket100Sql
+      s"""WITH w(lang, weight) AS (VALUES
+  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.25 AS DOUBLE)),
+  ('fr', CAST(0.2 AS DOUBLE)), ('es', CAST(0.15 AS DOUBLE))),
+cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+counts AS (
+  SELECT c.lang, c.n_docs, w.weight FROM cnt c JOIN w ON w.lang = c.lang),
+sc AS (SELECT min(CAST(n_docs AS DOUBLE) / weight) AS s FROM counts),
+plan AS (
+  SELECT lang, n_docs, weight,
+    CAST(least(floor(100.0 * s * weight / CAST(n_docs AS DOUBLE)), 100.0) AS INT)
+      AS keep_pct
+  FROM counts CROSS JOIN sc),
+kept AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN plan p ON p.lang = d.lang
+  WHERE ${hashBucket100Sql("d.doc_id")} < p.keep_pct
+  GROUP BY d.lang)
+SELECT p.lang, p.n_docs, p.weight, p.keep_pct,
+  coalesce(k.n_kept, 0) AS n_kept
+FROM plan p LEFT JOIN kept k ON k.lang = p.lang
+ORDER BY p.lang"""
+    },
+
     // per-language top-20 token vocabulary, deterministic tie-break on
     // the token string
     "q_vocab_topk" -> """WITH tok AS (

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_fingerprint" -> TextOps.fingerprintDocs _,
     "q_vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopK(s, d)),
     "q_quality_rules" -> TextOps.qualityRules _,
+    "q_data_mix" -> ((s: SparkSession, d: String) => TextOps.dataMix(s, d)),
     "q_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "q_corpus_clean" -> ((s: SparkSession, d: String) => TextOps.corpusClean(s, d)),
     "q_doc_chunks" -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),

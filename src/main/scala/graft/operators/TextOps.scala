@@ -546,6 +546,45 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Data-mix planning: deterministic per-language sampling rates that
+    * steer the corpus toward a target language mix — the "data mixing"
+    * step between curation and training. For each target language the
+    * feasible corpus size is scale = min over langs of n_l / w_l (the
+    * scarcest language saturates); language l keeps
+    * keep_pct_l = min(floor(100·scale·w_l / n_l), 100) percent via the
+    * engine-exact [[graft.functions.TextFunctions.hashBucket100]] key, and
+    * the ACTUAL kept count is reported (hash buckets quantize to 1%, so
+    * realized counts are audited, not assumed). Languages outside the
+    * target mix are excluded. Two scans (plan + realized count), both
+    * aggregate-only; every division is a single IEEE double op mirrored
+    * by the oracle. */
+  def dataMix(spark: SparkSession, sfDir: String,
+      weights: Seq[(String, Double)] = Seq(
+        "en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "es" -> 0.15))
+      : DataFrame = {
+    Engine.configure(spark)
+    import spark.implicits._
+    val docs = Engine.spread(Tables.documents(spark, sfDir))
+    val w = weights.toDF("lang", "weight")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(w), "lang")
+    val scale = counts
+      .agg(min(col("n_docs").cast(DoubleType) / col("weight")).as("__scale"))
+    val plan = counts.crossJoin(broadcast(scale))
+      .withColumn("keep_pct",
+        least(floor(lit(100.0) * col("__scale") * col("weight") /
+          col("n_docs").cast(DoubleType)), lit(100.0)).cast("int"))
+      .select(col("lang"), col("n_docs"), col("weight"), col("keep_pct"))
+    val kept = docs.select(col("lang"), col("doc_id"))
+      .join(broadcast(plan.select(col("lang"), col("keep_pct"))), "lang")
+      .filter(hashBucket100(col("doc_id")) < col("keep_pct"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    plan.join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_docs"), col("weight"), col("keep_pct"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-language top-`k` token vocabulary by frequency — the corpus
     * vocabulary report every tokenizer-training / data-mix decision
     * starts from. explode → two-level hash aggregate (map-side combine:
