@@ -555,9 +555,11 @@ object TextOps {
     * engine-exact [[graft.functions.TextFunctions.hashBucket100]] key, and
     * the ACTUAL kept count is reported (hash buckets quantize to 1%, so
     * realized counts are audited, not assumed). Languages outside the
-    * target mix are excluded. Two scans (plan + realized count), both
-    * aggregate-only; every division is a single IEEE double op mirrored
-    * by the oracle. */
+    * target mix are excluded; a target language ABSENT from the corpus
+    * contributes no row (and so does not zero the scale) — the caller
+    * reads its absence from the report. Two scans (plan + realized
+    * count), both aggregate-only; every division is a single IEEE
+    * double op mirrored by the oracle. */
   def dataMix(spark: SparkSession, sfDir: String,
       weights: Seq[(String, Double)] = Seq(
         "en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "es" -> 0.15))
