@@ -78,13 +78,47 @@ object Engine {
     val sc = df.sparkSession.sparkContext
     val want = BigInt(sc.defaultParallelism)
     val conf = df.sparkSession.sessionState.conf
-    val openCost = BigInt(conf.filesOpenCostInBytes)
-    val bytes = df.queryExecution.analyzed.stats.sizeInBytes +
-      BigInt(df.inputFiles.length) * openCost
-    val splitSize = (openCost max (bytes / want))
-      .min(BigInt(conf.filesMaxPartitionBytes))
-    val estSplits = if (splitSize > 0) (bytes + splitSize - 1) / splitSize
-      else BigInt(1)
-    if (estSplits < want) df.repartition(want.toInt) else df
+    val statBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    // A leaf without real stats (non-file relation) reports the
+    // defaultSizeInBytes sentinel (Long.MaxValue unless overridden); the
+    // estimate below would then be huge and the repartition silently
+    // skipped — the exact single-core problem spread exists to fix. No
+    // real input reaches the sentinel (it is ~9 EB), so >= means UNKNOWN:
+    // repartition, accepting a possibly-redundant shuffle over a
+    // possibly-serial pipeline.
+    if (statBytes >= BigInt(conf.defaultSizeInBytes)) {
+      df.repartition(want.toInt)
+    } else {
+      val openCost = BigInt(conf.filesOpenCostInBytes)
+      val bytes = statBytes + BigInt(df.inputFiles.length) * openCost
+      val splitSize = (openCost max (bytes / want))
+        .min(BigInt(conf.filesMaxPartitionBytes))
+      val estSplits = if (splitSize > 0) (bytes + splitSize - 1) / splitSize
+        else BigInt(1)
+      if (estSplits < want) df.repartition(want.toInt) else df
+    }
   }
+
+  /** Materialize a multiply-referenced intermediate frame: non-eager
+    * `localCheckpoint`, so the frame's partitions are computed ONCE (on
+    * the first job that touches them), stored by the block manager
+    * (memory, spilling to disk), and every later reference — including
+    * other references inside the same job — reads the stored blocks
+    * instead of re-executing the subtree. Exchange reuse under AQE is
+    * best-effort; this is the guaranteed form, and it also truncates
+    * lineage, so the consumer's plan shows `Scan ExistingRDD` leaves
+    * rather than N repeated file scans (PlanSpec pins that shape for the
+    * LSH dedup operators).
+    *
+    * Costs, stated honestly: the staged frame is stored at
+    * MEMORY_AND_DISK on the executors that computed it (size the knob's
+    * inputs accordingly — callers here stage metadata-shaped or
+    * distinct-text-shaped frames, never the raw corpus ride-along
+    * columns); blocks are freed when the RDD is garbage-collected
+    * (ContextCleaner), not at query end; and unlike a persist of the
+    * logical plan, a lost executor FAILS the job instead of recomputing
+    * (localCheckpoint severs the lineage needed to recompute) — at
+    * cluster scale prefer re-running the query over silently doubling
+    * every upstream stage on every reference. */
+  def stage(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 }
