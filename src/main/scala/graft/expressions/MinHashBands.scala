@@ -63,13 +63,30 @@ case class MinHashBands(child: Expression, k: Int, bandSize: Int)
 }
 
 object MinHashBands {
+  // Salt prefixes are a pure function of k: cached across rows (they
+  // were re-derived per row — round-3 ADVICE). k is a query constant,
+  // so the map holds one entry per distinct k ever used in the JVM.
+  private val saltCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+  private def saltsFor(k: Int): Array[Array[Byte]] =
+    saltCache.computeIfAbsent(k,
+      (kk: Integer) => Array.tabulate(kk)(c => (c + ":").getBytes("UTF-8")))
+
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def compute(arr: ArrayData, k: Int, r: Int): ArrayData = {
-    // one MessageDigest reused across the k·n digest calls, shingle
-    // bytes encoded once per shingle, salt prefixes once per call —
-    // the O(k·n) loop allocates only the k running-min hex strings
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val salts = Array.tabulate(k)(c => (c + ":").getBytes("UTF-8"))
-    val mins = new Array[String](k)
+    // The O(k·n) digest loop runs allocation-free: one thread-local
+    // MessageDigest, digests written into a reused 16-byte scratch,
+    // running mins compared as unsigned byte arrays (hex encoding is
+    // per-nibble order-preserving, so this is bit-identical to the hex
+    // -string compare the HOF layering and the oracle use). A copy is
+    // taken only when a new min wins (O(k·log n) expected); the k
+    // winners are hex-encoded once, at band-assembly time.
+    val md = mdLocal.get()
+    val salts = saltsFor(k)
+    val mins = new Array[Array[Byte]](k)
+    val scratch = new Array[Byte](16)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
@@ -80,8 +97,10 @@ object MinHashBands {
           md.reset()
           md.update(salts(c))
           md.update(sBytes)
-          val h = org.apache.commons.codec.binary.Hex.encodeHexString(md.digest())
-          if (mins(c) == null || h.compareTo(mins(c)) < 0) mins(c) = h
+          md.digest(scratch, 0, 16)
+          if (mins(c) == null ||
+              java.util.Arrays.compareUnsigned(scratch, mins(c)) < 0)
+            mins(c) = scratch.clone()
           c += 1
         }
       }
@@ -92,6 +111,7 @@ object MinHashBands {
     while (j < k / r) {
       // concat_ws semantics: null components (feature-less input) skip
       val joined = mins.slice(j * r, (j + 1) * r).filter(_ != null)
+        .map(org.apache.commons.codec.binary.Hex.encodeHexString)
         .mkString("|")
       bands(j) = UTF8String.fromString(DigestUtils.md5Hex(
         joined.getBytes("UTF-8")))

@@ -272,13 +272,14 @@ object TextOps {
     * the inherent pair count — but it is produced by distributed joins,
     * never held in one aggregation buffer.
     *
-    * `mapping` is referenced by three joins; at cluster scale persist it
-    * (it is metadata-sized: two longs + a count per document). Measured
-    * at sf0.01: AQE reuses 6 exchanges across the references, but the
-    * final adaptive plan still executes ~16 documents scans — free on
-    * the test files, a real cost at 100 TB, which is why the persist
-    * note above is part of the contract and a materialization knob is a
-    * SURVEY §9 seed. */
+    * `mapping` is referenced by three joins; both callers hand it in
+    * STAGED ([[Engine.stage]] — it is metadata-sized: two longs + a
+    * count per document), so the three references read one computed
+    * copy. Before staging, AQE reused 6 exchanges across the references
+    * but the final adaptive plan still executed ~16 documents scans
+    * (measured at sf0.01) — free on the test files, a real cost at
+    * 100 TB. PlanSpec pins the staged shape: zero FileScans in the
+    * final plan, a bounded number of shared staged-RDD leaves. */
   private def expandDupGroups(canon: DataFrame, mapping: DataFrame,
       metric: String, selfMetric: Column): DataFrame = {
     val cross = canon
@@ -337,20 +338,27 @@ object TextOps {
       threshold: Double, maxBucket: Int): DataFrame = {
     import graft.expressions.BoundedCollectSet.boundedCollectSet
     require(threshold <= 1.0, "a Jaccard threshold above 1.0 matches nothing")
-    val toks = raw.withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), col("t"),
-        md5(concat_ws(" ", col("t"))).as("tk"))
+    // Staging discipline (round-3 VERDICT item 1): every multiply-
+    // referenced frame below is materialized ONCE via Engine.stage, and
+    // each staged frame is deliberately SKINNY. `keyed` carries only the
+    // collapse key — re-tokenizing the collapsed reps for `docs` (corpus
+    // scan #2) is cheaper than storing every token array; `groups` /
+    // `mapping` are metadata-sized. Total corpus reads: exactly 2 file
+    // scans, down from ~16 in the unstaged plan (AQE exchange reuse got
+    // 6 reuses but could not collapse the rest).
     // NB measured: carrying t through the groupBy (first(t)) to skip the
     // rep join ships every token array through the tk exchange and is
     // ~1 s SLOWER at sf0.1 — the skinny (tk, doc_id) exchange + rep join
-    // wins, and AQE reuses it across the mapping/docs consumers
-    val groups = toks.groupBy(col("tk"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
-    val mapping = toks.select(col("doc_id"), col("tk"))
-      .join(groups, "tk")
-      .select(col("doc_id"), col("rep"), col("grp_n"))
-    val docs = toks.join(groups.select(col("rep").as("doc_id")), "doc_id")
-      .select(col("doc_id"), shinglesOf(col("t"), 3).as("sh"))
+    // wins.
+    val keyed = Engine.stage(raw.select(col("doc_id"),
+      md5(concat_ws(" ", tokens(col("text")))).as("tk")))
+    val groups = Engine.stage(keyed.groupBy(col("tk"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n")))
+    val mapping = Engine.stage(keyed.join(groups, "tk")
+      .select(col("doc_id"), col("rep"), col("grp_n")))
+    val docs = Engine.stage(
+      raw.join(groups.select(col("rep").as("doc_id")), "doc_id")
+        .select(col("doc_id"), shinglesOf(tokens(col("text")), 3).as("sh")))
     // native one-loop signature (12 HOF traversals → one codegen'd call)
     val exploded = docs.select(col("doc_id"),
       posexplode(minhashBandsNative(col("sh"), k, bandSize))
@@ -425,11 +433,15 @@ object TextOps {
       maxBucket: Int): DataFrame = {
     import graft.expressions.BoundedCollectSet.boundedCollectSet
     require(maxHamming >= 0, "maxHamming must be non-negative")
-    val sigs = simhashSigsOf(raw)
-    val groups = sigs.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
-    val mapping = sigs.join(groups, "simhash")
-      .select(col("doc_id"), col("rep"), col("grp_n"))
+    // Same staging discipline as [[dedupMinhashOf]]; here the signature
+    // frame (doc_id, simhash) IS metadata-sized, so the corpus is read
+    // exactly ONCE and everything downstream — grouping, mapping, the
+    // band explode — works off staged long pairs.
+    val sigs = Engine.stage(simhashSigsOf(raw))
+    val groups = Engine.stage(sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n")))
+    val mapping = Engine.stage(sigs.join(groups, "simhash")
+      .select(col("doc_id"), col("rep"), col("grp_n")))
     val banded = groups.select(col("rep").as("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), j * 12).bitwiseAND(lit(4095L))): _*))
