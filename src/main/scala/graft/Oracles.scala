@@ -753,6 +753,81 @@ SELECT label, id_a, id_b, cos_sim FROM (
   JOIN okl ON okl.label = a.label) p
 WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""",
 
+    // cap-overflow audit: group sizes by the operators' exact capping
+    // keys (posting lists, minhash/simhash band buckets over collapse
+    // reps, embedding label blocks), summarized as drop counts at the
+    // caps, over the clean corpus and the mass-near-dup fixture
+    "q_dedup_overflow" -> {
+      val comps = (0 until 12)
+        .map(i => s"list_min(list_transform(s, x -> md5('$i:' || x)))")
+        .mkString(",\n    ")
+      val nibs = (0 until 12)
+        .map(j => s"list_transform(h, x -> instr('0123456789abcdef', " +
+          s"substr(x, ${j + 1}, 1)) - 1) AS n$j")
+        .mkString(",\n      ")
+      val bits = (0 until 48)
+        .map(b => s"(CASE WHEN list_sum(list_transform(n${b / 4}, " +
+          s"v -> ((v >> ${b % 4}) & 1) * 2 - 1)) >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("\n      + ")
+      def mbands(p: String) = (0 until 4).map { j =>
+        s"SELECT $j AS band_idx, md5(ms[${3 * j + 1}] || '|' || " +
+          s"ms[${3 * j + 2}] || '|' || ms[${3 * j + 3}]) AS band_val FROM ${p}msig"
+      }.mkString("\n  UNION ALL\n  ")
+      def scopeCtes(p: String) =
+        s"""${p}tok AS (SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS t FROM ${p}corpus),
+${p}sh AS (SELECT doc_id, lang, source,
+  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+    i -> array_to_string(t[i+1:i+3], ' '))) AS s,
+  md5(array_to_string(t, ' ')) AS tk FROM ${p}tok),
+${p}reps AS (SELECT min(doc_id) AS doc_id FROM ${p}sh GROUP BY tk),
+${p}msig AS (SELECT [$comps] AS ms FROM ${p}sh JOIN ${p}reps ON ${p}sh.doc_id = ${p}reps.doc_id),
+${p}mbucket AS (SELECT band_idx, band_val, count(*) AS n FROM (
+  ${mbands(p)}) b GROUP BY 1, 2),
+${p}post AS (SELECT lang, source, shingle, count(*) AS n FROM (
+  SELECT lang, source, unnest(s) AS shingle FROM ${p}sh) u GROUP BY 1, 2, 3),
+${p}srep AS (SELECT DISTINCT simhash FROM (
+  SELECT $bits AS simhash FROM (
+    SELECT $nibs FROM (
+      SELECT list_transform(s, x -> md5(x)) AS h FROM ${p}sh) hh) nn) ss),
+${p}sbucket AS (SELECT band_idx, band_val, count(*) AS n FROM (
+  SELECT 0 AS band_idx, (simhash >> 0) & 4095 AS band_val FROM ${p}srep
+  UNION ALL SELECT 1, (simhash >> 12) & 4095 FROM ${p}srep
+  UNION ALL SELECT 2, (simhash >> 24) & 4095 FROM ${p}srep
+  UNION ALL SELECT 3, (simhash >> 36) & 4095 FROM ${p}srep) b GROUP BY 1, 2),
+${p}block AS (SELECT label, count(*) AS n FROM ${p}emb GROUP BY 1)"""
+      def summary(scope: String, p: String) = Seq(
+        ("posting_df", 50, s"${p}post"),
+        ("minhash_bucket", 20, s"${p}mbucket"),
+        ("simhash_bucket", 20, s"${p}sbucket"),
+        ("embedding_block", 80, s"${p}block")).map { case (m, cap, t) =>
+        s"""SELECT '$m' AS mechanism, '$scope' AS scope, CAST($cap AS INT) AS cap,
+  count(*) AS groups_total,
+  count(*) FILTER (WHERE n > $cap) AS groups_dropped,
+  CAST(COALESCE(SUM(n) FILTER (WHERE n > $cap), 0) AS BIGINT) AS members_dropped
+FROM $t"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ccorpus AS (
+  SELECT doc_id, lang, source, text FROM documents),
+mcorpus AS (
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'xx', 'fx',
+    'the quick brown fox jumps over the lazy dog variant ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id < 150),
+cemb AS (SELECT vec_id, label FROM embeddings),
+memb AS (
+  SELECT vec_id, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, 'zz' FROM embeddings WHERE vec_id < 90),
+${scopeCtes("c")},
+${scopeCtes("m")}
+SELECT * FROM (
+${summary("clean", "c")}
+UNION ALL
+${summary("massdup", "m")}) z
+ORDER BY mechanism, scope"""
+    },
+
     "q_dedup_minhash" -> {
       val comps = (0 until 12)
         .map(i => s"list_min(list_transform(s, x -> md5('$i:' || x)))")

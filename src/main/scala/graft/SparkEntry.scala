@@ -51,6 +51,7 @@ object SparkEntry {
     "q_data_mix" -> ((s: SparkSession, d: String) => TextOps.dataMix(s, d)),
     "q_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "q_corpus_clean" -> ((s: SparkSession, d: String) => TextOps.corpusClean(s, d)),
+    "q_dedup_overflow" -> TextOps.dedupOverflow _,
     "q_doc_chunks" -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
     "q_doc_sample" -> ((s: SparkSession, d: String) => TextOps.sampleDocs(s, d)),
     // training-data pipeline: similarity search (embeddings table)

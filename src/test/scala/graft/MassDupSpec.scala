@@ -156,6 +156,36 @@ class MassDupSpec extends SparkSpec {
     assert(r.getSeq[Any](1).size === 1)
   }
 
+  test("capOverflowAudit: zero drops on a clean frame, every mechanism counted on mass near-dups") {
+    // 120 distinct single-sentence docs differing only in a trailing
+    // token: NOT exact duplicates (pre-collapse keeps all 120 reps) but
+    // they share posting lists and collide in minhash/simhash bands —
+    // the shape that silently loses recall at the caps. Deterministic:
+    // md5-driven, counts pinned by the DuckDB oracle of
+    // q_dedup_overflow's massdup scope too.
+    val docs = spark.range(120).select(col("id").as("doc_id"),
+      lit("xx").as("lang"), lit("fx").as("source"),
+      concat(lit("the quick brown fox jumps over the lazy dog variant "),
+        col("id").cast("string")).as("text"))
+    val embs = spark.range(90).select(col("id").as("vec_id"),
+      lit("zz").as("label"), array(lit(1.0f)).as("embedding"))
+    def byMech(maxDf: Int, maxBucket: Int, maxBlock: Int) =
+      TextOps.capOverflowAuditOf(docs, embs, maxDf, maxBucket, maxBlock)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // generous caps: the audit reports full recall (all-zero drops)
+    val clean = byMech(1000, 1000, 10000)
+    assert(clean.size === 4)
+    assert(clean.values.forall { case (g, m) => g == 0L && m == 0L }, clean)
+    // caps under the fixture's group sizes: every mechanism reports
+    // nonzero dropped groups with their member counts
+    val tight = byMech(50, 20, 80)
+    assert(tight("posting_df")._1 === 8L, tight)
+    assert(tight("minhash_bucket")._1 === 4L, tight)
+    assert(tight("simhash_bucket")._1 === 2L, tight)
+    assert(tight("embedding_block") === ((1L, 90L)), tight)
+  }
+
   test("boundedCollectSet: struct elements and the exact-cap boundary") {
     val df = (0 until 100).map(i => ("k", i.toLong, s"s$i")).toDF("k", "a", "b")
       .repartition(5)
