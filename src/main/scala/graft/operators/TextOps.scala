@@ -543,7 +543,7 @@ object TextOps {
       "r_word_len" -> (meanWordLen < 3.0 || meanWordLen > 10.0),
       "r_repetition" -> (dup2gFrac > 0.2),
       "r_no_stopword" -> (size(filter(t,
-        x => x.isin(LangMarkers.head._2: _*))) === 0),
+        x => x.isin(EnMarkers: _*))) === 0),
       "r_symbol_heavy" -> (symFrac > 0.1))
     val staged = raw
       .withColumn("t", tokens(col("text")))

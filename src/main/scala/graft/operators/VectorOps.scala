@@ -70,9 +70,14 @@ object VectorOps {
   /** [[annLsh]] over an arbitrary (vec_id, embedding) frame. */
   private[graft] def annLshOf(raw: DataFrame, planes: Int, minCos: Double,
       maxBucket: Int): DataFrame = {
-    val emb = raw
+    // staged: the signature frame feeds BOTH the okBuckets pre-pass and
+    // the bounded join, and the broadcast aggregate blocks AQE exchange
+    // reuse — unstaged, the base scan + planes·Dims signature arithmetic
+    // would run twice (round-3 ADVICE). Storage ∝ input (embeddings ride
+    // along); callers with tight executor storage can re-derive instead.
+    val emb = Engine.stage(raw
       .select(col("vec_id"), col("embedding"),
-        lshSignature(col("embedding"), planes, Dims).as("bucket"))
+        lshSignature(col("embedding"), planes, Dims).as("bucket")))
     val okBuckets = broadcast(emb.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
@@ -193,6 +198,11 @@ object VectorOps {
     * centroid table stays tiny, the corpus is never shuffled — the
     * training loop a 100 TB pipeline can actually afford. Empty cells
     * drop out (deterministically mirrored by the oracle).
+    *
+    * NB EAGER: calling this runs Spark jobs immediately (the init
+    * localization plus one per iteration) — it returns trained MODEL
+    * state, not a lazy plan; construct it only when you intend to train
+    * (round-3 ADVICE: behavior change from the older lazy builder).
     *
     * `trainPct` < 100 trains on a deterministic hash-sample of the
     * corpus ([[graft.functions.TextFunctions.hashBucket100]] on vec_id) —
@@ -344,8 +354,12 @@ object VectorOps {
 
   /** [[embeddingNearDup]] over an arbitrary (vec_id, label, embedding)
     * frame. */
-  private[graft] def embeddingNearDupOf(emb: DataFrame, minCos: Double,
+  private[graft] def embeddingNearDupOf(raw: DataFrame, minCos: Double,
       maxBlock: Int): DataFrame = {
+    // same two-consumer staging as [[annLshOf]]; here the second
+    // evaluation would only re-scan the (pruned) label column, but the
+    // guaranteed-once form keeps the contract uniform
+    val emb = Engine.stage(raw)
     val okLabels = broadcast(emb.groupBy(col("label"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBlock)

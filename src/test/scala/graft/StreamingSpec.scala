@@ -129,7 +129,13 @@ class StreamingSpec extends SparkSpec {
     // small would also suppress any later distinct signature
     val text = "identical content repeated many times across this stream " +
       "to prove state is per distinct signature not per document"
+    // one sorted file: every band group then fetches the same single map
+    // output in file order, so all 4 bands enroll the SAME first-seen
+    // representative — without this, shuffle fetch order may let bands
+    // pick different reps and the single-star assertion below would be
+    // flaky (round-3 ADVICE)
     (0L until 40L).map(i => (i, text)).toDF("doc_id", "text")
+      .repartition(1).sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(src)
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema).parquet(src)
