@@ -642,22 +642,68 @@ object TextOps {
       docs.filter(col("doc_id") < benchDocs), n, minOverlap)
   }
 
+  /** Serialized Bloom sketch of XxHash64(`gram`) over `grams` — built
+    * with Spark's own BloomFilterAggregate (the sketch behind runtime
+    * row-level filtering), so [[bloomMightContain]] reads it natively.
+    * EAGER: runs the aggregate job now; the result is MODEL state (like
+    * kmeansCentroids), embedded downstream as a plan literal. Returns
+    * null for an empty input. */
+  private def bloomBuild(grams: DataFrame, gram: Column, items: Long)
+      : Array[Byte] = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(toExpression(gram))),
+      Literal(items), Literal(items * 8L)).toAggregateExpression()
+    grams.select(toColumn(agg).as("bf")).head.getAs[Array[Byte]](0)
+  }
+
+  /** Predicate: XxHash64(`gram`) might be in the serialized sketch.
+    * The sketch is a CONSTANT (BloomFilterMightContain requires a
+    * foldable or scalar-subquery filter side), so the predicate pushes
+    * into the corpus scan side with no join. No false negatives —
+    * superset semantics, exact output preserved by the join above it. */
+  private def bloomMightContain(bf: Array[Byte], gram: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    toColumn(BloomFilterMightContain(Literal(bf),
+      new XxHash64(Seq(toExpression(gram)))))
+  }
+
   /** [[decontaminate]] against a real evaluation table: `corpus` and
     * `bench` are any (doc_id, text) frames (a production pipeline passes
-    * the eval-set parquet as `bench`). */
+    * the eval-set parquet as `bench`).
+    *
+    * NB partially EAGER (round-3 VERDICT item 5): construction runs two
+    * small jobs over the (staged) bench gram set — a count and a Bloom
+    * sketch build — and embeds the sketch as a constant `might_contain`
+    * pre-filter UNDER the exact gram join. At 100 TB the corpus explode
+    * is the dominant cost and most grams miss the eval set, so the
+    * Bloom pass discards them in the scan stage without shuffling them
+    * to the join — shuffle ∝ candidate grams, not corpus grams. No
+    * recall change: Bloom has no false negatives and the exact join
+    * still confirms every hit (q_decontaminate hash is unchanged). */
   def decontaminateAgainst(corpus: DataFrame, bench: DataFrame,
       n: Int = 5, minOverlap: Double = 0.5): DataFrame = {
     def grams(df: DataFrame) = df
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), shinglesOf(col("t"), n).as("sh"))
-    val benchGrams = grams(bench)
-      .select(explode(col("sh")).as("gram")).distinct()
+    // staged: consumed by the count, the sketch build, and the exact join
+    val benchGrams = Engine.stage(grams(bench)
+      .select(explode(col("sh")).as("gram")).distinct())
+    // sketch sized to the eval set: 8 bits/item (~2% fpp), clamped to
+    // Spark's default runtime-filter creation bounds
+    val items = math.min(math.max(benchGrams.count(), 1024L), 4000000L)
+    val bf = bloomBuild(benchGrams, col("gram"), items)
+    val pre = if (bf == null) lit(false) else bloomMightContain(bf, col("gram"))
     // n_grams rides through the explode so the corpus tokenize+shingle
     // pipeline evaluates ONCE and no doc_id re-join is needed (grouping
     // by the functionally-dependent (doc_id, n_grams) pair is free)
     val hits = grams(corpus)
       .select(col("doc_id"), size(col("sh")).as("n_grams"),
         explode(col("sh")).as("gram"))
+      .filter(pre)
       .join(benchGrams, "gram")
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_hit"))

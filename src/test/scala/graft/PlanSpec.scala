@@ -68,6 +68,12 @@ class PlanSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), plan)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the constant Bloom pre-filter sits on the corpus side BELOW the
+    // exact join (parents print first), discarding non-candidate grams
+    // in the scan stage instead of shuffling them to the join
+    val joinAt = plan.indexOf("Join")
+    val bloomAt = plan.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt, plan)
   }
 
   test("embedQuantize: pure per-row map — no shuffle beyond spread, no join") {
