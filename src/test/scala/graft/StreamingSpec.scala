@@ -120,6 +120,42 @@ class StreamingSpec extends SparkSpec {
       s"14 rep pairs exactly once, got ${rows.length}")
   }
 
+  test("dedupFirstSeenTtl: idle pair state expires and re-emits; fresh state suppresses") {
+    import spark.implicits._
+    val src = tmp("simhash_ttl_src")
+    val ckpt = tmp("simhash_ttl_ckpt")
+    val sink = tmp("simhash_ttl_sink")
+    val text = "identical content for the ttl expiry re-emission check"
+    // same checkpoint + parquet sink across three AvailableNow restarts
+    // = one logical unbounded stream delivered in three micro-batches
+    // (the memory sink refuses checkpoint recovery)
+    def run(rows: Seq[(Long, String)]): Seq[(Long, Long, Int)] = {
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src)
+      val q = StreamingOps.simhashPairsStreamExactlyOnce(stream, pairTtlMs = 1L)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    }
+    // batch 1: pair emitted exactly once (4 band copies collapsed by the
+    // pair stage, even with the TTL variant)
+    assert(run(Seq((0L, text), (1L, text))) === Seq((0L, 1L, 0)))
+    // batch 2: unrelated doc triggers a batch in which the (0,1) state,
+    // idle past the 1 ms TTL, times out and is removed — nothing new
+    assert(run(Seq((50L, "completely unrelated subject matter " +
+      "about orbital mechanics and spacecraft navigation")))
+      === Seq((0L, 1L, 0)))
+    // batch 3: doc 1 re-arrives; stage 1 re-flags it against tracked rep
+    // 0 and the EXPIRED pair state re-admits it — the documented
+    // at-least-once-across-idle-gaps contract of the bounded-state form
+    assert(run(Seq((1L, text))).sorted === Seq((0L, 1L, 0), (0L, 1L, 0)))
+  }
+
   test("simhashPairsStream: mass duplicates occupy ONE state slot, never the cap") {
     import spark.implicits._
     val src = tmp("simhash_cap")
