@@ -64,9 +64,27 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
   }
 
   /** Distinct functions whose DISTINCT form equals the plain form over
-    * deduplicated (group, children) rows. */
+    * deduplicated (group, children) rows — which is the DEFINITION of
+    * DISTINCT aggregation, so the list is bounded not by semantics but by
+    * mechanics: every `children` expression becomes a dedup grouping key
+    * and is then substituted with the deduped attribute via
+    * `withNewChildren`, so the function must carry ONLY data arguments as
+    * children. Percentile-family functions smuggle the foldable
+    * percentage/frequency expressions into `children` (substituting an
+    * attribute there breaks their foldability contract), and arbitrary
+    * UDAFs/V2 aggregators make no such children guarantee — both bail to
+    * stock planning. Order-sensitive functions (first/last/collect_list)
+    * are safe to ride: their DISTINCT form is order-unspecified in stock
+    * Spark too, and after dedup they see exactly the distinct tuple set. */
   private def supportedDistinct(f: AggregateFunction): Boolean = f match {
     case _: Count | _: Sum | _: Average | _: Min | _: Max => true
+    case _: CollectSet | _: CollectList => true
+    case _: First | _: Last => true
+    case _: BoolAnd | _: BoolOr => true
+    case _: BitAndAgg | _: BitOrAgg | _: BitXorAgg => true
+    case _: CentralMomentAgg => true // stddev/variance/skewness/kurtosis
+    case _: Corr | _: Covariance => true
+    case _: HyperLogLogPlusPlus => true // approx_count_distinct: DISTINCT no-op
     case _ => false
   }
 

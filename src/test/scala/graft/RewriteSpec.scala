@@ -235,6 +235,90 @@ class RewriteSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("collect_set/collect_list DISTINCT ride the dedup branch: equal, no Expand") {
+    val df = Seq(("a", 1, 10), ("a", 1, 20), ("a", 3, 20), ("b", 2, 30),
+      ("b", 2, 30), ("b", 7, 40)).toDF("k", "v", "w")
+    df.createOrReplaceTempView("t_coll")
+    // sort_array pins the (otherwise unspecified) array order so the
+    // differential compare is exact in both plans; the second distinct
+    // set (w) is what makes the stock plan Expand-shaped
+    val q = spark.sql("""SELECT k,
+        sort_array(collect_set(v)) AS cs,
+        sort_array(collect_list(DISTINCT v)) AS cl,
+        count(DISTINCT w) AS dw, sum(v) AS sv
+      FROM t_coll GROUP BY k""")
+    assertSame(q)
+    val plan = ofRows(spark,
+      SplitMultiDistinctAggregate(q.queryExecution.analyzed))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    val m = q.collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getSeq[Int](1) == Seq(1, 3) && m("a").getSeq[Int](2) == Seq(1, 3))
+  }
+
+  test("stddev/variance/corr/bool/bit DISTINCT ride the dedup branch") {
+    val df = Seq(("a", 1.0, 2.0, true, 6), ("a", 1.0, 2.0, true, 6),
+      ("a", 3.0, 5.0, false, 12), ("b", 2.0, 2.0, true, 7),
+      ("b", 4.0, 9.0, true, 7), ("b", 4.0, 9.0, true, 5)).toDF("k", "x", "y", "p", "m")
+    df.createOrReplaceTempView("t_stats")
+    val q = spark.sql("""SELECT k,
+        stddev(DISTINCT x) AS sd, var_samp(DISTINCT x) AS vs,
+        corr(DISTINCT x, y) AS cr,
+        bool_and(DISTINCT p) AS ba, bit_and(DISTINCT m) AS bm,
+        approx_count_distinct(DISTINCT x) AS acd,
+        count(DISTINCT y) AS dy, count(*) AS n
+      FROM t_stats GROUP BY k""")
+    assertSame(q)
+    val plan = ofRows(spark,
+      SplitMultiDistinctAggregate(q.queryExecution.analyzed))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    // semantics spot-check: distinct-dedup actually happened
+    val m = q.collect().map(r => r.getString(0) -> r).toMap
+    // a: distinct x = {1,3} -> var_samp = 2.0 (plain var over 1,1,3 would be 4/3)
+    assert(math.abs(m("a").getAs[Double]("vs") - 2.0) < 1e-9)
+    assert(m("b").getAs[Int]("bm") == (7 & 5))
+  }
+
+  test("first/last DISTINCT ride the dedup branch and return a distinct value") {
+    // single distinct value per group => first/last are fully determined,
+    // so the differential compare is exact
+    val one = Seq(("a", 5, 1), ("a", 5, 2), ("b", 9, 3)).toDF("k", "v", "w")
+    one.createOrReplaceTempView("t_first1")
+    val q1 = spark.sql("""SELECT k, first(DISTINCT v) AS fv, last(DISTINCT v) AS lv,
+        count(DISTINCT w) AS dw, count(*) AS n
+      FROM t_first1 GROUP BY k""")
+    assertSame(q1)
+    // multi-valued group: assert membership (the value is unspecified in
+    // stock Spark too), plus plan shape; w adds the second distinct set
+    val many = Seq(("a", 1, 5), ("a", 2, 6), ("a", 2, 6), ("b", 7, 8))
+      .toDF("k", "v", "w")
+    many.createOrReplaceTempView("t_firstN")
+    val qn = spark.sql("""SELECT k, first(DISTINCT v) AS fv,
+        count(DISTINCT w) AS dw, max(v) AS mx
+      FROM t_firstN GROUP BY k""")
+    val rewritten = SplitMultiDistinctAggregate(qn.queryExecution.analyzed)
+    assert(rewritten != qn.queryExecution.analyzed, "rule did not fire")
+    val plan = ofRows(spark, rewritten).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    val got = ofRows(spark, rewritten).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(Set(1, 2).contains(got("a")) && got("b") == 7)
+  }
+
+  test("bails out: DISTINCT percentile and UDAF-style functions stay on stock planning") {
+    silver
+    // percentile_disc(DISTINCT ...): percentage literal lives in children;
+    // substituting it would break foldability — must not rewrite
+    val q = spark.sql("""SELECT provider_name,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY claim_amount) AS med,
+        count(DISTINCT member_id) AS m,
+        percentile(DISTINCT claim_amount, 0.5) AS pd
+      FROM silver_claims GROUP BY provider_name""")
+    assert(SplitMultiDistinctAggregate(q.queryExecution.analyzed)
+      == q.queryExecution.analyzed)
+  }
+
   test("SparkSessionExtensions wiring: verbatim SQL optimizes without Expand") {
     silver // materialize the fixture on the shared session first
     val stock = GoldSql.view(spark, "gold_provider_performance")
