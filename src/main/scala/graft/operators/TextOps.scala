@@ -776,37 +776,86 @@ object TextOps {
       .orderBy(col("mechanism"))
   }
 
+  /** Per-mechanism group-size frames over (doc_id, lang, source, text,
+    * is_clean) docs and (vec_id, label, embedding, is_clean) embeddings.
+    * Each row is one capped group carrying `n` (total members) and
+    * `n_clean` (members from `is_clean` rows), so ONE tokenize+shingle
+    * pass and one aggregation per mechanism serve both the full corpus
+    * and its clean subset: a group exists in the clean scope iff
+    * `n_clean > 0`, and its clean size IS `n_clean` (for the two
+    * signature-bucket mechanisms the flag aggregates per distinct
+    * signature/tk group first, so a signature counts as clean iff ANY
+    * clean doc carries it — exactly the distinct set of the clean
+    * corpus; band values depend only on the token string, never on
+    * which member represents the group). */
+  private def mechanismSizes(docs: DataFrame, embs: DataFrame,
+      maxDf: Int, maxBucket: Int, maxBlock: Int)
+      : Seq[(String, Int, DataFrame)] = {
+    // one tokenize+shingle pass feeds all three document mechanisms
+    val sh = Engine.stage(docs.withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"), col("is_clean"),
+        shinglesOf(col("t"), 3).as("s"),
+        md5(concat_ws(" ", col("t"))).as("tk")))
+    def sized(g: DataFrame, keys: Seq[String]) =
+      g.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"), countIf(col("is_clean")).as("n_clean"))
+    val posting = sized(sh.select(col("lang"), col("source"),
+        col("is_clean"), explode(col("s")).as("shingle")),
+      Seq("lang", "source", "shingle"))
+    val reps = sh.groupBy(col("tk")).agg(min(col("doc_id")).as("doc_id"),
+      max(col("is_clean")).as("grp_clean"))
+    val mbuckets = sized(sh.drop("is_clean").join(reps, "doc_id")
+      .select(col("grp_clean").as("is_clean"),
+        posexplode(minhashBandsNative(col("s"), 12, 3))
+          .as(Seq("band_idx", "band_val"))),
+      Seq("band_idx", "band_val"))
+    val sbuckets = sized(sh.groupBy(simhash48(col("s")).as("simhash"))
+      .agg(max(col("is_clean")).as("is_clean"))
+      .select(col("is_clean"), posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 12).bitwiseAND(lit(4095L))): _*))
+        .as(Seq("band_idx", "band_val"))),
+      Seq("band_idx", "band_val"))
+    val blocks = sized(embs.select(col("label"), col("is_clean")),
+      Seq("label"))
+    Seq(("posting_df", maxDf, posting),
+      ("minhash_bucket", maxBucket, mbuckets),
+      ("simhash_bucket", maxBucket, sbuckets),
+      ("embedding_block", maxBlock, blocks))
+  }
+
+  /** Both audit scopes from ONE aggregation over a dual-count size
+    * frame: the massdup row reads `n`, the clean row reads `n_clean`
+    * (groups with `n_clean = 0` don't exist in the clean corpus and are
+    * excluded from its totals). The 1-row aggregate unpivots via
+    * explode — no second pass over the sizes. */
+  private def auditScopes(sizes: DataFrame, mech: String, cap: Int)
+      : DataFrame =
+    sizes.agg(
+      countIf(col("n_clean") > 0).as("gt_c"),
+      countIf(col("n_clean") > cap).as("gd_c"),
+      coalesce(sum(when(col("n_clean") > cap, col("n_clean"))), lit(0L))
+        .as("md_c"),
+      count(lit(1)).as("gt_m"),
+      countIf(col("n") > cap).as("gd_m"),
+      coalesce(sum(when(col("n") > cap, col("n"))), lit(0L)).as("md_m"))
+    .select(explode(array(
+      struct(lit("clean").as("scope"), col("gt_c").as("groups_total"),
+        col("gd_c").as("groups_dropped"), col("md_c").as("members_dropped")),
+      struct(lit("massdup").as("scope"), col("gt_m").as("groups_total"),
+        col("gd_m").as("groups_dropped"), col("md_m").as("members_dropped"))))
+      .as("r"))
+    .select(lit(mech).as("mechanism"), col("r.scope").as("scope"),
+      lit(cap).as("cap"), col("r.groups_total"), col("r.groups_dropped"),
+      col("r.members_dropped"))
+
   /** [[capOverflowAudit]] over arbitrary (doc_id, lang, source, text)
     * and (vec_id, label, embedding) frames. Unordered. */
   private[graft] def capOverflowAuditOf(docs: DataFrame, embs: DataFrame,
-      maxDf: Int, maxBucket: Int, maxBlock: Int): DataFrame = {
-    // one tokenize+shingle pass feeds all three document mechanisms
-    val sh = Engine.stage(docs.withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), col("lang"), col("source"),
-        shinglesOf(col("t"), 3).as("s"),
-        md5(concat_ws(" ", col("t"))).as("tk")))
-    val posting = sh
-      .select(col("lang"), col("source"), explode(col("s")).as("shingle"))
-      .groupBy(col("lang"), col("source"), col("shingle"))
-      .agg(count(lit(1)).as("n"))
-    val reps = sh.groupBy(col("tk")).agg(min(col("doc_id")).as("doc_id"))
-    val mbuckets = sh.join(reps, "doc_id")
-      .select(posexplode(minhashBandsNative(col("s"), 12, 3))
-        .as(Seq("band_idx", "band_val")))
-      .groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("n"))
-    val sbuckets = sh.select(simhash48(col("s")).as("simhash")).distinct()
-      .select(posexplode(array((0 until 4).map(j =>
-        shiftright(col("simhash"), j * 12).bitwiseAND(lit(4095L))): _*))
-        .as(Seq("band_idx", "band_val")))
-      .groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("n"))
-    val blocks = embs.groupBy(col("label")).agg(count(lit(1)).as("n"))
-    auditRow(posting, "posting_df", maxDf)
-      .unionByName(auditRow(mbuckets, "minhash_bucket", maxBucket))
-      .unionByName(auditRow(sbuckets, "simhash_bucket", maxBucket))
-      .unionByName(auditRow(blocks, "embedding_block", maxBlock))
-  }
+      maxDf: Int, maxBucket: Int, maxBlock: Int): DataFrame =
+    mechanismSizes(docs.withColumn("is_clean", lit(true)),
+        embs.withColumn("is_clean", lit(true)), maxDf, maxBucket, maxBlock)
+      .map { case (mech, cap, sizes) => auditRow(sizes, mech, cap) }
+      .reduce(_ unionByName _)
 
   /** The audit demonstrated end-to-end (the CORRECTNESS_r gate's
     * `q_dedup_overflow`): the same audit runs over the clean corpus and
@@ -833,12 +882,16 @@ object TextOps {
     val fxEmbs = embs.filter(col("vec_id") < 90).select(
       (col("vec_id") + 1000000).as("vec_id"), lit("zz").as("label"),
       col("embedding"))
-    val clean = capOverflowAuditOf(base, embs, 50, 20, 80)
-      .withColumn("scope", lit("clean"))
-    val massdup = capOverflowAuditOf(base.unionByName(fxDocs),
-        embs.unionByName(fxEmbs), 50, 20, 80)
-      .withColumn("scope", lit("massdup"))
-    clean.unionByName(massdup)
+    // single pass: the fixture rows carry is_clean = false and both
+    // scopes' numbers come from one tokenize+shingle pipeline and one
+    // aggregation per mechanism (was: the whole audit run twice)
+    val docsAll = base.withColumn("is_clean", lit(true))
+      .unionByName(fxDocs.withColumn("is_clean", lit(false)))
+    val embsAll = embs.withColumn("is_clean", lit(true))
+      .unionByName(fxEmbs.withColumn("is_clean", lit(false)))
+    mechanismSizes(docsAll, embsAll, 50, 20, 80)
+      .map { case (mech, cap, sizes) => auditScopes(sizes, mech, cap) }
+      .reduce(_ unionByName _)
       .select(col("mechanism"), col("scope"), col("cap"),
         col("groups_total"), col("groups_dropped"), col("members_dropped"))
       .orderBy(col("mechanism"), col("scope"))
