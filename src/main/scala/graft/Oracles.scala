@@ -239,6 +239,55 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2""",
 
+    // as-of join mirrored as the same union-marker + running
+    // last_value window (DuckDB's ASOF JOIN keyword leaves same-ts
+    // reference ties unspecified; this form pins the max-event_id
+    // tie-break the operator defines). The payload travels as ONE
+    // struct so all ref_ columns come from the same reference row.
+    // ts is cast to µs inside the CTE so window ORDER matches Spark's
+    // µs-truncated timestamps even if two events share a microsecond.
+    "q_asof_join" -> """WITH u AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 0 AS is_probe,
+         struct_pack(r_ts := CAST(ts AS TIMESTAMP), r_id := event_id,
+                     r_value := value) AS ref
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1, NULL
+  FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT user_id, ts, event_id, is_probe,
+    last_value(ref IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_probe, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM u)
+SELECT event_id, user_id, ts,
+  m.r_id AS ref_event_id, m.r_ts AS ref_ts, m.r_value AS ref_value
+FROM w WHERE is_probe = 1 ORDER BY event_id""",
+
+    // gap sessionization: same lag + running-sum windows; sums cast
+    // from DuckDB's HUGEINT back to BIGINT to match Spark's long
+    "q_sessionize" -> """WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev IS NULL
+      OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END
+      AS new_s
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev FROM e)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM b)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end,
+  date_diff('microsecond', min(ts), max(ts)) AS duration_us,
+  CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value,
+  count(DISTINCT event_type) AS n_event_types
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx""",
+
     "q_multimodal_meta" -> """SELECT source,
   count(*) AS n_docs,
   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, DqEngine, GoldViews, MultimodalOps, StreamingOps, TextOps, VectorOps}
+import graft.operators.{Checks, DqEngine, EventOps, GoldViews, MultimodalOps, StreamingOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -63,6 +63,10 @@ object SparkEntry {
     "q_neardup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "q_embed_quantize" -> VectorOps.embedQuantize _,
     "q_ann_recall" -> ((s: SparkSession, d: String) => VectorOps.annRecall(s, d)),
+
+    // temporal event operators (EventOps)
+    "q_asof_join" -> EventOps.asofJoin _,
+    "q_sessionize" -> EventOps.sessionize _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Engine, Tables}
+import graft.functions.Exact._
+
+/** Temporal event operators the reference's SQL surface lacks but a
+  * time-series analytics engine needs: as-of join and gap
+  * sessionization over the `events` table.
+  *
+  * Both are built on the ONE scalable shape for per-key temporal logic:
+  * a single hash shuffle on the entity key, a per-partition sort on
+  * (ts, tiebreak), and a running window computation with O(1) state per
+  * row. Neither ever compares event pairs across an inequality join —
+  * the naive `a.ts <= b.ts` formulations Catalyst would plan as
+  * BroadcastNestedLoopJoin/CartesianProduct blow up quadratically per
+  * key and are exactly what these operators exist to avoid at 100 TB.
+  */
+object EventOps {
+
+  /** Left AS-OF join: for each probe row, the single latest reference
+    * row with the same `key` and `ref.ts <= probe.ts`, NULL if none —
+    * Spark has no ASOF JOIN relation (Flint/Databricks ship custom ones;
+    * DuckDB has ASOF JOIN syntax), so this composes one from primitives
+    * Catalyst already plans well:
+    *
+    *  1. union reference and probe rows with a marker, references
+    *     carrying their payload as ONE struct (a single struct — three
+    *     parallel `last_value IGNORE NULLS` columns could disagree on
+    *     which reference row they came from when payload fields are
+    *     NULL);
+    *  2. one running `last(_, ignoreNulls = true)` window per key
+    *     ordered by (ts, marker, tie): references sort BEFORE probes at
+    *     equal ts (inclusive <= semantics), ties among same-ts
+    *     references resolve to the largest `tie` value deterministically;
+    *  3. keep probe rows, unpack the struct.
+    *
+    * Cost shape: one exchange on `key` + one sort — identical to what a
+    * native as-of merge-join operator would shuffle — and the window
+    * state is a single struct (running last), never a buffer. Skewed
+    * keys behave like any windowed aggregate (one key's events must fit
+    * a partition's sort spill budget, not memory).
+    *
+    * `probes`/`refs` need columns: `key`, `ts`, `tie` (a total-order
+    * tiebreaker, e.g. event_id) plus payloads. Probe columns pass
+    * through; reference payload columns come back `ref_`-prefixed.
+    */
+  def asofJoinOf(probes: DataFrame, refs: DataFrame, key: String,
+      ts: String, tie: String, refPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val probeCols = probes.columns.toSeq
+    val refFields = Seq(ts, tie) ++ refPayload.filterNot(Seq(ts, tie).contains)
+    val refType = StructType(refFields.map(f => refs.schema(f)))
+    val probeType = StructType(probeCols.map(f => probes.schema(f)))
+    val r = refs.select(col(key), col(ts).as("_ts"), col(tie).as("_tie"),
+      lit(0).as("_probe"), struct(refFields.map(col): _*).as("_ref"),
+      lit(null).cast(probeType).as("_p"))
+    val p = probes.select(col(key), col(ts).as("_ts"), col(tie).as("_tie"),
+      lit(1).as("_probe"), lit(null).cast(refType).as("_ref"),
+      struct(probeCols.map(col): _*).as("_p"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_probe"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r.unionByName(p)
+      .withColumn("_m", last(col("_ref"), ignoreNulls = true).over(w))
+      .filter(col("_probe") === 1)
+    val out = probeCols.filterNot(_ == key).map(c => col(s"_p.$c").as(c)) ++
+      Seq(col(s"_m.$ts").as(s"ref_$ts"), col(s"_m.$tie").as(s"ref_$tie")) ++
+      refPayload.filterNot(Seq(ts, tie).contains)
+        .map(c => col(s"_m.$c").as(s"ref_$c"))
+    matched.select(col(key) +: out: _*)
+  }
+
+  /** `q_asof_join`: every click event annotated with the latest
+    * same-user purchase at-or-before it (event_id breaks ts ties).
+    * Clicks with no prior purchase keep NULL reference columns — the
+    * left-join form, so conversion-lag analyses see the full funnel. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+    val probes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val refs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    asofJoinOf(probes, refs, "user_id", "ts", "event_id", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ref_event_id"), col("ref_ts"), col("ref_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gap sessionization: per `key`, consecutive events closer than
+    * `gapSec` seconds belong to one session. Two running windows — a
+    * lag to mark gap-exceeding boundaries, a cumulative sum to number
+    * them — then one hash aggregate per (key, session). All three steps
+    * reuse the SAME (key × ts-sort) exchange: Catalyst plans one
+    * shuffle + one sort, and the aggregation combines map-side.
+    * Same-ts ties order by `tie`, but tie order cannot move a boundary
+    * (a 0-second gap never exceeds `gapSec`), so session assignment is
+    * deterministic. Session metrics stay exact: integer microsecond
+    * duration, decimal value sum. */
+  def sessionizeOf(events: DataFrame, key: String, ts: String, tie: String,
+      gapSec: Long, valueCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val bounded = events.withColumn("_prev",
+      lag(unix_micros(col(ts)), 1).over(ord))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col(ts)) - col("_prev") > gapSec * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("_new")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    bounded.groupBy(col(key), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        (unix_micros(max(col(ts))) - unix_micros(min(col(ts))))
+          .as("duration_us"),
+        dsum(col(valueCol)).as("total_value"),
+        countDistinct(col("event_type")).as("n_event_types"))
+  }
+
+  /** `q_sessionize`: 30-minute-gap sessions over the events table, one
+    * row per (user, session) with exact duration and value totals. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    sessionizeOf(Engine.spread(Tables.events(spark, sfDir)),
+      "user_id", "ts", "event_id", 1800L, "value")
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+}

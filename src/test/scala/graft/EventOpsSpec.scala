@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+
+/** [[graft.operators.EventOps]] edge semantics the DuckDB differential
+  * can't pin (the generated events table has no same-ts ties and no
+  * userless probes): as-of tie-breaks, missing references, session gap
+  * boundaries, and the no-pair-join plan shape.
+  */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoinOf: inclusive ts, same-ts ref ties resolve to max tie id") {
+    val refs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 5.0),
+      (1L, ts("2024-01-01 10:00:00"), 101L, 7.0), // same ts, larger id wins
+      (1L, ts("2024-01-01 11:00:00"), 102L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 200L), // ref AT probe ts counts
+      (1L, ts("2024-01-01 10:30:00"), 201L),
+      (1L, ts("2024-01-01 12:00:00"), 202L),
+      (1L, ts("2024-01-01 09:00:00"), 203L), // before all refs -> NULL
+      (2L, ts("2024-01-01 10:00:00"), 204L)) // user with no refs -> NULL
+      .toDF("user_id", "ts", "event_id")
+    val out = EventOps.asofJoinOf(probes, refs, "user_id", "ts", "event_id",
+      Seq("value"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("ref_event_id")),
+          Option(r.getAs[java.lang.Double]("ref_value")))).toMap
+    assert(out(200L) == ((Some(101L), Some(7.0)))) // tie -> id 101, not 100
+    assert(out(201L) == ((Some(101L), Some(7.0))))
+    assert(out(202L) == ((Some(102L), Some(9.0))))
+    assert(out(203L) == ((None, None)))
+    assert(out(204L) == ((None, None)))
+  }
+
+  test("asofJoinOf: ref payload fields stay consistent (one struct, not per-column last)") {
+    // the later reference carries a NULL payload value; a per-column
+    // last_value(IGNORE NULLS) would stitch id from ref 11 with value
+    // from ref 10 — the struct form must keep (11, NULL) together
+    val refs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, Some(5.0)),
+      (1L, ts("2024-01-01 11:00:00"), 11L, None))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq((1L, ts("2024-01-01 12:00:00"), 20L))
+      .toDF("user_id", "ts", "event_id")
+    val r = EventOps.asofJoinOf(probes, refs, "user_id", "ts", "event_id",
+      Seq("value")).collect().head
+    assert(r.getAs[java.lang.Long]("ref_event_id") == 11L)
+    assert(r.getAs[java.lang.Double]("ref_value") == null)
+  }
+
+  test("asofJoin plan: no cartesian/nested-loop pair join, one window") {
+    val plan = EventOps.asofJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("sessionizeOf: gap strictly-greater boundary; ties never split a session") {
+    val ev = Seq(
+      // user 1: events at 0s, 1800s (exactly the gap - same session),
+      // then 3601s (gap exceeded - new session)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2L, "view", 2.0),
+      (1L, ts("2024-01-01 11:30:01"), 3L, "click", 4.0),
+      // user 2: two events at the SAME ts - one session regardless of order
+      (2L, ts("2024-01-01 10:00:00"), 4L, "click", 1.0),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "view", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = EventOps.sessionizeOf(ev, "user_id", "ts", "event_id",
+      1800L, "value")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_idx")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"),
+          r.getAs[Double]("total_value"), r.getAs[Long]("n_event_types")))
+      .toMap
+    assert(out.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    assert(out((1L, 1L)) == ((2L, 1800000000L, 3.0, 2L)))
+    assert(out((1L, 2L)) == ((1L, 0L, 4.0, 1L)))
+    assert(out((2L, 1L)) == ((2L, 0L, 2.0, 2L)))
+  }
+
+  test("sessionize: session count and totals reconcile with the raw table") {
+    val raw = Tables.events(spark, sfDir)
+    val sessions = EventOps.sessionize(spark, sfDir)
+    val nEvents = sessions.agg(sum($"n_events")).as[Long].head()
+    assert(nEvents == raw.count())
+    // every session's span is within bounds and sessions are 1..k per user
+    val bad = sessions.filter($"session_end" < $"session_start" ||
+      $"duration_us" < 0L).count()
+    assert(bad == 0L)
+    val perUser = sessions.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), max($"session_idx").as("mx"))
+      .filter($"n" =!= $"mx").count()
+    assert(perUser == 0L)
+  }
+}
