@@ -931,6 +931,40 @@ cand AS (
 SELECT doc_a, doc_b, hamming FROM cand
 WHERE hamming <= 12 ORDER BY doc_a, doc_b"""),
 
+    // connected components of the near-dup pair graph: the same pair
+    // CTE as q_simhash_pairs, then min-reachable-id via a recursive
+    // CTE (UNION dedup terminates it) — the declarative mirror of the
+    // Spark side's min-label propagation loop
+    "q_dup_components" -> (SimhashCte.replaceFirst("WITH tok",
+      "WITH RECURSIVE tok") + """,
+band AS (
+  SELECT doc_id, simhash, 0 AS band_idx, (simhash >> 0) & 4095 AS band_val FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 1, (simhash >> 12) & 4095 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 2, (simhash >> 24) & 4095 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 3, (simhash >> 36) & 4095 FROM sig),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+  FROM band x JOIN band y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM cand WHERE hamming <= 12),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, comp) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+SELECT node AS doc_id, component,
+  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_n
+FROM cc ORDER BY doc_id"""),
+
     "q_fingerprint" -> """WITH tok AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
 SELECT doc_id, list_min(list_transform(

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, DqEngine, EventOps, GoldViews, MultimodalOps, StreamingOps, TextOps, VectorOps}
+import graft.operators.{Checks, DqEngine, EventOps, GoldViews, GraphOps, MultimodalOps, StreamingOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -67,6 +67,9 @@ object SparkEntry {
     // temporal event operators (EventOps)
     "q_asof_join" -> EventOps.asofJoin _,
     "q_sessionize" -> EventOps.sessionize _,
+
+    // graph: near-dup transitive closure (GraphOps)
+    "q_dup_components" -> GraphOps.dupComponents _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** [[graft.operators.GraphOps.connectedComponentsOf]] on synthetic
+  * graphs the near-dup tables don't exhibit: long chains (diameter =
+  * rounds), multiple components, cliques, and the iteration bound.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], maxIters: Int = 25) =
+    GraphOps.connectedComponentsOf(
+      edges.toDF("src", "dst"), "src", "dst", maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, clique, and separate components all collapse to min id") {
+    // chain 1-2-3-4-5 (diameter 4), clique {10,11,12}, pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+    val got = cc(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("propagation distance: a 12-node chain converges (diameter rounds)") {
+    val edges = (1L until 12L).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 12)
+  }
+
+  test("maxIters too small for the diameter fails loudly, not wrongly") {
+    val edges = (1L until 12L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException](cc(edges, maxIters = 2))
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("edge orientation and duplicate edges are irrelevant") {
+    val a = cc(Seq((1L, 2L), (2L, 3L)))
+    val b = cc(Seq((2L, 1L), (3L, 2L), (1L, 2L), (2L, 3L)))
+    assert(a == b)
+  }
+
+  test("dupComponents reconciles with the pair operator") {
+    import graft.operators.TextOps
+    val pairs = TextOps.simhashPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val comp = GraphOps.dupComponents(spark, sfDir)
+    val byDoc = comp.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("cluster_n"))).toMap
+    // every paired doc is clustered, pairs land in the same component
+    pairs.foreach { case (a, b) =>
+      assert(byDoc.contains(a) && byDoc.contains(b))
+      assert(byDoc(a)._1 == byDoc(b)._1, s"pair ($a,$b) split")
+    }
+    // component id is the min member; cluster_n counts members exactly
+    val members = byDoc.toSeq.groupBy(_._2._1)
+    members.foreach { case (compId, ms) =>
+      assert(ms.map(_._1).min == compId)
+      assert(ms.forall(_._2._2 == ms.size.toLong))
+    }
+  }
+}
