@@ -11,10 +11,34 @@ import org.apache.spark.sql.SparkSession
   * signatures, norms) would be timed with their defining work optimized
   * away. The noop sink materializes every output row/column through the
   * full plan and discards it — the honest per-query cost.
+  *
+  * Isolation between queries:
+  *  - [[Engine.clearStaged]] after every execution — staged
+  *    (localCheckpoint) blocks otherwise live for the JVM's life, so a
+  *    heavy staged query would inflate every query timed after it
+  *    (round-4 VERDICT item 2: untouched queries drifted ~25%).
+  *  - Queries run in [[SparkEntry.queries]]' DECLARED order (ListMap),
+  *    so per-query numbers are comparable across rounds even as new
+  *    queries are appended.
+  *  - A fixed CONTROL query (pure in-memory range-sum, no IO, no
+  *    staging) is timed before and after the timed section and reported
+  *    as "control" in the JSON: if control_after >> control_before, the
+  *    run itself degraded the JVM (leak/GC pressure) and per-query
+  *    drift is attributable in-run rather than to query code.
   */
 object Bench {
   private def run(df: org.apache.spark.sql.DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+    try df.write.format("noop").mode("overwrite").save()
+    finally Engine.clearStaged()
+
+  private def controlTime(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(1L << 24)
+      .selectExpr("sum(id * 3 + 1) as s")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,10 +49,12 @@ object Bench {
       .getOrCreate()
     Engine.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
-    // warmup pass (untimed)
+    // warmup pass (untimed), control included
+    controlTime(spark)
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    val controlBefore = controlTime(spark)
     // three timed runs, report the min — steady-state cost with scheduler/
     // GC noise suppressed (single-shot per-query numbers vary run-to-run;
     // min-of-3 tightens the sub-second comparisons min-of-2 left noisy).
@@ -47,11 +73,13 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    val controlAfter = controlTime(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val ctl = s"""{"before":$controlBefore,"after":$controlAfter}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"control":$ctl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -114,11 +114,60 @@ object Engine {
     * MEMORY_AND_DISK on the executors that computed it (size the knob's
     * inputs accordingly — callers here stage metadata-shaped or
     * distinct-text-shaped frames, never the raw corpus ride-along
-    * columns); blocks are freed when the RDD is garbage-collected
-    * (ContextCleaner), not at query end; and unlike a persist of the
-    * logical plan, a lost executor FAILS the job instead of recomputing
-    * (localCheckpoint severs the lineage needed to recompute) — at
-    * cluster scale prefer re-running the query over silently doubling
-    * every upstream stage on every reference. */
-  def stage(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+    * columns); and unlike a persist of the logical plan, a lost executor
+    * FAILS the job instead of recomputing (localCheckpoint severs the
+    * lineage needed to recompute) — at cluster scale prefer re-running
+    * the query over silently doubling every upstream stage on every
+    * reference.
+    *
+    * LIFECYCLE: every staged RDD is tracked. Blocks live until
+    * [[unstage]] (targeted, for iterative loops that retire a round's
+    * frame) or [[clearStaged]] (everything, for a long-lived session
+    * between queries) — relying on GC + ContextCleaner alone leaks
+    * MEMORY_AND_DISK blocks forward in any serial workload (round-4
+    * VERDICT: untouched queries inflated ~25% behind heavy staged ones).
+    * Call [[clearStaged]] when a query's results have been fully
+    * consumed; a staged frame must NOT be re-read after its blocks are
+    * freed (the severed lineage cannot recompute — re-build the frame
+    * instead). */
+  def stage(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = false)
+    stagedRddOf(out).foreach { r => staged.synchronized { staged += r } }
+    out
+  }
+
+  import org.apache.spark.rdd.RDD
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.execution.LogicalRDD
+
+  private val staged =
+    scala.collection.mutable.ArrayBuffer.empty[RDD[InternalRow]]
+
+  /** The block-manager-backed RDD behind a [[stage]]d frame (its logical
+    * plan is the `LogicalRDD` leaf localCheckpoint wrapped it in). */
+  private def stagedRddOf(df: DataFrame): Option[RDD[InternalRow]] =
+    df.queryExecution.logical match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _             => None
+    }
+
+  /** Free one staged frame's blocks (non-blocking). For iterative
+    * drivers ([[graft.operators.GraphOps.connectedComponentsOf]]) that
+    * stage a frame per round: retire round i−1 as soon as round i is
+    * materialized, so peak block storage is O(1) rounds, not O(rounds).
+    * The frame must not be referenced again afterwards. */
+  def unstage(df: DataFrame): Unit = stagedRddOf(df).foreach { r =>
+    r.unpersist(blocking = false)
+    staged.synchronized { staged -= r }
+  }
+
+  /** Free ALL staged blocks (non-blocking). A long-lived session (the
+    * serial Bench JVM, a query service) calls this between queries;
+    * without it every staged query leaks its blocks forward for the
+    * life of the JVM (ContextCleaner only frees on GC of the RDD
+    * object, which lazy val / closure references defer indefinitely). */
+  def clearStaged(): Unit = staged.synchronized {
+    staged.foreach(_.unpersist(blocking = false))
+    staged.clear()
+  }
 }

@@ -638,6 +638,88 @@ SELECT lang, source,
 FROM clean WHERE q >= 0.5
 GROUP BY lang, source ORDER BY lang, source""",
 
+    // corpusClean + its drop/recall accounting from one pass: funnel
+    // counters per (lang, source) (in → exact → neardup → quality →
+    // kept), kept-corpus stats (same fixed-point mean as
+    // q_corpus_clean), and the maxDf posting-cap audit per block.
+    "q_corpus_audit" -> """WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))),
+base AS (
+  SELECT d.doc_id, d.lang, d.source,
+    string_split_regex(trim(d.text), '\s+') AS t
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+sh AS (
+  SELECT doc_id, lang, source, t,
+    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM base),
+inv AS (
+  SELECT doc_id, lang, source, len(s) AS n, unnest(s) AS g FROM sh),
+posting AS (
+  SELECT lang, source, g, count(*) AS df FROM inv GROUP BY lang, source, g),
+audit AS (
+  SELECT lang, source,
+    count(*) AS posting_groups,
+    count(*) FILTER (WHERE df > 1000) AS posting_groups_capped,
+    CAST(coalesce(sum(df) FILTER (WHERE df > 1000), 0) AS BIGINT)
+      AS posting_members_capped
+  FROM posting GROUP BY lang, source),
+kept AS (
+  SELECT lang, source, g FROM posting WHERE df > 1 AND df <= 1000),
+pairs AS (
+  SELECT DISTINCT doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      a.n AS n_a, b.n AS n_b, count(*) AS inter
+    FROM inv a
+    JOIN kept k ON k.lang = a.lang AND k.source = a.source AND k.g = a.g
+    JOIN inv b ON b.lang = a.lang AND b.source = a.source AND b.g = a.g
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n, b.n) x
+  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.08),
+scored AS (
+  SELECT doc_id, lang, source, len(t) AS n_tokens,
+    least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE)) * 0.4
+      + (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.3
+      + least(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+          / CAST(len(t) AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE)) * 0.3 AS q,
+    doc_id IN (SELECT doc_b FROM pairs) AS is_nd
+  FROM sh),
+per_block AS (
+  SELECT lang, source,
+    count(*) AS n_survivors,
+    count(*) FILTER (WHERE is_nd) AS n_neardup_dropped,
+    count(*) FILTER (WHERE NOT is_nd AND q < 0.5) AS n_quality_dropped,
+    count(*) FILTER (WHERE NOT is_nd AND q >= 0.5) AS n_kept,
+    CAST(coalesce(sum(n_tokens) FILTER (WHERE NOT is_nd AND q >= 0.5), 0)
+      AS BIGINT) AS kept_tokens,
+    sum(CAST(floor(q * 1000000.0) AS BIGINT))
+      FILTER (WHERE NOT is_nd AND q >= 0.5) AS qsum,
+    min(doc_id) FILTER (WHERE NOT is_nd AND q >= 0.5) AS kept_min_doc_id,
+    max(doc_id) FILTER (WHERE NOT is_nd AND q >= 0.5) AS kept_max_doc_id
+  FROM scored GROUP BY lang, source),
+in_counts AS (
+  SELECT lang, source, count(*) AS n_docs_in FROM documents
+  GROUP BY lang, source)
+SELECT i.lang, i.source, i.n_docs_in,
+  i.n_docs_in - coalesce(p.n_survivors, 0) AS n_exact_dropped,
+  coalesce(p.n_neardup_dropped, 0) AS n_neardup_dropped,
+  coalesce(p.n_quality_dropped, 0) AS n_quality_dropped,
+  coalesce(p.n_kept, 0) AS n_kept,
+  coalesce(p.kept_tokens, 0) AS kept_tokens,
+  CASE WHEN p.n_kept > 0
+    THEN CAST(p.qsum AS DOUBLE) / 1000000.0 / CAST(p.n_kept AS DOUBLE)
+  END AS avg_quality,
+  coalesce(a.posting_groups, 0) AS posting_groups,
+  coalesce(a.posting_groups_capped, 0) AS posting_groups_capped,
+  coalesce(a.posting_members_capped, 0) AS posting_members_capped,
+  p.kept_min_doc_id, p.kept_max_doc_id
+FROM in_counts i
+LEFT JOIN per_block p ON p.lang = i.lang AND p.source = i.source
+LEFT JOIN audit a ON a.lang = i.lang AND a.source = i.source
+ORDER BY i.lang, i.source""",
+
     // Chunk count ⌈(n−overlap)/stride⌉ (min 1) in exact integer
     // arithmetic; slice clamps the tail on both engines.
     "q_doc_chunks" -> """WITH tok AS (

@@ -33,10 +33,21 @@ object GraphOps {
     * Iterative frames are re-staged each round ([[Engine.stage]]) —
     * without truncation the lineage doubles per round and Catalyst
     * re-optimization dominates (same discipline as
-    * [[VectorOps.kmeansCentroids]]'s per-iteration materialization).
-    * NB EAGER: the convergence check runs a Spark job per round at
-    * call time. Driver state is one changed-count long per round —
+    * [[VectorOps.kmeansCentroids]]'s per-iteration materialization) —
+    * and the RETIRED round's blocks are freed immediately
+    * ([[Engine.unstage]]), so peak block storage is two label frames,
+    * not O(rounds). NB EAGER: each round runs ONE Spark job at call
+    * time — a noop-sink write that materializes the staged next-labels
+    * frame while a changed-count accumulator rides along in the same
+    * tasks (round-4 VERDICT item 6: no dedicated convergence job).
+    * Accumulator retry overcounting is benign here: only changed==0
+    * stops the loop, and a truly unchanged round adds nothing from any
+    * task attempt. Driver state is one changed-count long per round —
     * labels themselves never leave the cluster.
+    * Rounds-to-convergence for the last call is surfaced via
+    * [[lastConvergenceRounds]] (telemetry: cluster shapes that stop
+    * converging in few rounds are the signal to swap in
+    * large-star/small-star).
     *
     * Input: an edge frame with `src`/`dst` columns (undirected; both
     * orientations are derived). Output: (node, component) with
@@ -45,32 +56,50 @@ object GraphOps {
     */
   def connectedComponentsOf(edges: DataFrame, src: String, dst: String,
       maxIters: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
     val e = Engine.stage(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .unionByName(edges.select(col(dst).as("src"), col(src).as("dst")))
         .distinct())
-    var labels = Engine.stage(
+    var stagedLabels = Engine.stage(
       e.select(col("src").as("node")).distinct()
         .withColumn("comp", col("node")))
+    var labels = stagedLabels
     var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      // min label over the open neighborhood, one row per node
+    var rounds = 0
+    while (changed > 0 && rounds < maxIters) {
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      val flag = udf { c: Boolean => if (c) acc.add(1L); c }
+      // min label over the open neighborhood, one row per node; the
+      // changed flag is a column of the staged frame so the accumulator
+      // update happens inside the materializing job's tasks
       val nbr = e.join(labels.select(col("node").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("comp")).as("nbr_comp"))
       val next = Engine.stage(labels.join(nbr, Seq("node"), "left")
-        .select(col("node"), col("comp").as("prev"),
+        .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp")))
-      changed = next.filter(col("comp") =!= col("prev")).count()
+            .as("next_comp"), col("comp").as("prev"))
+        .select(col("node"), col("next_comp").as("comp"),
+          flag(col("next_comp") =!= col("prev")).as("chg")))
+      next.write.format("noop").mode("overwrite").save()
+      changed = acc.value
+      Engine.unstage(stagedLabels)
+      stagedLabels = next
       labels = next.select(col("node"), col("comp"))
-      i += 1
+      rounds += 1
     }
     require(changed == 0L,
       s"connectedComponents did not converge in $maxIters rounds")
+    Engine.unstage(e) // labels' blocks remain live for the caller
+    lastConvergenceRounds = rounds
     labels
   }
+
+  /** Rounds the most recent [[connectedComponentsOf]] call took to
+    * converge (includes the final no-change round). Telemetry only —
+    * per-JVM, last-call-wins. */
+  @volatile var lastConvergenceRounds: Int = 0
 
   /** `q_dup_components`: near-dup CLUSTERS from the simhash pair
     * operator — the transitive closure [[TextOps.simhashPairs]] itself

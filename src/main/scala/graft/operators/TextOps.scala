@@ -220,6 +220,92 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** [[corpusClean]] with its drop/recall accounting attached — the
+    * composed pipeline AND the audit from ONE pass (round-4 VERDICT
+    * item 7: q_dedup_overflow proves the audit standalone; a real
+    * pipeline wants the cleaned output and the drop counters together,
+    * not as two jobs over the corpus).
+    *
+    * One row per (lang, source) block:
+    *  - funnel counters — `n_docs_in` → `n_exact_dropped` (stage 1)
+    *    → `n_neardup_dropped` (stage 2) → `n_quality_dropped` (stage 3)
+    *    → `n_kept`, which always sum back to `n_docs_in`;
+    *  - kept-corpus stats (`kept_tokens`, fixed-point-exact
+    *    `avg_quality`, min/max kept doc_id) — the same numbers
+    *    [[corpusClean]] reports, differentially pinned by its spec;
+    *  - the posting-list cap audit for THIS run's maxDf
+    *    (`posting_groups[_capped]` / `posting_members_capped`) — the
+    *    recall the near-dup stage silently traded, attributable
+    *    per block.
+    *
+    * Single-pass shape: the tokenize+shingle pipeline runs ONCE over
+    * the exact-dedup survivors into a staged frame (quality and token
+    * count ride along as scalars; the shingle array is shared by the
+    * pair search and the posting audit — the same discipline as
+    * [[dedupOverflow]]'s mechanismSizes), and every counter is a
+    * conditional aggregate, so the composition costs one extra
+    * key-bounded aggregation over what [[corpusClean]] already does. */
+  def corpusCleanAudit(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.08, minQuality: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    Engine.configure(spark)
+    val raw = Engine.spread(Tables.documents(spark, sfDir))
+    val keep = raw.groupBy(contentHash(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val sv = Engine.stage(raw.join(keep, "doc_id")
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("t")).as("n_tokens"), textQualityOf(col("t")).as("q"),
+        shinglesOf(col("t"), 3).as("sh")))
+    val dropped = invertedIndexPairs(sv, threshold, maxDf)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__nd", lit(true))
+    val audit = sv
+      .select(col("lang"), col("source"), explode(col("sh")).as("g"))
+      .groupBy(col("lang"), col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("posting_groups"),
+        countIf(col("df") > maxDf).as("posting_groups_capped"),
+        coalesce(sum(when(col("df") > maxDf, col("df"))), lit(0L))
+          .as("posting_members_capped"))
+    val kept = !col("is_nd") && col("q") >= minQuality
+    val perBlock = sv.join(dropped, Seq("doc_id"), "left")
+      .withColumn("is_nd", coalesce(col("__nd"), lit(false)))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_survivors"),
+        countIf(col("is_nd")).as("n_neardup_dropped"),
+        countIf(!col("is_nd") && col("q") < minQuality)
+          .as("n_quality_dropped"),
+        countIf(kept).as("n_kept"),
+        coalesce(sum(when(kept, col("n_tokens"))), lit(0L))
+          .as("kept_tokens"),
+        sum(when(kept, floor(col("q") * 1e6))).as("__qsum"),
+        min(when(kept, col("doc_id"))).as("kept_min_doc_id"),
+        max(when(kept, col("doc_id"))).as("kept_max_doc_id"))
+    val inCounts = raw.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs_in"))
+    inCounts.join(perBlock, Seq("lang", "source"), "left")
+      .join(audit, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs_in"),
+        (col("n_docs_in") - coalesce(col("n_survivors"), lit(0L)))
+          .as("n_exact_dropped"),
+        coalesce(col("n_neardup_dropped"), lit(0L)).as("n_neardup_dropped"),
+        coalesce(col("n_quality_dropped"), lit(0L)).as("n_quality_dropped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        when(col("n_kept") > 0, col("__qsum").cast(DoubleType) / lit(1e6) /
+          col("n_kept").cast(DoubleType)).as("avg_quality"),
+        coalesce(col("posting_groups"), lit(0L)).as("posting_groups"),
+        coalesce(col("posting_groups_capped"), lit(0L))
+          .as("posting_groups_capped"),
+        coalesce(col("posting_members_capped"), lit(0L))
+          .as("posting_members_capped"),
+        col("kept_min_doc_id"), col("kept_max_doc_id"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** NFC-canonicalization probe for [[dedupExact]]'s content hash: two
     * variants of each of the first `n` documents — one suffixed with
     * precomposed é (U+00E9), one with e + combining acute (U+0301) —

@@ -70,22 +70,25 @@ object VectorOps {
   /** [[annLsh]] over an arbitrary (vec_id, embedding) frame. */
   private[graft] def annLshOf(raw: DataFrame, planes: Int, minCos: Double,
       maxBucket: Int): DataFrame = {
-    // staged: the signature frame feeds BOTH the okBuckets pre-pass and
-    // the bounded join, and the broadcast aggregate blocks AQE exchange
-    // reuse — unstaged, the base scan + planes·Dims signature arithmetic
-    // would run twice (round-3 ADVICE). Storage ∝ input (embeddings ride
-    // along); callers with tight executor storage can re-derive instead.
-    val emb = Engine.stage(raw
-      .select(col("vec_id"), col("embedding"),
+    // staged SKINNY: only (vec_id, bucket) — the planes·Dims signature
+    // arithmetic is computed once and feeds both the okBuckets pre-pass
+    // and the bounded join, but the embedding arrays never enter the
+    // block manager (staged storage ∝ corpus × 12 bytes, not × vector
+    // width). Each join side re-reads the embedding from the vectorized
+    // file scan by vec_id (round-4 VERDICT item 3; same corpus-read-
+    // exactly-twice discipline as the minhash expansion).
+    val sig = Engine.stage(raw
+      .select(col("vec_id"),
         lshSignature(col("embedding"), planes, Dims).as("bucket")))
-    val okBuckets = broadcast(emb.groupBy(col("bucket"))
+    val okBuckets = broadcast(sig.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
       .select(col("bucket")))
-    val bounded = emb.join(okBuckets, "bucket")
-    val a = bounded.select(col("vec_id").as("id_a"),
+    val bounded = sig.join(okBuckets, "bucket")
+    val vecs = raw.select(col("vec_id"), col("embedding"))
+    val a = bounded.join(vecs, "vec_id").select(col("vec_id").as("id_a"),
       col("embedding").as("va"), col("bucket"))
-    val b = bounded.select(col("vec_id").as("id_b"),
+    val b = bounded.join(vecs, "vec_id").select(col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("bucket"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -356,10 +359,12 @@ object VectorOps {
     * frame. */
   private[graft] def embeddingNearDupOf(raw: DataFrame, minCos: Double,
       maxBlock: Int): DataFrame = {
-    // same two-consumer staging as [[annLshOf]]; here the second
-    // evaluation would only re-scan the (pruned) label column, but the
-    // guaranteed-once form keeps the contract uniform
-    val emb = Engine.stage(raw)
+    // deliberately UNstaged: the okLabels pre-pass only reads the pruned
+    // `label` column and the self-join sides read vectorized parquet —
+    // three cheap columnar scans beat materializing the corpus-wide
+    // embedding arrays into executor storage (round-4 VERDICT item 1:
+    // the staged form was 8× slower at sf0.1 and a non-starter at 100 TB)
+    val emb = raw
     val okLabels = broadcast(emb.groupBy(col("label"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBlock)

@@ -29,6 +29,22 @@ class GraphOpsSpec extends SparkSpec {
     val got = cc(edges)
     assert(got.values.toSet == Set(1L))
     assert(got.size == 12)
+    // telemetry: min-label propagation on an 11-edge chain needs the
+    // full diameter of rounds plus the final no-change round
+    assert(GraphOps.lastConvergenceRounds == 12,
+      s"rounds=${GraphOps.lastConvergenceRounds}")
+  }
+
+  test("convergence frees retired round frames; only live staged blocks remain") {
+    Engine.clearStaged()
+    val edges = (1L until 8L).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.values.toSet == Set(1L))
+    // per-round staged frames and the edge frame were unstaged in-loop;
+    // only the FINAL labels frame's blocks may remain
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 1, s"staged blocks leaked: $live RDDs still persistent")
+    Engine.clearStaged()
   }
 
   test("maxIters too small for the diameter fails loudly, not wrongly") {
