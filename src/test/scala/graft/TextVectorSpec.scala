@@ -59,6 +59,48 @@ class TextVectorSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native LshSignature == HOF formulation bit-for-bit on real embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val diff = emb.select(
+        V.lshSignature($"embedding", 12, 64).as("native"),
+        V.lshSignatureHof($"embedding", 12, 64).as("hof"))
+      .filter(not($"native" <=> $"hof")).count()
+    assert(diff == 0)
+    // more planes than the operator default, still bit-identical
+    val diff2 = emb.select(
+        V.lshSignature($"embedding", 24, 64).as("native"),
+        V.lshSignatureHof($"embedding", 24, 64).as("hof"))
+      .filter(not($"native" <=> $"hof")).count()
+    assert(diff2 == 0)
+  }
+
+  test("LshSignature: wrong-length vectors yield signature 0, matching the HOF") {
+    // zip_with null-pads the mismatched side, nulling every projection;
+    // every bit falls to otherwise(0) — the native loop mirrors that
+    val df = Seq(
+      Seq.fill(64)(0.5f),          // contract length
+      Seq(1.0f, 2.0f),             // too short
+      Seq.fill(70)(0.25f)          // too long
+    ).toDF("v")
+    val rows = df.select(
+      V.lshSignature($"v", 12, 64).as("native"),
+      V.lshSignatureHof($"v", 12, 64).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(rows(1).getLong(0) == 0L && rows(2).getLong(0) == 0L)
+  }
+
+  test("LshSignature participates in whole-stage codegen (no fallback)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exec = emb.select(V.lshSignature($"embedding", 12, 64).as("s"))
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(inCodegen.nonEmpty &&
+      inCodegen.map(_.toString).exists(_.contains("lsh_signature")),
+      exec.toString)
+  }
+
   test("VectorDot participates in whole-stage codegen (no fallback)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exec = emb.select(V.dot($"embedding", $"embedding").as("d"))
