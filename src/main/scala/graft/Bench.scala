@@ -13,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   * full plan and discards it — the honest per-query cost.
   *
   * Isolation between queries:
-  *  - [[Engine.clearStaged]] after every execution — staged
-  *    (localCheckpoint) blocks otherwise live for the JVM's life, so a
-  *    heavy staged query would inflate every query timed after it
-  *    (round-4 VERDICT item 2: untouched queries drifted ~25%).
+  *  - [[Engine.clearStaged]] after every execution, BLOCKING and
+  *    outside the timed region — staged (localCheckpoint) blocks
+  *    otherwise live for the JVM's life, so a heavy staged query would
+  *    inflate every query timed after it (round-4 VERDICT item 2:
+  *    untouched queries drifted ~25%), and a non-blocking free inside
+  *    the timing would race its cleanup into the next measurement.
   *  - Queries run in [[SparkEntry.queries]]' DECLARED order (ListMap),
   *    so per-query numbers are comparable across rounds even as new
   *    queries are appended.
@@ -27,9 +29,11 @@ import org.apache.spark.sql.SparkSession
   *    drift is attributable in-run rather than to query code.
   */
 object Bench {
+  // NB: the timed region is the noop write alone; staged-block cleanup
+  // happens OUTSIDE the timing (and blocking), so neither the cleanup
+  // cost nor an async removal races into the next query's measurement
   private def run(df: org.apache.spark.sql.DataFrame): Unit =
-    try df.write.format("noop").mode("overwrite").save()
-    finally Engine.clearStaged()
+    df.write.format("noop").mode("overwrite").save()
 
   private def controlTime(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
@@ -53,6 +57,7 @@ object Bench {
     controlTime(spark)
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      finally Engine.clearStaged(blocking = true)
     }
     val controlBefore = controlTime(spark)
     // three timed runs, report the min — steady-state cost with scheduler/
@@ -69,7 +74,9 @@ object Bench {
             errors += name
             false
         }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        Engine.clearStaged(blocking = true) // untimed, between runs
+        dt
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }

@@ -161,13 +161,15 @@ object Engine {
     staged.synchronized { staged -= r }
   }
 
-  /** Free ALL staged blocks (non-blocking). A long-lived session (the
-    * serial Bench JVM, a query service) calls this between queries;
-    * without it every staged query leaks its blocks forward for the
-    * life of the JVM (ContextCleaner only frees on GC of the RDD
-    * object, which lazy val / closure references defer indefinitely). */
-  def clearStaged(): Unit = staged.synchronized {
-    staged.foreach(_.unpersist(blocking = false))
+  /** Free ALL staged blocks. A long-lived session (the serial Bench
+    * JVM, a query service) calls this between queries; without it every
+    * staged query leaks its blocks forward for the life of the JVM
+    * (ContextCleaner only frees on GC of the RDD object, which lazy
+    * val / closure references defer indefinitely). `blocking = true`
+    * waits for removal — what a benchmark wants BETWEEN timed queries,
+    * so deferred cleanup never bleeds into the next measurement. */
+  def clearStaged(blocking: Boolean = false): Unit = staged.synchronized {
+    staged.foreach(_.unpersist(blocking))
     staged.clear()
   }
 }

@@ -740,6 +740,66 @@ FROM ch ORDER BY doc_id, chunk_idx""",
     "q_doc_sample" -> s"""SELECT doc_id, lang, source FROM documents
 WHERE ${graft.functions.TextFunctions.hashBucket100Sql("doc_id")} < 20 ORDER BY doc_id""",
 
+    // containment = inter / min(n_a, n_b) over the same co-shingled
+    // pair statistics as q_neardup_pairs — catches subset duplicates
+    // whose Jaccard is diluted by the larger doc's union
+    "q_containment" -> """WITH sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM (SELECT doc_id, lang, source,
+          string_split_regex(trim(text), '\s+') AS t FROM documents) a),
+inv AS (
+  SELECT doc_id, lang, source, len(s) AS n, unnest(s) AS g FROM sh),
+kept AS (
+  SELECT lang, source, g FROM inv GROUP BY lang, source, g
+  HAVING count(*) > 1 AND count(*) <= 1000),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+    a.n AS n_a, b.n AS n_b, count(*) AS inter
+  FROM inv a
+  JOIN kept k ON k.lang = a.lang AND k.source = a.source AND k.g = a.g
+  JOIN inv b ON b.lang = a.lang AND b.source = a.source AND b.g = a.g
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.lang, a.source, a.n, b.n)
+SELECT doc_a, doc_b, lang, source,
+  CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+FROM pr
+WHERE CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.05
+ORDER BY doc_a, doc_b""",
+
+    // hash-rank stratified sample: md5 hex order is engine-identical
+    "q_stratified_sample" -> """SELECT lang, source, CAST(rk AS INT) AS rank, doc_id FROM (
+  SELECT lang, source, doc_id,
+    row_number() OVER (PARTITION BY lang, source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) s
+WHERE rk <= 3 ORDER BY lang, source, rank""",
+
+    // tf·N/df with the log dropped: exact integer product + one IEEE
+    // division — engine-exact where ln() is not; ranking unchanged
+    "q_tfidf_terms" -> """WITH tok AS (
+  SELECT doc_id, lang, source,
+    unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents),
+dt AS (
+  SELECT lang, source, token, doc_id, count(*) AS c
+  FROM tok GROUP BY lang, source, token, doc_id),
+st AS (
+  SELECT lang, source, token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+  FROM dt GROUP BY lang, source, token),
+nd AS (SELECT lang, source, count(*) AS n_docs FROM documents
+  GROUP BY lang, source),
+sc AS (
+  SELECT st.lang, st.source, token, tf, df, n_docs,
+    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+  FROM st JOIN nd ON nd.lang = st.lang AND nd.source = st.source),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, source
+    ORDER BY score DESC, token) AS rank FROM sc)
+SELECT lang, source, CAST(rank AS INT) AS rank, token, tf, df, n_docs, score
+FROM rk WHERE rank <= 3 ORDER BY lang, source, rank""",
+
     "q_embedding_norms" -> """SELECT vec_id, label,
   sqrt(list_sum(list_transform(embedding,
     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
@@ -764,6 +824,28 @@ WHERE cos_sim >= 0.2 ORDER BY id_a, id_b""",
     // Centroid dims are fixed-point means (floor(x·2^20) exact long sums)
     // so the IVF index is bit-identical across engines; probe and rerank
     // cosines follow the usual left-to-right list_sum contract.
+    // per-label squared-L2 spread around the same fixed-point centroid
+    // as q_ann_ivf; mean via floor(d²·1e6) exact-long sum
+    "q_cluster_tightness" -> {
+      val fp = "1048576.0"
+      val cdims = (0 until 64).map { d =>
+        s"CAST(sum(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * $fp) " +
+          s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
+      }.mkString(",\n    ")
+      s"""WITH cent AS (
+  SELECT label, [$cdims] AS centroid
+  FROM embeddings GROUP BY label),
+d AS (
+  SELECT e.label,
+    ${graft.functions.VectorFunctions.l2sqSql("e.embedding", "c.centroid")} AS d2
+  FROM embeddings e JOIN cent c ON c.label = e.label)
+SELECT label, count(*) AS n_vecs,
+  CAST(sum(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+    / CAST(count(*) AS DOUBLE) AS avg_l2sq,
+  min(d2) AS min_l2sq, max(d2) AS max_l2sq
+FROM d GROUP BY label ORDER BY label"""
+    },
+
     "q_ann_ivf" -> {
       val fp = "1048576.0"
       val cdims = (0 until 64).map { d =>

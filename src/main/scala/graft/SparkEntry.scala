@@ -63,6 +63,9 @@ object SparkEntry {
     "q_corpus_audit" -> ((s: SparkSession, d: String) => TextOps.corpusCleanAudit(s, d)),
     "q_doc_chunks" -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
     "q_doc_sample" -> ((s: SparkSession, d: String) => TextOps.sampleDocs(s, d)),
+    "q_containment" -> ((s: SparkSession, d: String) => TextOps.containmentPairs(s, d)),
+    "q_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
+    "q_tfidf_terms" -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),
@@ -72,6 +75,7 @@ object SparkEntry {
     "q_neardup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "q_embed_quantize" -> VectorOps.embedQuantize _,
     "q_ann_recall" -> ((s: SparkSession, d: String) => VectorOps.annRecall(s, d)),
+    "q_cluster_tightness" -> VectorOps.clusterTightness _,
 
     // temporal event operators (EventOps)
     "q_asof_join" -> EventOps.asofJoin _,

@@ -123,7 +123,19 @@ object TextOps {
     * self-join evaluated it per side). Shared by [[nearDupPairs]] and
     * [[corpusClean]]. */
   private def invertedIndexPairs(docs: DataFrame, threshold: Double,
-      maxDf: Int): DataFrame = {
+      maxDf: Int): DataFrame =
+    pairIntersections(docs, maxDf)
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("source"),
+        col("jaccard"))
+
+  /** The shared candidate-pair intersection counts behind
+    * [[invertedIndexPairs]] (Jaccard) and [[containmentPairs]]
+    * (containment): one row per co-shingled pair with (n_a, n_b,
+    * inter), the sufficient statistics for any set-overlap score. */
+  private def pairIntersections(docs: DataFrame, maxDf: Int): DataFrame = {
     import graft.expressions.BoundedCollectSet.boundedCollectSet
     val sized = docs.withColumn("n", size(col("sh")))
     val inv = sized.select(col("doc_id"), col("lang"), col("source"), col("n"),
@@ -139,11 +151,41 @@ object TextOps {
       .groupBy(col("doc_a"), col("doc_b"), col("lang"), col("source"),
         col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (col("n_a") + col("n_b") - col("inter")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Containment near-duplicate pairs: |A∩B| / min(|A|, |B|) over the
+    * same (lang, source)-blocked shingle inverted index as
+    * [[nearDupPairs]]. Containment catches what Jaccard structurally
+    * cannot: a SUBSET duplicate (a document embedded verbatim inside a
+    * much larger one — quotation, concatenation, boilerplate wrapping)
+    * has high containment but low Jaccard, because the union in
+    * Jaccard's denominator is dominated by the larger document. A
+    * training-data pipeline wants both scores: Jaccard for symmetric
+    * near-dups, containment for inclusion contamination. Same shuffle
+    * discipline and maxDf posting cap as every inverted-index operator
+    * (work ∝ Σ df(shingle)², never block size²). */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.05, maxDf: Int = 1000): DataFrame = {
+    Engine.configure(spark)
+    containmentPairsOf(Engine.spread(Tables.documents(spark, sfDir)),
+      threshold, maxDf)
+  }
+
+  /** [[containmentPairs]] over an arbitrary (doc_id, lang, source, text)
+    * frame. */
+  private[graft] def containmentPairsOf(raw: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
+    val docs = raw
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        shinglesOf(col("t"), 3).as("sh"))
+    pairIntersections(docs, maxDf)
+      .withColumn("containment", col("inter").cast(DoubleType) /
+        least(col("n_a"), col("n_b")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("source"),
-        col("jaccard"))
+        col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Near-duplicate pairs by exact n-gram (3-shingle) Jaccard within
@@ -692,6 +734,69 @@ object TextOps {
     * top-k via a rank window over the (tiny, ≤ |vocab|) aggregated
     * relation. Ties break on the token string so the cut is
     * deterministic across engines. */
+  /** Deterministic stratified sample: exactly `k` documents per
+    * (lang, source) stratum, selected by hash-rank — row_number over
+    * md5(doc_id) with doc_id as total-order tiebreak. Where
+    * [[sampleDocs]] keeps a deterministic PERCENTAGE (stratum sizes
+    * drift with the data), this keeps a fixed per-stratum COUNT — the
+    * shape data-mix execution wants after [[dataMix]] decides quotas.
+    * Engine-exact: md5 hex and its lexicographic order are identical
+    * everywhere. Scale: rank ≤ k over a window is planned as
+    * WindowGroupLimit — a partial per-partition top-k runs BELOW the
+    * stratum shuffle (asserted by PlanSpec), so shuffle bytes are
+    * ∝ strata × k, not corpus. */
+  def stratifiedSample(spark: SparkSession, sfDir: String, k: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.configure(spark)
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Engine.spread(Tables.documents(spark, sfDir))
+      .select(col("lang"), col("source"), col("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("source"), col("rank"), col("doc_id"))
+      .orderBy(col("lang"), col("source"), col("rank"))
+  }
+
+  /** TF-IDF-style distinctive terms per (lang, source) block: score =
+    * tf · N / df (tf = term occurrences in the block, df = block
+    * documents containing it, N = block documents) — the classic
+    * rare-term weighting with the logarithm dropped so the score stays
+    * ENGINE-EXACT: tf·N is an exact long product and the single IEEE
+    * division is bit-identical in any engine, where ln(N/df) is a libm
+    * call with no cross-engine bit contract. Ranking is unchanged by
+    * the monotone transform. Two hash aggregations (per-doc term
+    * counts, then per-block tf/df) and a per-block top-k window —
+    * shuffle ∝ distinct (block, term), the [[vocabTopK]] discipline.
+    * Hapax terms (tf = df = 1) legitimately score N — standard tf-idf
+    * behavior; the (score, token) tiebreak keeps ranks total-ordered. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.configure(spark)
+    val raw = Engine.spread(Tables.documents(spark, sfDir))
+    val perDoc = raw
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("source"), col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy(col("lang"), col("source"), col("token"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+    val nDocs = raw.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("score").desc, col("token"))
+    stats.join(nDocs, Seq("lang", "source"))
+      .withColumn("score", (col("tf") * col("n_docs")).cast(DoubleType) /
+        col("df").cast(DoubleType))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("source"), col("rank"), col("token"),
+        col("tf"), col("df"), col("n_docs"), col("score"))
+      .orderBy(col("lang"), col("source"), col("rank"))
+  }
+
   def vocabTopK(spark: SparkSession, sfDir: String, k: Int = 20)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -344,6 +344,44 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster-tightness report: per label cell, the distribution of
+    * squared L2 distances from members to the cell centroid — the
+    * index-quality diagnostic a curator reads BEFORE trusting
+    * [[annIvf]]'s cells (loose cells → low recall at a given nprobe;
+    * use it to pick kCells/nprobe or to flag labels that need
+    * re-clustering).
+    *
+    * Engine-exact end to end: centroids use the same fixed-point
+    * order-independent mean as [[annIvf]]; distances are the bit-exact
+    * native [[l2sq]]; the mean distance is a fixed-point floor(d²·1e6)
+    * exact-long sum (documented bound: safe while Σ d²·1e6 < 2⁶³ per
+    * cell — unit-normish embeddings give d² ≲ 4·dims, so ~10¹² members
+    * per cell before overflow); min/max are raw doubles. One hash
+    * aggregate builds centroids, one broadcast join + one hash
+    * aggregate scores members — the corpus is never shuffled. */
+  def clusterTightness(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val Fp = 1048576.0 // 2^20
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+    val centDims = (0 until Dims).map { d =>
+      (sum(floor(element_at(col("embedding"), d + 1).cast("double") * Fp))
+        .cast("double") / Fp / count(lit(1))).as(s"c$d")
+    }
+    val centroids = emb.groupBy(col("label"))
+      .agg(centDims.head, centDims.tail: _*)
+      .select(col("label"),
+        array((0 until Dims).map(d => col(s"c$d")): _*).as("centroid"))
+    emb.join(broadcast(centroids), "label")
+      .select(col("label"), l2sq(col("embedding"), col("centroid")).as("d2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("d2") * 1e6)).cast("double") / lit(1e6) /
+          count(lit(1)).cast("double")).as("avg_l2sq"),
+        min(col("d2")).as("min_l2sq"),
+        max(col("d2")).as("max_l2sq"))
+      .orderBy(col("label"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * cluster id): exact cosine within each block, pairs above `minCos`.
     * Blocking bounds the pair count by block size² exactly like the

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextOps, VectorOps}
+
+/** Round-5 curation operators: containment pairs (subset duplicates),
+  * stratified hash-rank sampling, tf-idf distinctive terms, and the
+  * embedding cluster-tightness report. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containment flags a subset duplicate that Jaccard misses") {
+    // doc 2 contains doc 1 verbatim plus 3× more material: every
+    // shingle of 1 appears in 2 (containment 1.0), while the union is
+    // dominated by 2's extra shingles (low jaccard)
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "s", small),
+      (2L, "en", "s", s"$small $filler"),
+      (3L, "en", "s", "totally unrelated words here")
+    ).toDF("doc_id", "lang", "source", "text")
+    val cont = TextOps.containmentPairsOf(docs, 0.9, 1000).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getAs[Long]("doc_a") == 1L &&
+      cont.head.getAs[Long]("doc_b") == 2L)
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    // the same pair does NOT clear a symmetric jaccard threshold
+    val jac = TextOps.nearDupPairsOf(docs, 0.9, 1000).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("containment >= jaccard on every real co-shingled pair") {
+    val c = TextOps.containmentPairs(spark, sfDir, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    val j = TextOps.nearDupPairs(spark, sfDir, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    assert(j.nonEmpty && j.keySet == c.keySet)
+    j.foreach { case (k, jv) => assert(c(k) >= jv, s"$k: c=${c(k)} j=$jv") }
+  }
+
+  test("stratifiedSample: exactly k per stratum, deterministic, ranks total") {
+    val k = 3
+    val a = TextOps.stratifiedSample(spark, sfDir, k).collect()
+    val b = TextOps.stratifiedSample(spark, sfDir, k).collect()
+    assert(a.toSeq == b.toSeq) // same hash order every run
+    val perStratum = a.groupBy(r => (r.getString(0), r.getString(1)))
+    val strata = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source")).distinct().count()
+    assert(perStratum.size == strata)
+    perStratum.foreach { case (_, rows) =>
+      assert(rows.length <= k) // small strata keep everything they have
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("tfidfTopTerms: rank bound, score arithmetic, hapax scores N") {
+    val rows = TextOps.tfidfTopTerms(spark, sfDir, k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 3)
+      val (tf, df, n) = (r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Long]("n_docs"))
+      assert(df <= n && tf >= df)
+      assert(r.getAs[Double]("score") == (tf * n).toDouble / df.toDouble)
+    }
+  }
+
+  test("clusterTightness: covers the corpus, mean sits inside [min, max]") {
+    val rows = VectorOps.clusterTightness(spark, sfDir).collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      val (avg, lo, hi) = (r.getAs[Double]("avg_l2sq"),
+        r.getAs[Double]("min_l2sq"), r.getAs[Double]("max_l2sq"))
+      // fixed-point floor can undershoot the true mean by < 1e-6
+      assert(avg >= lo - 1e-6 && avg <= hi, r.toString)
+      assert(lo <= hi)
+    }
+  }
+}
