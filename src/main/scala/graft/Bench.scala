@@ -78,15 +78,21 @@ object Bench {
         Engine.clearStaged(blocking = true) // untimed, between runs
         dt
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      // min = best steady-state; median = drift-resistant companion
+      // (controls prove this box swings ~2× run-to-run — min alone
+      // can't distinguish a plan regression from scheduler luck)
+      name -> (if (times.contains(-1.0)) (-1.0, -1.0)
+        else (times.min, times.sorted.apply(1)))
     }
     val controlAfter = controlTime(spark)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val qsMed = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ctl = s"""{"before":$controlBefore,"after":$controlAfter}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"control":$ctl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errJson,"control":$ctl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

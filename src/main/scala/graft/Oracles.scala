@@ -528,6 +528,29 @@ FROM plan p LEFT JOIN kept k ON k.lang = p.lang
 ORDER BY p.lang"""
     },
 
+    // quota-driven mix execution: exactly floor(scale·weight) docs per
+    // language by md5 hash-rank (dataMix's pct plan, made exact-count)
+    "q_mix_sample" -> """WITH w(lang, weight) AS (VALUES
+  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.25 AS DOUBLE)),
+  ('fr', CAST(0.2 AS DOUBLE)), ('es', CAST(0.15 AS DOUBLE))),
+cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+counts AS (
+  SELECT c.lang, c.n_docs, w.weight FROM cnt c JOIN w ON w.lang = c.lang),
+sc AS (SELECT min(CAST(n_docs AS DOUBLE) / weight) AS s FROM counts),
+q AS (
+  SELECT lang,
+    CAST(least(floor(s * weight), CAST(n_docs AS DOUBLE)) AS BIGINT) AS quota
+  FROM counts CROSS JOIN sc),
+rk AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+  FROM documents)
+SELECT r.lang, CAST(r.rank AS INT) AS rank, r.doc_id, q.quota
+FROM rk r JOIN q ON q.lang = r.lang
+WHERE r.rank <= q.quota
+ORDER BY r.lang, r.rank""",
+
     // per-language top-20 token vocabulary, deterministic tie-break on
     // the token string
     "q_vocab_topk" -> """WITH tok AS (

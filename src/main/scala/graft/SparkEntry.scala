@@ -66,6 +66,7 @@ object SparkEntry {
     "q_containment" -> ((s: SparkSession, d: String) => TextOps.containmentPairs(s, d)),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "q_tfidf_terms" -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
+    "q_mix_sample" -> ((s: SparkSession, d: String) => TextOps.mixSample(s, d)),
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),

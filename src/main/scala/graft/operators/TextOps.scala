@@ -759,6 +759,46 @@ object TextOps {
       .orderBy(col("lang"), col("source"), col("rank"))
   }
 
+  /** Quota-driven mix EXECUTION — the companion of [[dataMix]]'s plan:
+    * where dataMix keeps a hash-bucket PERCENTAGE per language (cheap,
+    * one filter, but realized counts drift with bucket granularity),
+    * this selects EXACTLY floor(scale·weight) documents per language by
+    * md5 hash-rank, so the realized mix matches the target weights to
+    * ±1 document. `quota` rides along per row for auditability.
+    *
+    * Scale shape: the rank needs a per-language total order, but only
+    * over a SKINNY (lang, hash, doc_id) projection (~tens of bytes per
+    * row — heavy columns join back post-selection), and the binding
+    * language's scale means quotas are data-derived, never collected to
+    * the driver. When approximate counts are acceptable, [[dataMix]] /
+    * [[sampleDocs]]'s pct filter is the cheaper, sort-free path. */
+  def mixSample(spark: SparkSession, sfDir: String,
+      weights: Seq[(String, Double)] = Seq(
+        "en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "es" -> 0.15))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.configure(spark)
+    import spark.implicits._
+    val docs = Engine.spread(Tables.documents(spark, sfDir))
+    val w = weights.toDF("lang", "weight")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(w), "lang")
+    val scale = counts
+      .agg(min(col("n_docs").cast(DoubleType) / col("weight")).as("__scale"))
+    val quotas = counts.crossJoin(broadcast(scale))
+      .select(col("lang"),
+        least(floor(col("__scale") * col("weight")),
+          col("n_docs").cast(DoubleType)).cast("long").as("quota"))
+    val wnd = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("rank", row_number().over(wnd))
+      .join(broadcast(quotas), "lang")
+      .filter(col("rank") <= col("quota"))
+      .select(col("lang"), col("rank"), col("doc_id"), col("quota"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** TF-IDF-style distinctive terms per (lang, source) block: score =
     * tf · N / df (tf = term occurrences in the block, df = block
     * documents containing it, N = block documents) — the classic

@@ -68,6 +68,20 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixSample realizes the target weights exactly (±1 doc scaling floor)") {
+    val weights = Map("en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "es" -> 0.15)
+    val rows = TextOps.mixSample(spark, sfDir).collect()
+    val kept = rows.groupBy(_.getString(0)).view.mapValues(_.length.toLong)
+    val quota = rows.map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(kept.toMap == quota) // exactly quota docs per language
+    // realized proportions track the weights: kept_l = floor(scale·w_l)
+    val scale = quota.map { case (l, q) => q / weights(l) }
+    assert(scale.max - scale.min <= 1.0 / weights.values.min,
+      s"quotas not proportional: $quota")
+    // deterministic: same selection every run
+    assert(rows.toSeq == TextOps.mixSample(spark, sfDir).collect().toSeq)
+  }
+
   test("clusterTightness: covers the corpus, mean sits inside [min, max]") {
     val rows = VectorOps.clusterTightness(spark, sfDir).collect()
     val total = Tables.embeddings(spark, sfDir).count()
