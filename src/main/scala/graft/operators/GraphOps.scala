@@ -13,13 +13,22 @@ import graft.Engine
   */
 object GraphOps {
 
-  /** Connected components by iterative min-label propagation: every
-    * node starts labeled with itself; each round every node takes the
-    * minimum label in its closed neighborhood; converged when no label
-    * changed. The result is deterministic (min over a set) and each
-    * round is ONE aggregate + ONE join, both keyed and map-side
-    * combinable — per-node state is a single long, never a neighbor
-    * list, so high-degree nodes cost nothing beyond their edge rows.
+  /** Connected components by iterative min-label propagation with a
+    * DELTA frontier: every node starts labeled with itself; each round
+    * every node takes the minimum label among neighbors whose label
+    * CHANGED last round; converged when no label changed. Labels are
+    * monotone non-increasing, so an unchanged neighbor's contribution
+    * was already folded in the round after it last changed — joining
+    * the full label table every round would recompute exactly those
+    * settled contributions. Per-round work is therefore ∝ edges
+    * incident to the frontier, which collapses after the first rounds
+    * (in a dense near-dup cluster most nodes settle immediately); the
+    * result is bit-identical to full propagation because every change
+    * reaches every neighbor on the following round. The result is
+    * deterministic (min over a set) and each round is ONE aggregate +
+    * ONE join, both keyed and map-side combinable — per-node state is
+    * a single long, never a neighbor list, so high-degree nodes cost
+    * nothing beyond their edge rows.
     *
     * Rounds needed = graph diameter. Near-dup graphs are dense
     * clusters (band-bucket candidates form cliques-with-chips), so the
@@ -65,15 +74,16 @@ object GraphOps {
       e.select(col("src").as("node")).distinct()
         .withColumn("comp", col("node")))
     var labels = stagedLabels
+    var delta = labels // round 1's frontier: every node just "changed"
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIters) {
       val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
       val flag = udf { c: Boolean => if (c) acc.add(1L); c }
-      // min label over the open neighborhood, one row per node; the
-      // changed flag is a column of the staged frame so the accumulator
-      // update happens inside the materializing job's tasks
-      val nbr = e.join(labels.select(col("node").as("dst"), col("comp")), "dst")
+      // min label pushed FROM the frontier, one row per receiving node;
+      // the changed flag is a column of the staged frame so the
+      // accumulator update happens inside the materializing job's tasks
+      val nbr = e.join(delta.select(col("node").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("comp")).as("nbr_comp"))
       val next = Engine.stage(labels.join(nbr, Seq("node"), "left")
@@ -87,6 +97,9 @@ object GraphOps {
       Engine.unstage(stagedLabels)
       stagedLabels = next
       labels = next.select(col("node"), col("comp"))
+      // next round's frontier reads the materialized chg column — no
+      // recomputation, no extra staging (a filter over next's blocks)
+      delta = next.filter(col("chg")).select(col("node"), col("comp"))
       rounds += 1
     }
     require(changed == 0L,
