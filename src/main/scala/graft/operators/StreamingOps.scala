@@ -205,6 +205,115 @@ object StreamingOps {
     once.toDF("doc_a", "doc_b", "hamming")
   }
 
+  /** Event for the streaming sessionizer: `ts_us`/`v10k` are computed
+    * in DataFrame-land (unix_micros; value cast through the SAME
+    * Decimal(38,4) as [[graft.functions.Exact.dsum]], carried as its
+    * unscaled long) so the state arithmetic is exact longs and the
+    * emitted totals match the batch operator bit-for-bit. */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      event_id: Long, event_type: String, v10k: Long)
+  /** Open-session state: one row per user — start/end micros, counts,
+    * exact unscaled value sum, and the distinct event-type list (bounded
+    * by the event-type domain; swap for a sketch if that's unbounded). */
+  case class SessState(idx: Long, startUs: Long, endUs: Long, n: Long,
+      sum10k: Long, types: Seq[String])
+  case class SessOut(user_id: Long, session_idx: Long, n_events: Long,
+      session_start_us: Long, session_end_us: Long, duration_us: Long,
+      total_value: Double, n_event_types: Long)
+
+  /** Gap sessionization as a STREAM — the stateful analog of the batch
+    * [[EventOps.sessionize]] (q_sessionize): per-user custom state via
+    * flatMapGroupsWithState. A session CLOSES (and emits) either inline,
+    * when an arriving event is more than `gapSec` past the open
+    * session's end, or via EVENT-TIME TIMEOUT when the watermark passes
+    * end + gap — the inherent emission contract of streaming
+    * sessionization (an open session cannot emit until the gap is
+    * provably unbreachable; with no further input it emits only when
+    * the watermark advances).
+    *
+    * Exactness: identical output rows to the batch operator for
+    * sessions both sides consider closed — micros arithmetic on longs,
+    * value totals summed as Decimal(38,4) unscaled longs
+    * (order-independent), distinct-type counts from a bounded list.
+    * Within each invocation events sort by (ts, event_id) — the batch
+    * window's tie order; across micro-batches the file source's
+    * event-time ordering is the caller's contract (late rows beyond
+    * the watermark are dropped, as in every watermarked operator).
+    * State is O(1) per user plus the event-type list; the per-call sort
+    * buffers one user's micro-batch slice, bounded by source batching.
+    * Works on a batch Dataset too (state starts empty; the final open
+    * session per user is unemitted — batch callers want
+    * [[EventOps.sessionize]], this parity exists for differential
+    * testing). */
+  def sessionizeEvents(events: DataFrame, gapSec: Long = 1800L)
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val streaming = events.isStreaming
+    val gapUs = gapSec * 1000000L
+    val ds = events.select(col("user_id").cast("long").as("user_id"),
+        col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"),
+        (col("value").cast(graft.functions.Exact.Money) * lit(10000))
+          .cast("long").as("v10k"))
+      .as[SessEvent]
+    def emit(key: Long, s: SessState) = SessOut(key, s.idx, s.n, s.startUs,
+      s.endUs, s.endUs - s.startUs,
+      java.math.BigDecimal.valueOf(s.sum10k, 4).doubleValue(),
+      s.types.size.toLong)
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val buf = scala.collection.mutable.Buffer.empty[SessOut]
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: no event can reopen it
+            state.getOption.foreach(s => buf += emit(key, s))
+            state.remove()
+          } else {
+            var st = state.getOption
+            it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              st = st match {
+                case Some(s) if e.ts_us - s.endUs <= gapUs =>
+                  Some(s.copy(endUs = math.max(s.endUs, e.ts_us), n = s.n + 1,
+                    sum10k = s.sum10k + e.v10k,
+                    types = if (s.types.contains(e.event_type)) s.types
+                      else s.types :+ e.event_type))
+                case Some(s) =>
+                  buf += emit(key, s)
+                  Some(SessState(s.idx + 1, e.ts_us, e.ts_us, 1L, e.v10k,
+                    Seq(e.event_type)))
+                case None =>
+                  Some(SessState(1L, e.ts_us, e.ts_us, 1L, e.v10k,
+                    Seq(e.event_type)))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              if (streaming) // batch GroupState has no watermark to time against
+                state.setTimeoutTimestamp(s.endUs / 1000L + gapSec * 1000L + 1L)
+            }
+          }
+          buf.iterator
+      }
+    out.select(col("user_id"), col("session_idx"), col("n_events"),
+      timestamp_micros(col("session_start_us")).as("session_start"),
+      timestamp_micros(col("session_end_us")).as("session_end"),
+      col("duration_us"), col("total_value"), col("n_event_types"))
+  }
+
+  /** [[sessionizeEvents]] over a watermarked parquet file stream. */
+  def sessionizeStream(spark: SparkSession, srcDir: String,
+      schema: StructType, gapSec: Long = 1800L,
+      watermark: String = "30 minutes"): DataFrame = {
+    Engine.configure(spark)
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    sessionizeEvents(stream.withWatermark("ts", watermark), gapSec)
+  }
+
   /** Streaming bronze: CSV file source → batch-metadata stamp → parquet
     * sink, Trigger.AvailableNow — the faithful Structured Streaming
     * restatement of the reference's hourly bronze DAG (SURVEY.md §2.8).

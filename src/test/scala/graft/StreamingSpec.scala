@@ -29,6 +29,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("sessionizeEvents: stream over file source == batch sessions") {
+    import graft.operators.EventOps
+    val src = tmp("sess_src")
+    val base = Tables.events(spark, sfDir).filter(col("user_id") < 30)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+    // one far-future sentinel per user closes every REAL session inline
+    // (its own session stays open in state and is never emitted) — the
+    // honest way to flush an event-time sessionizer at end-of-input
+    val maxTs = base.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val sentinels = base.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        timestamp_micros(lit(maxTs + 86400L * 1000000L)).as("ts"),
+        lit(999999999L).as("event_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"))
+    base.unionByName(sentinels).coalesce(1) // one file → one micro-batch
+      .write.mode("overwrite").parquet(src)
+
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingOps.sessionizeStream(spark, src, schema)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val cols = Seq("user_id", "session_idx", "n_events", "session_start",
+      "session_end", "duration_us", "total_value", "n_event_types")
+    val streamed = spark.table("sess_stream")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val batch = EventOps.sessionizeOf(base,
+        "user_id", "ts", "event_id", 1800L, "value")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("dedupFirstSeen: stateful stream dedup == dropDuplicates, first kept") {
     import spark.implicits._
     import graft.functions.TextFunctions.contentHash
