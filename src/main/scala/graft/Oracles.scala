@@ -264,6 +264,69 @@ SELECT event_id, user_id, ts,
   m.r_id AS ref_event_id, m.r_ts AS ref_ts, m.r_value AS ref_value
 FROM w WHERE is_probe = 1 ORDER BY event_id""",
 
+    // asofJoin with a 6-hour max-staleness tolerance: the window match
+    // nulls out when older than the bound (post-window CASE)
+    "q_asof_tolerance" -> """WITH u AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 0 AS is_probe,
+         struct_pack(r_ts := CAST(ts AS TIMESTAMP), r_id := event_id,
+                     r_value := value) AS ref
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1, NULL
+  FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT user_id, ts, event_id, is_probe,
+    last_value(ref IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_probe, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m0
+  FROM u), t AS (
+  SELECT *, CASE WHEN date_diff('microsecond', m0.r_ts, ts)
+    <= 21600000000 THEN m0 END AS m
+  FROM w WHERE is_probe = 1)
+SELECT event_id, user_id, ts,
+  m.r_id AS ref_event_id, m.r_ts AS ref_ts, m.r_value AS ref_value
+FROM t ORDER BY event_id""",
+
+    // exact per-lang token-count deciles by rank selection:
+    // value at rank ceil(n·q/10) under the (n_tokens, doc_id) order
+    "q_token_deciles" -> """WITH tk AS (
+  SELECT lang, doc_id,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents),
+rn AS (
+  SELECT lang, n_tokens,
+    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM tk),
+q(decile) AS (SELECT unnest(range(1, 10)))
+SELECT r.lang, CAST(q.decile AS INT) AS decile, CAST(r.n_tokens AS INT) AS n_tokens
+FROM rn r JOIN q ON r.rn = (r.n * q.decile + 9) // 10
+ORDER BY r.lang, q.decile""",
+
+    // PII-pattern audit; patterns restricted to the Java∩RE2 subset so
+    // both engines count identical non-overlapping matches; fixture
+    // scope carries known counts, corpus scope audits clean
+    "q_pii_audit" -> """WITH fixture(doc_id, text) AS (VALUES
+  (1000001, 'contact me at alice@example.com or bob.smith+tag@mail.example.org today'),
+  (1000002, 'see https://example.com/a?b=1 and http://test.org/page plus 10.0.0.1'),
+  (1000003, 'server 192.168.1.100 and 8.8.8.8 email root@localhost.localdomain')),
+scoped AS (
+  SELECT text, 'corpus' AS scope FROM documents
+  UNION ALL
+  SELECT text, 'fixture' FROM fixture),
+counted AS (
+  SELECT scope,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+    len(regexp_extract_all(text, 'https?://[^ ]+')) AS u,
+    len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS i
+  FROM scoped)
+SELECT scope, count(*) AS n_docs,
+  CAST(sum(e) AS BIGINT) AS emails,
+  CAST(sum(u) AS BIGINT) AS urls,
+  CAST(sum(i) AS BIGINT) AS ips,
+  count(*) FILTER (WHERE e + u + i > 0) AS docs_flagged
+FROM counted GROUP BY scope ORDER BY scope""",
+
     // gap sessionization: same lag + running-sum windows; sums cast
     // from DuckDB's HUGEINT back to BIGINT to match Spark's long
     "q_sessionize" -> """WITH e AS (

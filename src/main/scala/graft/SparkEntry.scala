@@ -67,6 +67,8 @@ object SparkEntry {
     "q_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "q_tfidf_terms" -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
     "q_mix_sample" -> ((s: SparkSession, d: String) => TextOps.mixSample(s, d)),
+    "q_token_deciles" -> TextOps.tokenDeciles _,
+    "q_pii_audit" -> TextOps.piiAudit _,
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),
@@ -81,6 +83,7 @@ object SparkEntry {
     // temporal event operators (EventOps)
     "q_asof_join" -> EventOps.asofJoin _,
     "q_sessionize" -> EventOps.sessionize _,
+    "q_asof_tolerance" -> ((s: SparkSession, d: String) => EventOps.asofJoinTolerance(s, d)),
 
     // graph: near-dup transitive closure (GraphOps)
     "q_dup_components" -> GraphOps.dupComponents _,

@@ -48,7 +48,8 @@ object EventOps {
     * through; reference payload columns come back `ref_`-prefixed.
     */
   def asofJoinOf(probes: DataFrame, refs: DataFrame, key: String,
-      ts: String, tie: String, refPayload: Seq[String]): DataFrame = {
+      ts: String, tie: String, refPayload: Seq[String],
+      tolSec: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val probeCols = probes.columns.toSeq
     val refFields = Seq(ts, tie) ++ refPayload.filterNot(Seq(ts, tie).contains)
@@ -63,9 +64,18 @@ object EventOps {
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_probe"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = r.unionByName(p)
-      .withColumn("_m", last(col("_ref"), ignoreNulls = true).over(w))
+    val raw = r.unionByName(p)
+      .withColumn("_m0", last(col("_ref"), ignoreNulls = true).over(w))
       .filter(col("_probe") === 1)
+    // tolerance = max staleness (pandas merge_asof semantics): a match
+    // older than tolSec nulls out — a post-window map, so the one-
+    // shuffle plan shape is unchanged
+    val matched = tolSec match {
+      case Some(t) => raw.withColumn("_m",
+        when(unix_micros(col("_ts")) - unix_micros(col(s"_m0.$ts")) <=
+          t * 1000000L, col("_m0")))
+      case None => raw.withColumn("_m", col("_m0"))
+    }
     val out = probeCols.filterNot(_ == key).map(c => col(s"_p.$c").as(c)) ++
       Seq(col(s"_m.$ts").as(s"ref_$ts"), col(s"_m.$tie").as(s"ref_$tie")) ++
       refPayload.filterNot(Seq(ts, tie).contains)
@@ -85,6 +95,25 @@ object EventOps {
     val refs = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     asofJoinOf(probes, refs, "user_id", "ts", "event_id", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ref_event_id"), col("ref_ts"), col("ref_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** `q_asof_tolerance`: [[asofJoin]] with a 6-hour max-staleness bound
+    * (pandas merge_asof `tolerance`): a purchase older than the bound
+    * no longer explains a click, so the match nulls out. Same
+    * one-shuffle union-marker plan; the bound is a post-window map. */
+  def asofJoinTolerance(spark: SparkSession, sfDir: String,
+      tolSec: Long = 21600L): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+    val probes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val refs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    asofJoinOf(probes, refs, "user_id", "ts", "event_id", Seq("value"),
+        Some(tolSec))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("ref_event_id"), col("ref_ts"), col("ref_value"))
       .orderBy(col("event_id"))

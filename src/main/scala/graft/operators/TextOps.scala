@@ -759,6 +759,71 @@ object TextOps {
       .orderBy(col("lang"), col("source"), col("rank"))
   }
 
+  /** Exact token-count deciles per language — the distribution report
+    * behind chunking/packing decisions (A7's exact discrete median,
+    * generalized to the 9 inner deciles). quantile_disc semantics by
+    * RANK SELECTION: value at rank ⌈n·q/10⌉ under the total order
+    * (n_tokens, doc_id) — engine-exact integer arithmetic, no
+    * interpolation, deterministic ties. One skinny per-lang sort
+    * (lang, n_tokens, doc_id triples) feeds both the rank and the
+    * partition count; the 9-row decile table broadcast-joins the rank
+    * equation. */
+  def tokenDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.configure(spark)
+    import spark.implicits._
+    val tk = Engine.spread(Tables.documents(spark, sfDir))
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"))
+    val ranked = tk
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val deciles = (1 to 9).toDF("decile")
+    ranked.join(broadcast(deciles), expr("rn = (n * decile + 9) div 10"))
+      .select(col("lang"), col("decile"), col("n_tokens"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
+  /** PII-pattern audit — the pre-release scan a training corpus gets
+    * before shipping: per scope, how many email / URL / IPv4-shaped
+    * substrings appear and how many documents carry any. Patterns stay
+    * inside the Java∩RE2 common subset (character classes + bounded
+    * repetition, NO \b or lookaround) so the engine and the DuckDB
+    * oracle count identical non-overlapping matches. The clean corpus
+    * audits to zero; a deterministic 3-document fixture with known
+    * counts rides along as its own scope (same end-to-end-demonstration
+    * pattern as [[dedupOverflow]]) so the operator is proven against
+    * nonzero ground truth, not by absence. Pure map + one hash
+    * aggregate: no shuffle beyond the 2-row rollup. */
+  def piiAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    import spark.implicits._
+    val fixture = Seq(
+      (1000001L, "contact me at alice@example.com or bob.smith+tag@mail.example.org today"),
+      (1000002L, "see https://example.com/a?b=1 and http://test.org/page plus 10.0.0.1"),
+      (1000003L, "server 192.168.1.100 and 8.8.8.8 email root@localhost.localdomain")
+    ).toDF("doc_id", "text").withColumn("scope", lit("fixture"))
+    val base = Engine.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("text"))
+      .withColumn("scope", lit("corpus"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^ ]+"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    base.unionByName(fixture)
+      .select(col("scope"),
+        regexp_count(col("text"), lit(emailRe)).as("e"),
+        regexp_count(col("text"), lit(urlRe)).as("u"),
+        regexp_count(col("text"), lit(ipRe)).as("i"))
+      .groupBy(col("scope"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("emails"),
+        sum(col("u")).as("urls"),
+        sum(col("i")).as("ips"),
+        countIf(col("e") + col("u") + col("i") > 0).as("docs_flagged"))
+      .orderBy(col("scope"))
+  }
+
   /** Quota-driven mix EXECUTION — the companion of [[dataMix]]'s plan:
     * where dataMix keeps a hash-bucket PERCENTAGE per language (cheap,
     * one filter, but realized counts drift with bucket granularity),

@@ -82,6 +82,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.toSeq == TextOps.mixSample(spark, sfDir).collect().toSeq)
   }
 
+  test("tokenDeciles: rank-selected values reproduce a brute-force quantile") {
+    import graft.functions.{TextFunctions => T}
+    val got = TextOps.tokenDeciles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val byLang = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), T.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      (1 to 9).foreach { q =>
+        val want = sorted((sorted.length * q + 9) / 10 - 1)
+        assert(got((lang, q)) == want, s"$lang d$q")
+      }
+    }
+    // deciles are non-decreasing within each language
+    got.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      val vs = (1 to 9).map(q => got((lang, q)))
+      assert(vs == vs.sorted, s"$lang: $vs")
+    }
+  }
+
+  test("piiAudit: fixture counts are exact ground truth; corpus is clean") {
+    val rows = TextOps.piiAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val fx = rows("fixture")
+    assert(fx.getAs[Long]("n_docs") == 3L)
+    assert(fx.getAs[Long]("emails") == 3L)
+    assert(fx.getAs[Long]("urls") == 2L)
+    assert(fx.getAs[Long]("ips") == 3L)
+    assert(fx.getAs[Long]("docs_flagged") == 3L)
+    val corpus = rows("corpus")
+    assert(corpus.getAs[Long]("docs_flagged") == 0L) // synthetic docs are clean
+  }
+
   test("clusterTightness: covers the corpus, mean sits inside [min, max]") {
     val rows = VectorOps.clusterTightness(spark, sfDir).collect()
     val total = Tables.embeddings(spark, sfDir).count()

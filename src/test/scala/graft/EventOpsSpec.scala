@@ -39,6 +39,26 @@ class EventOpsSpec extends SparkSpec {
     assert(out(204L) == ((None, None)))
   }
 
+  test("asofJoinOf tolerance: stale matches null out, fresh ones survive") {
+    val refs = Seq((1L, ts("2024-01-01 10:00:00"), 100L, 5.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 200L), // 30 min later: fresh
+      (1L, ts("2024-01-01 12:00:01"), 201L)) // > 2h later: stale
+      .toDF("user_id", "ts", "event_id")
+    val out = EventOps.asofJoinOf(probes, refs, "user_id", "ts", "event_id",
+        Seq("value"), tolSec = Some(7200L))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("ref_event_id"))).toMap
+    assert(out(200L).contains(100L))
+    assert(out(201L).isEmpty) // beyond tolerance: no match, not a stale one
+    // without the bound both match — tolerance only ever REMOVES matches
+    val unbounded = EventOps.asofJoinOf(probes, refs, "user_id", "ts",
+        "event_id", Seq("value"))
+      .collect().map(_.getAs[java.lang.Long]("ref_event_id"))
+    assert(unbounded.forall(_ == 100L))
+  }
+
   test("asofJoinOf: ref payload fields stay consistent (one struct, not per-column last)") {
     // the later reference carries a NULL payload value; a per-column
     // last_value(IGNORE NULLS) would stitch id from ref 11 with value
