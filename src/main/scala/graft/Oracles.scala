@@ -806,6 +806,67 @@ LEFT JOIN per_block p ON p.lang = i.lang AND p.source = i.source
 LEFT JOIN audit a ON a.lang = i.lang AND a.source = i.source
 ORDER BY i.lang, i.source""",
 
+    // end-to-end shard manifest: corpus_clean's cleaned docs →
+    // doc_chunks' geometry → md5-bucket shard assignment mod 8
+    "q_training_shards" -> {
+      import graft.functions.TextFunctions.hashBucket100Sql
+      val shardExpr = hashBucket100Sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)")
+      s"""WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g'))),
+base AS (
+  SELECT d.doc_id, d.lang, d.source,
+    string_split_regex(trim(d.text), '\\s+') AS t
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+sh AS (
+  SELECT doc_id, lang, source, t,
+    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM base),
+inv AS (
+  SELECT doc_id, lang, source, len(s) AS n, unnest(s) AS g FROM sh),
+kept AS (
+  SELECT lang, source, g FROM inv GROUP BY lang, source, g
+  HAVING count(*) > 1 AND count(*) <= 1000),
+pairs AS (
+  SELECT doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      a.n AS n_a, b.n AS n_b, count(*) AS inter
+    FROM inv a
+    JOIN kept k ON k.lang = a.lang AND k.source = a.source AND k.g = a.g
+    JOIN inv b ON b.lang = a.lang AND b.source = a.source AND b.g = a.g
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n, b.n) x
+  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.08),
+clean AS (
+  SELECT doc_id, t,
+    least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE)) * 0.4
+      + (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.3
+      + least(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+          / CAST(len(t) AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE)) * 0.3 AS q
+  FROM sh
+  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+nch AS (
+  SELECT doc_id, t, greatest((len(t) - 10 + 39) // 40, 1) AS nc
+  FROM clean WHERE q >= 0.5),
+ch AS (
+  SELECT doc_id, t, unnest(range(0, nc)) AS chunk_idx FROM nch),
+cc AS (
+  SELECT doc_id, chunk_idx,
+    len(t[chunk_idx*40+1 : chunk_idx*40+50]) AS n_chunk_tokens
+  FROM ch),
+sharded AS (
+  SELECT doc_id, n_chunk_tokens,
+    CAST(($shardExpr) % 8 AS INT) AS shard
+  FROM cc)
+SELECT shard, count(*) AS n_chunks,
+  count(DISTINCT doc_id) AS n_docs,
+  CAST(sum(n_chunk_tokens) AS BIGINT) AS total_tokens
+FROM sharded GROUP BY shard ORDER BY shard"""
+    },
+
     // Chunk count ⌈(n−overlap)/stride⌉ (min 1) in exact integer
     // arithmetic; slice clamps the tail on both engines.
     "q_doc_chunks" -> """WITH tok AS (

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_mix_sample" -> ((s: SparkSession, d: String) => TextOps.mixSample(s, d)),
     "q_token_deciles" -> TextOps.tokenDeciles _,
     "q_pii_audit" -> TextOps.piiAudit _,
+    "q_training_shards" -> ((s: SparkSession, d: String) => TextOps.trainingShards(s, d)),
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),

@@ -234,11 +234,13 @@ object TextOps {
     * candidate pairs ∝ Σ df(shingle)², quality is a map): the composition
     * adds nothing beyond its parts, which is the point — at 100 TB the
     * stages fuse into scans + a handful of key-bounded shuffles. */
-  def corpusClean(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.08, minQuality: Double = 0.5,
-      maxDf: Int = 1000): DataFrame = {
-    Engine.configure(spark)
-    val raw = Engine.spread(Tables.documents(spark, sfDir))
+  /** The doc-level cleaned corpus behind [[corpusClean]] /
+    * [[trainingShards]]: exact-dedup survivors, minus near-dup drops,
+    * quality-gated — one row per kept document with its token array,
+    * shingles, and quality riding along. The shared composition point:
+    * rollups, chunking, and sharding are all downstream consumers. */
+  private[graft] def cleanedDocs(raw: DataFrame, threshold: Double,
+      minQuality: Double, maxDf: Int): DataFrame = {
     val keep = raw.groupBy(contentHash(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
@@ -251,6 +253,14 @@ object TextOps {
     base.join(dropped, Seq("doc_id"), "left_anti")
       .withColumn("q", textQualityOf(col("t")))
       .filter(col("q") >= minQuality)
+  }
+
+  def corpusClean(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.08, minQuality: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    Engine.configure(spark)
+    cleanedDocs(Engine.spread(Tables.documents(spark, sfDir)),
+      threshold, minQuality, maxDf)
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -757,6 +767,47 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("lang"), col("source"), col("rank"), col("doc_id"))
       .orderBy(col("lang"), col("source"), col("rank"))
+  }
+
+  /** End-to-end training-shard manifest — the full corpus-to-training
+    * story as ONE declarative plan: clean ([[cleanedDocs]]: exact dedup
+    * → near-dup removal → quality gate) → overlapping chunking (the
+    * [[chunkDocs]] geometry) → deterministic shard assignment
+    * (md5-bucket of doc:chunk mod `nShards` — reproducible placement,
+    * no RNG) → per-shard manifest (docs, chunks, tokens). What a
+    * curator hands to the training job: balanced, deterministic,
+    * dedup-safe shards whose stats are oracle-checkable.
+    *
+    * Scale: every stage is the already-audited operator shape (the
+    * composition adds one hash aggregate keyed on `nShards` values);
+    * chunk rows never carry text — only token counts and hashes. */
+  def trainingShards(spark: SparkSession, sfDir: String, nShards: Int = 8,
+      chunkTokens: Int = 50, overlap: Int = 10, threshold: Double = 0.08,
+      minQuality: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    Engine.configure(spark)
+    val docs = cleanedDocs(Engine.spread(Tables.documents(spark, sfDir)),
+      threshold, minQuality, maxDf)
+    val chunks = docs
+      .withColumn("n", size(col("t")))
+      .withColumn("nc",
+        greatest(expr(s"(n - $overlap + $stride - 1) div $stride"), lit(1)))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("t"), i * stride + lit(1), lit(chunkTokens))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"))
+    chunks
+      .withColumn("shard", (hashBucket100(concat(
+        col("doc_id").cast("string"), lit(":"),
+        col("chunk_idx").cast("string"))) % nShards).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_chunk_tokens")).as("total_tokens"))
+      .orderBy(col("shard"))
   }
 
   /** Exact token-count deciles per language — the distribution report

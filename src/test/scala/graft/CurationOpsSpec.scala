@@ -117,6 +117,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(corpus.getAs[Long]("docs_flagged") == 0L) // synthetic docs are clean
   }
 
+  test("trainingShards: manifest conserves the cleaned corpus's chunks") {
+    val shards = TextOps.trainingShards(spark, sfDir).collect()
+    assert(shards.nonEmpty)
+    // every chunk of every cleaned doc lands in exactly one shard
+    val perDoc = TextOps.cleanedDocs(
+        Engine.spread(Tables.documents(spark, sfDir)), 0.08, 0.5, 1000)
+      .select(size(col("t")).as("n")).collect().map(_.getInt(0))
+    val expectChunks = perDoc.map(n => math.max((n - 10 + 39) / 40, 1).toLong).sum
+    assert(shards.map(_.getAs[Long]("n_chunks")).sum == expectChunks)
+    // shard ids are distinct, assignment is deterministic
+    assert(shards.map(_.getInt(0)).distinct.length == shards.length)
+    assert(shards.map(_.toSeq).toSeq ==
+      TextOps.trainingShards(spark, sfDir).collect().map(_.toSeq).toSeq)
+  }
+
   test("clusterTightness: covers the corpus, mean sits inside [min, max]") {
     val rows = VectorOps.clusterTightness(spark, sfDir).collect()
     val total = Tables.embeddings(spark, sfDir).count()

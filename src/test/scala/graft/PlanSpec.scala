@@ -224,6 +224,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("FileScan"), plan)
   }
 
+  test("stratifiedSample: partial top-k (WindowGroupLimit) runs below the shuffle") {
+    // rank <= k over a window must plan the partial per-partition limit
+    // (shuffle bytes ∝ strata × k, not corpus) — the property the
+    // operator's scale story rests on
+    val plan = planString(TextOps.stratifiedSample(spark, sfDir))
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("tfidfTopTerms: both aggregations combine map-side") {
+    val plan = planString(TextOps.tfidfTopTerms(spark, sfDir))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan)
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2, plan)
+  }
+
   test("pct-of-total is the broadcast cross-join shape: no window, reused exchange") {
     // round-2 VERDICT item 8: the empty-over() window form moved the
     // (tiny) aggregated relation to a single partition and spammed
