@@ -59,6 +59,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  private def ccAlt(edges: Seq[(Long, Long)], maxIters: Int = 30) =
+    GraphOps.connectedComponentsAlternating(
+      edges.toDF("src", "dst"), "src", "dst", maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alternating large/small-star agrees with min-label propagation") {
+    val graphs = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)),
+      (1L until 12L).map(i => (i, i + 1)),
+      Seq((7L, 3L), (3L, 9L), (9L, 7L), (100L, 50L)), // cycle + pair
+      Seq((5L, 5L), (6L, 7L)) // self-loop degenerates, pair survives
+    )
+    graphs.foreach { g =>
+      val viaLabels = cc(g.filter(e => e._1 != e._2)) // label CC keeps self-loop nodes
+      val viaStars = ccAlt(g).filter { case (n, _) =>
+        g.exists(e => e._1 != e._2 && (e._1 == n || e._2 == n)) }
+      assert(viaStars == viaLabels, s"graph $g")
+    }
+  }
+
+  test("alternating converges in far fewer rounds than a long chain's diameter") {
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val got = ccAlt(chain)
+    assert(got.values.toSet == Set(1L) && got.size == 64)
+    // 63-hop diameter: label propagation needs 64 rounds, star rewriting O(log n)
+    assert(GraphOps.lastAlternatingRounds <= 12,
+      s"rounds=${GraphOps.lastAlternatingRounds}")
+  }
+
   test("dupComponents reconciles with the pair operator") {
     import graft.operators.TextOps
     val pairs = TextOps.simhashPairs(spark, sfDir)
