@@ -327,6 +327,57 @@ SELECT scope, count(*) AS n_docs,
   count(*) FILTER (WHERE e + u + i > 0) AS docs_flagged
 FROM counted GROUP BY scope ORDER BY scope""",
 
+    // strictly-ordered funnel: stage k's earliest event must follow
+    // stage k-1's earliest qualifying event
+    "q_event_funnel" -> """WITH s1 AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+   AND CAST(e.ts AS TIMESTAMP) > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+   AND CAST(e.ts AS TIMESTAMP) > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+  (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+ORDER BY stage""",
+
+    // day-cohort weekly retention: integer day arithmetic only (no
+    // engine week-start convention)
+    "q_retention" -> """WITH act AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events),
+f AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id)
+SELECT f.cohort_day,
+  CAST(date_diff('day', f.cohort_day, a.d) // 7 AS INT) AS week_offset,
+  count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN f ON f.user_id = a.user_id
+GROUP BY f.cohort_day, week_offset
+ORDER BY f.cohort_day, week_offset""",
+
+    // chunk-level exact dedup: q_doc_chunks geometry, dedupExact rollup
+    "q_chunk_dedup" -> """WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+nch AS (
+  SELECT doc_id, t, greatest((len(t) - 10 + 39) // 40, 1) AS nc FROM tok),
+ch AS (
+  SELECT doc_id, t, unnest(range(0, nc)) AS chunk_idx FROM nch),
+g AS (
+  SELECT md5(array_to_string(t[chunk_idx*40+1 : chunk_idx*40+50], ' ')) AS h,
+    count(*) AS copies
+  FROM ch GROUP BY h)
+SELECT count(*) AS distinct_chunks,
+  CAST(sum(copies) AS BIGINT) AS total_chunks,
+  count(*) FILTER (WHERE copies > 1) AS dup_groups,
+  CAST(sum(copies) - count(*) AS BIGINT) AS redundant_chunks
+FROM g""",
+
     // gap sessionization: same lag + running-sum windows; sums cast
     // from DuckDB's HUGEINT back to BIGINT to match Spark's long
     "q_sessionize" -> """WITH e AS (

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_token_deciles" -> TextOps.tokenDeciles _,
     "q_pii_audit" -> TextOps.piiAudit _,
     "q_training_shards" -> ((s: SparkSession, d: String) => TextOps.trainingShards(s, d)),
+    "q_chunk_dedup" -> ((s: SparkSession, d: String) => TextOps.chunkDedup(s, d)),
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),
@@ -85,6 +86,8 @@ object SparkEntry {
     "q_asof_join" -> EventOps.asofJoin _,
     "q_sessionize" -> EventOps.sessionize _,
     "q_asof_tolerance" -> ((s: SparkSession, d: String) => EventOps.asofJoinTolerance(s, d)),
+    "q_event_funnel" -> ((s: SparkSession, d: String) => EventOps.eventFunnel(s, d)),
+    "q_retention" -> EventOps.retention _,
 
     // graph: near-dup transitive closure (GraphOps)
     "q_dup_components" -> GraphOps.dupComponents _,

@@ -150,6 +150,70 @@ object EventOps {
         countDistinct(col("event_type")).as("n_event_types"))
   }
 
+  /** `q_event_funnel`: strictly-ordered conversion funnel — stage k
+    * counts users whose earliest stage-k event happens AFTER their
+    * earliest qualifying stage-(k−1) event (the product-analytics
+    * "did they view, then click, then purchase, in that order"
+    * question). Each stage is one filtered scan + one keyed min-
+    * aggregate + one join against the (user, t) frame of the previous
+    * stage — the frame SHRINKS monotonically, so at 100 TB the heavy
+    * scans stay stage-filtered and the joins are on ever-smaller user
+    * sets (broadcast once below the threshold). Counts assemble into
+    * one row per stage via a single-row cross join + explode — no
+    * driver-side loop. */
+  def eventFunnel(spark: SparkSession, sfDir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val perStage = stages.zipWithIndex.map { case (st, i) =>
+      (i + 1, st)
+    }
+    val frames = perStage.foldLeft(Seq.empty[(Int, String, DataFrame)]) {
+      case (acc, (i, st)) =>
+        val filtered = ev.filter(col("event_type") === st)
+        val stageUsers = acc.lastOption match {
+          case None => filtered.groupBy(col("user_id"))
+            .agg(min(col("ts")).as("t"))
+          case Some((_, _, prev)) => filtered
+            .join(prev.select(col("user_id"), col("t").as("_pt")), "user_id")
+            .filter(col("ts") > col("_pt"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        }
+        acc :+ ((i, st, stageUsers))
+    }
+    val counts = frames.map { case (i, st, df) =>
+      df.agg(count(lit(1)).as(s"n$i"))
+    }.reduce(_ crossJoin _)
+    counts.select(explode(array(frames.map { case (i, st, _) =>
+        struct(lit(i).as("stage"), lit(st).as("event_type"),
+          col(s"n$i").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** `q_retention`: day-cohort weekly retention — users grouped by
+    * their first active day; for each cohort, distinct users active k
+    * weeks later. The canonical engagement report: one distinct
+    * (user, day) pass, one keyed min-aggregate for the cohort day,
+    * one join back, one count-distinct rollup. Integer day arithmetic
+    * only (datediff div 7) — no week-start convention to disagree on
+    * across engines. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val act = Engine.spread(Tables.events(spark, sfDir))
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    act.join(first, "user_id")
+      .select(col("cohort_day"),
+        expr("datediff(d, cohort_day) div 7").cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
   /** `q_sessionize`: 30-minute-gap sessions over the events table, one
     * row per (user, session) with exact duration and value totals. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {

@@ -810,6 +810,36 @@ object TextOps {
       .orderBy(col("shard"))
   }
 
+  /** Chunk-level exact dedup summary — dedup at the granularity
+    * training actually consumes: after [[chunkDocs]]' overlapping
+    * chunking, identical 50-token windows recur ACROSS documents
+    * (boilerplate, quotations) even when no two documents are
+    * near-duplicates, and every recurrence is wasted training signal.
+    * Same hash-groupBy discipline as [[dedupExact]]: shuffle ∝ distinct
+    * chunk hashes, map-side combinable, one aggregate pass. */
+  def chunkDedup(spark: SparkSession, sfDir: String, chunkTokens: Int = 50,
+      overlap: Int = 10): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    Engine.configure(spark)
+    Engine.spread(Tables.documents(spark, sfDir))
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n", size(col("t")))
+      .withColumn("nc",
+        greatest(expr(s"(n - $overlap + $stride - 1) div $stride"), lit(1)))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("t"), i * stride + lit(1), lit(chunkTokens))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(md5(concat_ws(" ", col("chunk"))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("copies"))
+      .agg(count(lit(1)).as("distinct_chunks"),
+        sum(col("copies")).as("total_chunks"),
+        countIf(col("copies") > 1).as("dup_groups"),
+        (sum(col("copies")) - count(lit(1))).as("redundant_chunks"))
+  }
+
   /** Exact token-count deciles per language — the distribution report
     * behind chunking/packing decisions (A7's exact discrete median,
     * generalized to the 9 inner deciles). quantile_disc semantics by

@@ -117,6 +117,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(corpus.getAs[Long]("docs_flagged") == 0L) // synthetic docs are clean
   }
 
+  test("chunkDedup: totals reconcile with chunkDocs; counts are consistent") {
+    val r = TextOps.chunkDedup(spark, sfDir).collect().head
+    val total = TextOps.chunkDocs(spark, sfDir).count()
+    assert(r.getAs[Long]("total_chunks") == total)
+    assert(r.getAs[Long]("distinct_chunks") <= total)
+    assert(r.getAs[Long]("redundant_chunks") ==
+      total - r.getAs[Long]("distinct_chunks"))
+    assert(r.getAs[Long]("dup_groups") <= r.getAs[Long]("distinct_chunks"))
+  }
+
   test("trainingShards: manifest conserves the cleaned corpus's chunks") {
     val shards = TextOps.trainingShards(spark, sfDir).collect()
     assert(shards.nonEmpty)
