@@ -62,6 +62,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("sessionizeEvents: event-time timeout closes an idle session across batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF()
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withWatermark("ts", "30 minutes")
+    val q = StreamingOps.sessionizeEvents(df)
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1's whole session (ends 10:10 → timeout at 10:40);
+      // user 2's event at 12:00 pushes the watermark to 11:30 > 10:40
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (1L, ts("2024-01-01 10:10:00"), 2L, "click", 2.0),
+        (2L, ts("2024-01-01 12:00:00"), 3L, "view", 0.5))
+      // processAllAvailable drains the follow-up batch the engine
+      // schedules once the watermark (11:30) passes user 1's timeout
+      // (10:40): the session emits WITHOUT any closing event or
+      // sentinel — the pure timeout path
+      q.processAllAvailable()
+      val afterB1 = spark.table("sess_timeout").collect()
+      assert(afterB1.length == 1, afterB1.mkString(";"))
+      // more data for user 2 merges into its open session: no new rows
+      input.addData((2L, ts("2024-01-01 12:05:00"), 4L, "view", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timeout").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") == 1L)
+      assert(r.getAs[Long]("n_events") == 2L)
+      assert(r.getAs[Long]("duration_us") == 600000000L)
+      assert(r.getAs[Double]("total_value") == 3.0)
+      assert(r.getAs[Long]("n_event_types") == 2L)
+    } finally q.stop()
+  }
+
   test("dedupFirstSeen: stateful stream dedup == dropDuplicates, first kept") {
     import spark.implicits._
     import graft.functions.TextFunctions.contentHash
