@@ -43,6 +43,29 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Settle the JVM before the timed section: the warmup pass leaves
+    * async debris draining (shuffle-file cleanup, broadcast removal,
+    * ContextCleaner GC work) that would otherwise land in whatever is
+    * timed FIRST — with the declared ListMap order that's the same
+    * queries every round, silently corrupting exactly the cross-round
+    * comparability the fixed order exists for (round-5 VERDICT: the
+    * position-1 query recorded ~3× its steady cost). Loop the control
+    * until two consecutive runs agree within 10% (bounded retries), so
+    * timing opens on a quiet JVM; returns the settled control time. */
+  private def settle(spark: SparkSession, maxTries: Int = 12): Double = {
+    System.gc() // let ContextCleaner find dead warmup references NOW
+    var prev = controlTime(spark)
+    var tries = 1
+    while (tries < maxTries) {
+      val cur = controlTime(spark)
+      if (math.abs(cur - prev) <= 0.10 * math.max(cur, prev))
+        return math.min(cur, prev)
+      prev = cur
+      tries += 1
+    }
+    prev
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,9 +80,9 @@ object Bench {
     controlTime(spark)
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      finally Engine.clearStaged(blocking = true)
+      finally Engine.clearStaged(spark, blocking = true)
     }
-    val controlBefore = controlTime(spark)
+    val controlBefore = settle(spark)
     // three timed runs, report the min — steady-state cost with scheduler/
     // GC noise suppressed (single-shot per-query numbers vary run-to-run;
     // min-of-3 tightens the sub-second comparisons min-of-2 left noisy).
@@ -75,7 +98,7 @@ object Bench {
             false
         }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        Engine.clearStaged(blocking = true) // untimed, between runs
+        Engine.clearStaged(spark, blocking = true) // untimed, between runs
         dt
       }
       // min = best steady-state; median = drift-resistant companion

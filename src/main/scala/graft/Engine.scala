@@ -132,16 +132,41 @@ object Engine {
     * instead). */
   def stage(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint(eager = false)
-    stagedRddOf(out).foreach { r => staged.synchronized { staged += r } }
+    stagedRddOf(out).foreach { r =>
+      val buf = staged.computeIfAbsent(df.sparkSession,
+        _ => scala.collection.mutable.ArrayBuffer.empty)
+      buf.synchronized { buf += r }
+      schemas.computeIfAbsent(df.sparkSession,
+        _ => scala.collection.mutable.ArrayBuffer.empty) += df.schema
+    }
     out
   }
+
+  /** Schemas of every frame staged by `spark` since its last
+    * [[clearStaged]] — the test hook that pins the staging SIZE
+    * doctrine (stage collapse keys / signatures / scalars; corpus
+    * ride-along arrays only with a measured justification). */
+  private[graft] def stagedSchemas(spark: SparkSession)
+      : Seq[org.apache.spark.sql.types.StructType] =
+    Option(schemas.get(spark)).map(_.toSeq).getOrElse(Nil)
+
+  private val schemas = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable
+      .ArrayBuffer[org.apache.spark.sql.types.StructType]]())
 
   import org.apache.spark.rdd.RDD
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.execution.LogicalRDD
 
-  private val staged =
-    scala.collection.mutable.ArrayBuffer.empty[RDD[InternalRow]]
+  // Keyed by owning SparkSession so clearStaged can only free frames its
+  // caller's session staged — a global registry let any caller free
+  // frames another session still held, and a freed staged frame is
+  // unrecoverable (localCheckpoint severed the lineage). Weak keys: a
+  // dropped session's entry (its blocks die with its context) must not
+  // pin the session object.
+  private val staged = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.ArrayBuffer[RDD[InternalRow]]]())
 
   /** The block-manager-backed RDD behind a [[stage]]d frame (its logical
     * plan is the `LogicalRDD` leaf localCheckpoint wrapped it in). */
@@ -158,18 +183,38 @@ object Engine {
     * The frame must not be referenced again afterwards. */
   def unstage(df: DataFrame): Unit = stagedRddOf(df).foreach { r =>
     r.unpersist(blocking = false)
-    staged.synchronized { staged -= r }
+    Option(staged.get(df.sparkSession)).foreach { buf =>
+      buf.synchronized { buf -= r }
+    }
   }
 
-  /** Free ALL staged blocks. A long-lived session (the serial Bench
-    * JVM, a query service) calls this between queries; without it every
-    * staged query leaks its blocks forward for the life of the JVM
-    * (ContextCleaner only frees on GC of the RDD object, which lazy
-    * val / closure references defer indefinitely). `blocking = true`
-    * waits for removal — what a benchmark wants BETWEEN timed queries,
-    * so deferred cleanup never bleeds into the next measurement. */
-  def clearStaged(blocking: Boolean = false): Unit = staged.synchronized {
-    staged.foreach(_.unpersist(blocking))
-    staged.clear()
+  /** Free all staged blocks owned by `spark`. A long-lived session (the
+    * serial Bench JVM, a query service) calls this between queries;
+    * without it every staged query leaks its blocks forward for the life
+    * of the JVM (ContextCleaner only frees on GC of the RDD object,
+    * which lazy val / closure references defer indefinitely).
+    * `blocking = true` waits for removal — what a benchmark wants
+    * BETWEEN timed queries, so deferred cleanup never bleeds into the
+    * next measurement. Scoped to the calling session: frames staged by
+    * OTHER sessions in the JVM are untouched (freeing them would be a
+    * use-after-free — severed lineage cannot recompute). */
+  def clearStaged(spark: SparkSession, blocking: Boolean): Unit = {
+    Option(staged.remove(spark)).foreach { buf =>
+      buf.synchronized { buf.foreach(_.unpersist(blocking)) }
+    }
+    schemas.remove(spark)
+  }
+
+  /** [[clearStaged]] across EVERY session in the JVM — only safe when
+    * the caller owns them all (the serial Bench/Verify mains, a test
+    * suite's tear-down). Library code holding a session must use the
+    * session-scoped overload. */
+  def clearStaged(blocking: Boolean = false): Unit = {
+    val sessions = staged.synchronized {
+      // iteration must hold the synchronizedMap mutex; copy out first
+      scala.jdk.CollectionConverters.CollectionHasAsScala(
+        staged.keySet).asScala.toSeq
+    }
+    sessions.foreach(clearStaged(_, blocking))
   }
 }

@@ -378,6 +378,51 @@ SELECT count(*) AS distinct_chunks,
   CAST(sum(copies) - count(*) AS BIGINT) AS redundant_chunks
 FROM g""",
 
+    // intra-doc n-gram repetition: positional 2-/3-gram streams (NOT
+    // the distinct shingle set), dup fraction per doc, fixed-point
+    // exact means per lang (see q_text_quality)
+    "q_repetition_audit" -> """WITH tok AS (
+  SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+g AS (
+  SELECT lang,
+    list_transform(range(0, greatest(len(t) - 2, 0) + 1),
+      i -> array_to_string(t[i+1:i+2], ' ')) AS g2,
+    list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' ')) AS g3
+  FROM tok),
+d AS (
+  SELECT lang,
+    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+      / CAST(len(g2) AS DOUBLE) AS d2,
+    CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+      / CAST(len(g3) AS DOUBLE) AS d3
+  FROM g)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+    / CAST(count(*) AS DOUBLE) AS avg_dup2gram,
+  CAST(sum(CAST(floor(d3 * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+    / CAST(count(*) AS DOUBLE) AS avg_dup3gram,
+  count(CASE WHEN d2 > 0.2 THEN 1 END) AS n_repetitive,
+  max(d2) AS max_dup2gram
+FROM d GROUP BY lang ORDER BY lang""",
+
+    // deterministic train/val/test holdout: same mod-100 md5 bucket as
+    // the sampling operators (train < 80, val < 90, test otherwise)
+    "q_split_manifest" -> {
+      import graft.functions.TextFunctions.hashBucket100Sql
+      val hb = hashBucket100Sql("doc_id")
+      s"""SELECT split, lang, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM (
+  SELECT lang, doc_id,
+    CASE WHEN $hb < 80 THEN 'train'
+         WHEN $hb < 90 THEN 'val' ELSE 'test' END AS split,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents) x
+GROUP BY split, lang ORDER BY split, lang"""
+    },
+
     // gap sessionization: same lag + running-sum windows; sums cast
     // from DuckDB's HUGEINT back to BIGINT to match Spark's long
     "q_sessionize" -> """WITH e AS (
@@ -401,6 +446,37 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
   count(DISTINCT event_type) AS n_event_types
 FROM s GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx""",
+
+    // engagement rollup OVER the sessionization output (same CTEs as
+    // q_sessionize, then one global aggregate)
+    "q_session_stats" -> """WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev IS NULL
+      OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END
+      AS new_s
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev FROM e)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM b
+), sess AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+    date_diff('microsecond', min(ts), max(ts)) AS duration_us
+  FROM s GROUP BY user_id, session_idx)
+SELECT count(*) AS n_sessions,
+  count(DISTINCT user_id) AS n_users,
+  CAST(sum(n_events) AS BIGINT) AS total_events,
+  CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS avg_events_per_session,
+  CAST(sum(duration_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS avg_duration_us,
+  max(duration_us) AS max_duration_us,
+  count(CASE WHEN n_events = 1 THEN 1 END) AS n_single_event,
+  count(CASE WHEN duration_us >= 3600000000 THEN 1 END) AS n_over_hour
+FROM sess""",
 
     "q_multimodal_meta" -> """SELECT source,
   count(*) AS n_docs,
@@ -858,11 +934,11 @@ LEFT JOIN audit a ON a.lang = i.lang AND a.source = i.source
 ORDER BY i.lang, i.source""",
 
     // end-to-end shard manifest: corpus_clean's cleaned docs →
-    // doc_chunks' geometry → md5-bucket shard assignment mod 8
+    // doc_chunks' geometry → 32-bit md5 shard assignment mod 8
     "q_training_shards" -> {
-      import graft.functions.TextFunctions.hashBucket100Sql
-      val shardExpr = hashBucket100Sql(
-        "CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)")
+      import graft.functions.TextFunctions.hashShardSql
+      val shardExpr = hashShardSql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)", 8)
       s"""WITH keep AS (
   SELECT min(doc_id) AS doc_id
   FROM documents
@@ -910,7 +986,7 @@ cc AS (
   FROM ch),
 sharded AS (
   SELECT doc_id, n_chunk_tokens,
-    CAST(($shardExpr) % 8 AS INT) AS shard
+    $shardExpr AS shard
   FROM cc)
 SELECT shard, count(*) AS n_chunks,
   count(DISTINCT doc_id) AS n_docs,
@@ -1272,6 +1348,47 @@ SELECT doc_a, doc_b, jaccard FROM (
 WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b"""
     },
 
+    // banding calibration: bands-matched count per candidate pair vs
+    // exact Jaccard, rolled up per count (fixed-point exact mean)
+    "q_lsh_calibration" -> {
+      val comps = (0 until 12)
+        .map(i => s"list_min(list_transform(s, x -> md5('$i:' || x)))")
+        .mkString(",\n    ")
+      val bands = (0 until 4).map { j =>
+        s"SELECT doc_id, $j AS band_idx, md5(ms[${3 * j + 1}] || '|' || " +
+          s"ms[${3 * j + 2}] || '|' || ms[${3 * j + 3}]) AS band_val FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+    i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM tok),
+sig AS (
+  SELECT doc_id, s, [$comps] AS ms FROM sh),
+bands AS (
+  $bands),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS bands_matched
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+jc AS (
+  SELECT bands_matched,
+    CAST(len(list_filter(sa.s, e -> list_contains(sb.s, e))) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS j
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b)
+SELECT bands_matched, count(*) AS n_pairs,
+  CAST(sum(CAST(floor(j * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+    / CAST(count(*) AS DOUBLE) AS avg_jaccard,
+  min(j) AS min_jaccard, max(j) AS max_jaccard,
+  count(CASE WHEN j >= 0.05 THEN 1 END) AS n_above_threshold
+FROM jc GROUP BY bands_matched ORDER BY bands_matched"""
+    },
+
     "q_dedup_simhash" -> (SimhashCte + """
 SELECT doc_id, simhash FROM sig ORDER BY doc_id"""),
 
@@ -1292,6 +1409,33 @@ cand AS (
    AND x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, hamming FROM cand
 WHERE hamming <= 12 ORDER BY doc_a, doc_b"""),
+
+    // distance spectrum of the banded candidate pairs: q_simhash_pairs'
+    // pair set rolled up per hamming value (each pair contributes its
+    // two docs to the distinct-doc count)
+    "q_hamming_histogram" -> (SimhashCte + """,
+band AS (
+  SELECT doc_id, simhash, 0 AS band_idx, (simhash >> 0) & 4095 AS band_val FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 1, (simhash >> 12) & 4095 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 2, (simhash >> 24) & 4095 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 3, (simhash >> 36) & 4095 FROM sig),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+  FROM band x JOIN band y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id),
+p AS (SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 12),
+d AS (
+  SELECT hamming, doc_a AS doc FROM p
+  UNION ALL
+  SELECT hamming, doc_b FROM p)
+SELECT hamming, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+  count(DISTINCT doc) AS n_docs
+FROM d GROUP BY hamming ORDER BY hamming"""),
 
     // connected components of the near-dup pair graph: the same pair
     // CTE as q_simhash_pairs, then min-reachable-id via a recursive

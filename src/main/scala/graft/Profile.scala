@@ -21,7 +21,10 @@ object Profile {
     def run(): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // same lifecycle as Bench: staged blocks freed OUTSIDE the timing
+      Engine.clearStaged(spark, blocking = true)
+      dt
     }
     println(s"[profile] $name @ $sfDir")
     fn(spark, sfDir).explain("formatted")

@@ -71,6 +71,10 @@ object SparkEntry {
     "q_pii_audit" -> TextOps.piiAudit _,
     "q_training_shards" -> ((s: SparkSession, d: String) => TextOps.trainingShards(s, d)),
     "q_chunk_dedup" -> ((s: SparkSession, d: String) => TextOps.chunkDedup(s, d)),
+    "q_repetition_audit" -> ((s: SparkSession, d: String) => TextOps.repetitionAudit(s, d)),
+    "q_split_manifest" -> ((s: SparkSession, d: String) => TextOps.splitManifest(s, d)),
+    "q_hamming_histogram" -> ((s: SparkSession, d: String) => TextOps.hammingHistogram(s, d)),
+    "q_lsh_calibration" -> ((s: SparkSession, d: String) => TextOps.lshCalibration(s, d)),
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),
@@ -88,6 +92,7 @@ object SparkEntry {
     "q_asof_tolerance" -> ((s: SparkSession, d: String) => EventOps.asofJoinTolerance(s, d)),
     "q_event_funnel" -> ((s: SparkSession, d: String) => EventOps.eventFunnel(s, d)),
     "q_retention" -> EventOps.retention _,
+    "q_session_stats" -> ((s: SparkSession, d: String) => EventOps.sessionStats(s, d)),
 
     // graph: near-dup transitive closure (GraphOps)
     "q_dup_components" -> GraphOps.dupComponents _,

@@ -137,6 +137,24 @@ object TextFunctions {
     .map(j => s"(instr('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), ${j + 1}, 1)) - 1) * ${1 << (4 * (3 - j))}")
     .mkString("(", " + ", ") % 100")
 
+  /** Deterministic shard id in [0, n) from the first 8 hex nibbles
+    * (32 bits) of md5(key) — the PLACEMENT key, distinct from the
+    * mod-100 SAMPLING key: `hashBucket100 % n` folds 100 buckets into n
+    * shards, which for any n not dividing 100 gives some shards ⌈100/n⌉
+    * buckets and others ⌊100/n⌋ (n=8: a systematic 13-vs-12 ≈ 8% size
+    * skew) and caps granularity at 100 distinct values. 32 hash bits
+    * make the fold bias ≤ n/2³² and per-shard size CVs vanish at any
+    * chunk count. `conv` parses the hex exactly (≤ 0xffffffff fits a
+    * long); the DuckDB mirror uses the same nibble arithmetic. */
+  def hashShard(key: Column, n: Int): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % n).cast("int")
+
+  /** DuckDB mirror of [[hashShard]]. */
+  def hashShardSql(keyExpr: String, n: Int): String = (0 until 8)
+    .map(j => s"(instr('0123456789abcdef', substr(md5(CAST($keyExpr AS VARCHAR)), ${j + 1}, 1)) - 1) * ${1L << (4 * (7 - j))}")
+    .mkString("CAST((", " + ", s") % $n AS INT)")
+
   /** Word n-gram shingles (distinct) from a MATERIALIZED token-array
     * column — the input to both n-gram-Jaccard similarity and MinHash.
     *

@@ -222,4 +222,30 @@ object EventOps {
       "user_id", "ts", "event_id", 1800L, "value")
       .orderBy(col("user_id"), col("session_idx"))
   }
+
+  /** `q_session_stats`: the corpus-level engagement summary OVER the
+    * sessionization output — the report a product/behavior pipeline
+    * reads after [[sessionizeOf]] computes the per-session rows: how
+    * many sessions and users, how long and how heavy a typical session
+    * is, how much is single-event bounce. Pure composition: the
+    * session frame's one (key × ts) exchange is the only shuffle, the
+    * rollup is a global aggregate over |sessions| skinny rows. All
+    * counts/durations are exact longs; the two means divide exact long
+    * sums as the final step. */
+  def sessionStats(spark: SparkSession, sfDir: String,
+      gapSec: Long = 1800L): DataFrame = {
+    Engine.configure(spark)
+    val s = sessionizeOf(Engine.spread(Tables.events(spark, sfDir)),
+      "user_id", "ts", "event_id", gapSec, "value")
+    s.agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("total_events"),
+        (sum(col("n_events")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_events_per_session"),
+        (sum(col("duration_us")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_duration_us"),
+        max(col("duration_us")).as("max_duration_us"),
+        countIf(col("n_events") === 1).as("n_single_event"),
+        countIf(col("duration_us") >= 3600L * 1000000L).as("n_over_hour"))
+  }
 }

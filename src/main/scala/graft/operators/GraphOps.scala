@@ -53,9 +53,9 @@ object GraphOps {
     * stops the loop, and a truly unchanged round adds nothing from any
     * task attempt. Driver state is one changed-count long per round —
     * labels themselves never leave the cluster.
-    * Rounds-to-convergence for the last call is surfaced via
-    * [[lastConvergenceRounds]] (telemetry: cluster shapes that stop
-    * converging in few rounds are the signal to swap in
+    * Rounds-to-convergence is returned per call by
+    * [[connectedComponentsOfWithRounds]] (telemetry: cluster shapes
+    * that stop converging in few rounds are the signal to swap in
     * large-star/small-star).
     *
     * Input: an edge frame with `src`/`dst` columns (undirected; both
@@ -64,7 +64,15 @@ object GraphOps {
     * in any edge.
     */
   def connectedComponentsOf(edges: DataFrame, src: String, dst: String,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25): DataFrame =
+    connectedComponentsOfWithRounds(edges, src, dst, maxIters)._1
+
+  /** [[connectedComponentsOf]] plus the rounds it took to converge
+    * (including the final no-change round) — returned per call rather
+    * than via JVM-global mutable telemetry, so concurrent component
+    * computations can't observe each other's counts. */
+  def connectedComponentsOfWithRounds(edges: DataFrame, src: String,
+      dst: String, maxIters: Int = 25): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val e = Engine.stage(
       edges.select(col(src).as("src"), col(dst).as("dst"))
@@ -105,14 +113,8 @@ object GraphOps {
     require(changed == 0L,
       s"connectedComponents did not converge in $maxIters rounds")
     Engine.unstage(e) // labels' blocks remain live for the caller
-    lastConvergenceRounds = rounds
-    labels
+    (labels, rounds)
   }
-
-  /** Rounds the most recent [[connectedComponentsOf]] call took to
-    * converge (includes the final no-change round). Telemetry only —
-    * per-JVM, last-call-wins. */
-  @volatile var lastConvergenceRounds: Int = 0
 
   /** Connected components by ALTERNATING large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -132,19 +134,31 @@ object GraphOps {
     * same discipline as [[connectedComponentsOf]]). Edges always point
     * (child → smaller parent), so the fixpoint is a star forest:
     * every edge is (node, component-min). Convergence = the edge set
-    * is unchanged by a large+small round (exact check: symmetric
-    * difference via two anti-joins). Each round stages its edge frame
-    * and retires the previous one ([[Engine.unstage]]).
+    * is unchanged by a large+small round — checked EXACTLY (symmetric
+    * difference) but inside the round's own materializing job: the
+    * rewritten set full-outer-joins the previous one and a
+    * changed-edges accumulator rides the same tasks, so each round is
+    * ONE job (was: two exceptAll set-difference jobs per round).
+    * Each round stages its edge frame and retires the previous one
+    * ([[Engine.unstage]]).
     *
     * Output contract matches [[connectedComponentsOf]]: (node, comp),
     * one row per node that appears in any input edge, comp = min node
-    * id of its component. [[lastAlternatingRounds]] reports the
-    * large+small rounds the last call took. Prefer
+    * id of its component. [[connectedComponentsAlternatingWithRounds]]
+    * reports the large+small rounds per call. Prefer
     * [[connectedComponentsOf]] for near-dup graphs (shallow diameter,
     * smaller constant factor); prefer this when the diameter is
     * unknown or adversarial. */
   def connectedComponentsAlternating(edges: DataFrame, src: String,
-      dst: String, maxIters: Int = 30): DataFrame = {
+      dst: String, maxIters: Int = 30): DataFrame =
+    connectedComponentsAlternatingWithRounds(edges, src, dst, maxIters)._1
+
+  /** [[connectedComponentsAlternating]] plus its large+small round
+    * count (including the final no-change round) — per call, not
+    * JVM-global. */
+  def connectedComponentsAlternatingWithRounds(edges: DataFrame,
+      src: String, dst: String, maxIters: Int = 30): (DataFrame, Int) = {
+    val spark = edges.sparkSession
     // canonical child→parent orientation: (a, b) with b < a
     var stagedE = Engine.stage(
       edges.select(greatest(col(src), col(dst)).as("a"),
@@ -179,27 +193,35 @@ object GraphOps {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIters) {
-      val next = Engine.stage(smallStar(largeStar(e)))
-      // exact set equality: both anti-join counts must be zero
-      changed = next.exceptAll(e).count() + e.exceptAll(next).count()
+      val acc = spark.sparkContext.longAccumulator("graft.ccAlt.changed")
+      val flag = udf { c: Boolean => if (c) acc.add(1L); c }
+      // the round's rewrite full-outer-joined against the previous edge
+      // set: a row absent on either side is a changed edge, flagged via
+      // the accumulator inside the SAME tasks that materialize the
+      // staged frame. Old-only rows ride along solely to be counted;
+      // `keep` excludes them from the next round's edges. Accumulator
+      // retry overcounting is benign (only changed==0 stops the loop).
+      val next = Engine.stage(
+        smallStar(largeStar(e)).withColumn("__new", lit(true))
+          .join(e.select(col("a"), col("b"), lit(true).as("__old")),
+            Seq("a", "b"), "full_outer")
+          .select(col("a"), col("b"),
+            flag(col("__new").isNull || col("__old").isNull).as("chg"),
+            col("__new").isNotNull.as("keep")))
+      next.write.format("noop").mode("overwrite").save()
+      changed = acc.value
       Engine.unstage(stagedE)
       stagedE = next
-      e = next
+      e = next.filter(col("keep")).select(col("a"), col("b"))
       rounds += 1
     }
     require(changed == 0L,
       s"alternating components did not converge in $maxIters rounds")
-    lastAlternatingRounds = rounds
     val out = nodes.join(e.select(col("a").as("node"), col("b").as("comp")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
-    out
+    (out, rounds)
   }
-
-  /** Large+small rounds the most recent
-    * [[connectedComponentsAlternating]] call took (includes the final
-    * no-change round). Telemetry only — per-JVM, last-call-wins. */
-  @volatile var lastAlternatingRounds: Int = 0
 
   /** `q_dup_components`: near-dup CLUSTERS from the simhash pair
     * operator — the transitive closure [[TextOps.simhashPairs]] itself

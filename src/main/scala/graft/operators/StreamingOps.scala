@@ -236,9 +236,14 @@ object StreamingOps {
     * value totals summed as Decimal(38,4) unscaled longs
     * (order-independent), distinct-type counts from a bounded list.
     * Within each invocation events sort by (ts, event_id) — the batch
-    * window's tie order; across micro-batches the file source's
-    * event-time ordering is the caller's contract (late rows beyond
-    * the watermark are dropped, as in every watermarked operator).
+    * window's tie order. ACROSS micro-batches ordering is handled
+    * explicitly, never assumed (the 30-minute watermark admits
+    * in-watermark stragglers): an event inside the open session's span
+    * merges in place; one within the gap BEFORE the session start
+    * extends the session backwards (startUs lowered — duration/totals
+    * stay right); one beyond that gap is emitted as its own closed
+    * earlier session in event-time index order. Rows beyond the
+    * watermark are dropped, as in every watermarked operator.
     * State is O(1) per user plus the event-type list; the per-call sort
     * buffers one user's micro-batch slice, bounded by source batching.
     * Works on a batch Dataset too (state starts empty; the final open
@@ -277,6 +282,28 @@ object StreamingOps {
             var st = state.getOption
             it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
               st = st match {
+                // Out-of-order across micro-batches (within one
+                // invocation the sort above makes ts monotone). The
+                // general `ts - endUs <= gap` check MUST NOT see these:
+                // its difference is negative for any pre-endUs event, so
+                // an event predating the session by a week would merge
+                // silently with startUs never lowered — wrong
+                // start/duration/totals, no error.
+                case Some(s) if e.ts_us < s.startUs - gapUs =>
+                  // beyond the gap BEFORE the open session: its own
+                  // already-closed earlier session, emitted in event-time
+                  // order (it takes the open session's index; the open
+                  // session shifts up — indexes stay sequential by time)
+                  buf += emit(key, SessState(s.idx, e.ts_us, e.ts_us, 1L,
+                    e.v10k, Seq(e.event_type)))
+                  Some(s.copy(idx = s.idx + 1))
+                case Some(s) if e.ts_us < s.startUs =>
+                  // within the gap of the session START: same session —
+                  // extend backwards (endUs unchanged, ts < startUs < endUs)
+                  Some(s.copy(startUs = e.ts_us, n = s.n + 1,
+                    sum10k = s.sum10k + e.v10k,
+                    types = if (s.types.contains(e.event_type)) s.types
+                      else s.types :+ e.event_type))
                 case Some(s) if e.ts_us - s.endUs <= gapUs =>
                   Some(s.copy(endUs = math.max(s.endUs, e.ts_us), n = s.n + 1,
                     sum10k = s.sum10k + e.v10k,

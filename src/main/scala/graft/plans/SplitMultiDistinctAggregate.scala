@@ -64,18 +64,22 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
   }
 
   /** Distinct functions whose DISTINCT form equals the plain form over
-    * deduplicated (group, children) rows — which is the DEFINITION of
-    * DISTINCT aggregation, so the list is bounded not by semantics but by
-    * mechanics: every `children` expression becomes a dedup grouping key
-    * and is then substituted with the deduped attribute via
-    * `withNewChildren`, so the function must carry ONLY data arguments as
-    * children. Percentile-family functions smuggle the foldable
-    * percentage/frequency expressions into `children` (substituting an
-    * attribute there breaks their foldability contract), and arbitrary
-    * UDAFs/V2 aggregators make no such children guarantee — both bail to
-    * stock planning. Order-sensitive functions (first/last/collect_list)
-    * are safe to ride: their DISTINCT form is order-unspecified in stock
-    * Spark too, and after dedup they see exactly the distinct tuple set. */
+    * deduplicated (group, data-children) rows — which is the DEFINITION
+    * of DISTINCT aggregation, so the list is bounded not by semantics but
+    * by mechanics: every DATA child becomes a dedup grouping key and is
+    * then substituted with the deduped attribute via `withNewChildren`.
+    * For most functions every child is data. Percentile-family functions
+    * smuggle the foldable percentage/frequency expressions into
+    * `children` — [[dataChildren]] restricts the dedup key and the
+    * substitution to the value child (prefix), leaving the foldable tail
+    * verbatim so its foldability contract holds; a NON-foldable tail
+    * (percentile's per-row frequency argument) bails, since a frequency
+    * column would have to join the dedup key and change the semantics.
+    * Arbitrary UDAFs/V2 aggregators make no children-layout guarantee —
+    * bail to stock planning. Order-sensitive functions
+    * (first/last/collect_list) are safe to ride: their DISTINCT form is
+    * order-unspecified in stock Spark too, and after dedup they see
+    * exactly the distinct tuple set. */
   private def supportedDistinct(f: AggregateFunction): Boolean = f match {
     case _: Count | _: Sum | _: Average | _: Min | _: Max => true
     case _: CollectSet | _: CollectList => true
@@ -85,8 +89,16 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
     case _: CentralMomentAgg => true // stddev/variance/skewness/kurtosis
     case _: Corr | _: Covariance => true
     case _: HyperLogLogPlusPlus => true // approx_count_distinct: DISTINCT no-op
+    case p if isPercentileLike(p) => p.children.drop(1).forall(_.foldable)
     case _ => false
   }
+
+  /** The children that carry per-row DATA (dedup keys of the distinct
+    * branch). Percentile-family: the value child alone — the rest is the
+    * foldable percentage/accuracy/frequency tail, checked foldable in
+    * [[supportedDistinct]] and carried through substitution verbatim. */
+  private def dataChildren(f: AggregateFunction): Seq[Expression] =
+    if (isPercentileLike(f)) f.children.take(1) else f.children
 
   private def aggExprsOf(a: Aggregate): Seq[AggregateExpression] = {
     val seen = collection.mutable.LinkedHashMap.empty[Expression, AggregateExpression]
@@ -98,10 +110,12 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
     seen.values.toSeq
   }
 
-  /** Branch identity of a distinct aggregate: its argument set AND its
-    * FILTER (two filters need two dedup branches). */
+  /** Branch identity of a distinct aggregate: its DATA argument set AND
+    * its FILTER (two filters need two dedup branches; two percentiles
+    * over one column with different percentages share one). */
   private def distinctKey(ae: AggregateExpression): (Seq[Expression], Option[Expression]) =
-    (ae.aggregateFunction.children.map(_.canonicalized), ae.filter.map(_.canonicalized))
+    (dataChildren(ae.aggregateFunction).map(_.canonicalized),
+      ae.filter.map(_.canonicalized))
 
   private def shouldRewrite(a: Aggregate): Boolean = {
     val aes = aggExprsOf(a)
@@ -147,7 +161,8 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
         : Seq[(Seq[Expression], Option[Expression], Seq[AggregateExpression])] =
       distincts.groupBy(distinctKey)
         .toSeq.map { case (_, group) =>
-          (group.head.aggregateFunction.children, group.head.filter, group) }
+          (dataChildren(group.head.aggregateFunction), group.head.filter,
+            group) }
 
     def freshGroupAliases(): Seq[Alias] =
       groupExprs.zipWithIndex.map { case (e, i) => Alias(e, s"_gk$i")() }
@@ -176,7 +191,10 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
         gs ++ ds ++ fs.toSeq, child)
       val dAttrs = ds.map(_.toAttribute)
       val outs = fns.map { ae =>
-        val plainFn = ae.aggregateFunction.withNewChildren(dAttrs)
+        // substitute the DATA children (a prefix) with the deduped
+        // attributes; a percentile-family foldable tail rides verbatim
+        val plainFn = ae.aggregateFunction.withNewChildren(
+          dAttrs ++ ae.aggregateFunction.children.drop(dAttrs.size))
           .asInstanceOf[AggregateFunction]
         Alias(ae.copy(aggregateFunction = plainFn, isDistinct = false,
           filter = fs.map(_.toAttribute),

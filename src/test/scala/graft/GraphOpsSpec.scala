@@ -26,13 +26,14 @@ class GraphOpsSpec extends SparkSpec {
 
   test("propagation distance: a 12-node chain converges (diameter rounds)") {
     val edges = (1L until 12L).map(i => (i, i + 1))
-    val got = cc(edges)
+    val (df, rounds) = GraphOps.connectedComponentsOfWithRounds(
+      edges.toDF("src", "dst"), "src", "dst")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(1L))
     assert(got.size == 12)
     // telemetry: min-label propagation on an 11-edge chain needs the
     // full diameter of rounds plus the final no-change round
-    assert(GraphOps.lastConvergenceRounds == 12,
-      s"rounds=${GraphOps.lastConvergenceRounds}")
+    assert(rounds == 12, s"rounds=$rounds")
   }
 
   test("convergence frees retired round frames; only live staged blocks remain") {
@@ -82,11 +83,12 @@ class GraphOpsSpec extends SparkSpec {
 
   test("alternating converges in far fewer rounds than a long chain's diameter") {
     val chain = (1L until 64L).map(i => (i, i + 1))
-    val got = ccAlt(chain)
+    val (df, rounds) = GraphOps.connectedComponentsAlternatingWithRounds(
+      chain.toDF("src", "dst"), "src", "dst")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(1L) && got.size == 64)
     // 63-hop diameter: label propagation needs 64 rounds, star rewriting O(log n)
-    assert(GraphOps.lastAlternatingRounds <= 12,
-      s"rounds=${GraphOps.lastAlternatingRounds}")
+    assert(rounds <= 12, s"rounds=$rounds")
   }
 
   test("dupComponents reconciles with the pair operator") {

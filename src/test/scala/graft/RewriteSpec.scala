@@ -138,6 +138,32 @@ class RewriteSpec extends SparkSpec {
     assert(ns == ns.sorted.reverse)
   }
 
+  test("percentile-family DISTINCT rides the dedup branch (shared per column), no Expand") {
+    val df = Seq(("a", 1.0, 1), ("a", 1.0, 2), ("a", 3.0, 2), ("a", 5.0, 3),
+      ("b", 2.0, 1), ("b", 2.0, 1), ("b", 4.0, 2)).toDF("k", "v", "x")
+    df.createOrReplaceTempView("t_pdist")
+    val q = spark.sql("""SELECT k, count(DISTINCT x) AS dx,
+        percentile(DISTINCT v, 0.5) AS p50,
+        percentile(DISTINCT v, 0.25) AS p25,
+        median(DISTINCT v) AS md, sum(v) AS sv, count(*) AS n
+      FROM t_pdist GROUP BY k""")
+    assertSame(q)
+    // DISTINCT percentile aggregates the DEDUPED values: k='a' has
+    // values {1,1,3,5} → distinct {1,3,5} → median 3 (plain median = 2)
+    val m = q.collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Double]("md") == 3.0)
+    assert(m("a").getAs[Double]("p50") == 3.0)
+    // all three percentile-family DISTINCTs over v share ONE dedup
+    // branch (identity = data child, not the percentage tail): branches
+    // are base + distinct-x + distinct-v = two joins, and no Expand
+    val rewritten = SplitMultiDistinctAggregate(q.queryExecution.analyzed)
+    val joins = rewritten.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 2, rewritten.toString)
+    val plan = ofRows(spark, rewritten).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+
   test("bails out: single distinct set without percentile is left to stock planning") {
     silver
     val q = spark.sql(
@@ -306,14 +332,27 @@ class RewriteSpec extends SparkSpec {
     assert(Set(1, 2).contains(got("a")) && got("b") == 7)
   }
 
-  test("bails out: DISTINCT percentile and UDAF-style functions stay on stock planning") {
+  test("DISTINCT percentile mixes with plain percentile + distinct: equal under rewrite") {
     silver
-    // percentile_disc(DISTINCT ...): percentage literal lives in children;
-    // substituting it would break foldability — must not rewrite
+    // once excluded (the percentage literal lives in children), now
+    // supported: only the DATA child joins the dedup key, the foldable
+    // tail rides verbatim — the mixed shape must stay correct
     val q = spark.sql("""SELECT provider_name,
         percentile_disc(0.5) WITHIN GROUP (ORDER BY claim_amount) AS med,
         count(DISTINCT member_id) AS m,
         percentile(DISTINCT claim_amount, 0.5) AS pd
+      FROM silver_claims GROUP BY provider_name""")
+    assertSame(q)
+  }
+
+  test("bails out: percentile with a non-foldable frequency argument") {
+    silver
+    // percentile's 3rd argument is a PER-ROW frequency column here —
+    // deduping on the value alone would change its semantics
+    val q = spark.sql("""SELECT provider_name,
+        count(DISTINCT member_id) AS m,
+        percentile(DISTINCT claim_amount, 0.5,
+          CAST(service_day AS BIGINT)) AS pw
       FROM silver_claims GROUP BY provider_name""")
     assert(SplitMultiDistinctAggregate(q.queryExecution.analyzed)
       == q.queryExecution.analyzed)

@@ -103,6 +103,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeEvents: out-of-order events across batches extend or split, never merge wrongly") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    // generous watermark so in-watermark stragglers actually reach the
+    // operator — the exact admission the 30-minute contract also allows
+    val df = input.toDF()
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withWatermark("ts", "10 hours")
+    val q = StreamingOps.sessionizeEvents(df)
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      // open session: 10:00–10:10
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (1L, ts("2024-01-01 10:10:00"), 2L, "click", 2.0))
+      q.processAllAvailable()
+      // straggler within the gap BEFORE the start (09:45, 15 min < 30):
+      // same session — start extends backwards, nothing emitted
+      input.addData((1L, ts("2024-01-01 09:45:00"), 3L, "view", 4.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_ooo").isEmpty)
+      // straggler BEYOND the gap before the start (07:00): its own
+      // earlier session, emitted closed with the open session's index;
+      // the open session shifts to idx 2 (was: silently merged into the
+      // open session with start never lowered — wrong duration/totals)
+      input.addData((1L, ts("2024-01-01 07:00:00"), 4L, "early", 8.0))
+      q.processAllAvailable()
+      val early = spark.table("sess_ooo").collect()
+      assert(early.length == 1, early.mkString(";"))
+      assert(early.head.getAs[Long]("session_idx") == 1L)
+      assert(early.head.getAs[Long]("n_events") == 1L)
+      assert(early.head.getAs[Long]("duration_us") == 0L)
+      assert(early.head.getAs[Double]("total_value") == 8.0)
+      // flush: gap breach closes the (extended) open session as idx 2
+      input.addData((1L, ts("2024-01-01 23:00:00"), 5L, "flush", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_ooo").collect()
+        .map(r => r.getAs[Long]("session_idx") -> r).toMap
+      assert(rows.size == 2, rows.toString)
+      val s2 = rows(2L)
+      assert(s2.getAs[Long]("n_events") == 3L)
+      assert(s2.getAs[java.sql.Timestamp]("session_start") ==
+        ts("2024-01-01 09:45:00"))
+      assert(s2.getAs[Long]("duration_us") == 1500000000L) // 09:45 → 10:10
+      assert(s2.getAs[Double]("total_value") == 7.0)
+      assert(s2.getAs[Long]("n_event_types") == 2L)
+    } finally q.stop()
+  }
+
   test("dedupFirstSeen: stateful stream dedup == dropDuplicates, first kept") {
     import spark.implicits._
     import graft.functions.TextFunctions.contentHash
