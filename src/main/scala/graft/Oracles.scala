@@ -478,6 +478,30 @@ SELECT count(*) AS n_sessions,
   count(CASE WHEN duration_us >= 3600000000 THEN 1 END) AS n_over_hour
 FROM sess""",
 
+    // exact rank-selected deciles of per-user inter-arrival gaps per
+    // event type (same rank equation as q_token_deciles)
+    "q_interarrival_deciles" -> """WITH e AS (
+  SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events),
+g AS (
+  SELECT event_type, user_id, event_id,
+    date_diff('microsecond',
+      lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+      ts) AS gap_us
+  FROM e),
+gg AS (SELECT event_type, gap_us, user_id, event_id
+  FROM g WHERE gap_us IS NOT NULL),
+r AS (
+  SELECT event_type, gap_us,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY gap_us, user_id, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM gg),
+q(decile) AS (SELECT unnest(range(1, 10)))
+SELECT r.event_type, CAST(q.decile AS INT) AS decile, r.gap_us
+FROM r JOIN q ON r.rn = (r.n * q.decile + 9) // 10
+ORDER BY r.event_type, q.decile""",
+
     "q_multimodal_meta" -> """SELECT source,
   count(*) AS n_docs,
   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
@@ -1227,6 +1251,32 @@ SELECT vec_id, scale,
   CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max,
   ${l2sqSql("embedding", "list_transform(qv, v -> CAST(v AS DOUBLE) / scale)")} AS l2_err
 FROM q ORDER BY vec_id"""
+    },
+
+    // per-label rollup of the int8 quantization report (same CTEs as
+    // q_embed_quantize; fixed-point exact mean error)
+    "q_quantize_error" -> {
+      import graft.functions.VectorFunctions.l2sqSql
+      s"""WITH s AS (
+  SELECT label, embedding,
+    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+  FROM embeddings),
+sc AS (
+  SELECT label, embedding,
+    CASE WHEN maxabs = 0 THEN 1.0 ELSE 127.0 / maxabs END AS scale
+  FROM s),
+q AS (
+  SELECT label, scale,
+    ${l2sqSql("embedding",
+        "list_transform(list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0, floor(CAST(v AS DOUBLE) * scale + 0.5))) AS INT)), v -> CAST(v AS DOUBLE) / scale)")} AS l2_err
+  FROM sc)
+SELECT label, count(*) AS n_vecs,
+  CAST(sum(CAST(floor(l2_err * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+    / CAST(count(*) AS DOUBLE) AS avg_l2_err,
+  max(l2_err) AS max_l2_err,
+  min(scale) AS min_scale, max(scale) AS max_scale,
+  count(CASE WHEN l2_err > 0.01 THEN 1 END) AS n_coarse
+FROM q GROUP BY label ORDER BY label"""
     },
 
     // maxBlock=10000 mirror: labels with more members are excluded

@@ -85,6 +85,7 @@ object SparkEntry {
     "q_embed_quantize" -> VectorOps.embedQuantize _,
     "q_ann_recall" -> ((s: SparkSession, d: String) => VectorOps.annRecall(s, d)),
     "q_cluster_tightness" -> VectorOps.clusterTightness _,
+    "q_quantize_error" -> VectorOps.quantizeError _,
 
     // temporal event operators (EventOps)
     "q_asof_join" -> EventOps.asofJoin _,
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_event_funnel" -> ((s: SparkSession, d: String) => EventOps.eventFunnel(s, d)),
     "q_retention" -> EventOps.retention _,
     "q_session_stats" -> ((s: SparkSession, d: String) => EventOps.sessionStats(s, d)),
+    "q_interarrival_deciles" -> EventOps.interarrivalDeciles _,
 
     // graph: near-dup transitive closure (GraphOps)
     "q_dup_components" -> GraphOps.dupComponents _,

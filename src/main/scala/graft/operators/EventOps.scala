@@ -223,6 +223,43 @@ object EventOps {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** `q_interarrival_deciles`: exact deciles of per-user inter-arrival
+    * gaps, per event type — the cadence distribution behind every
+    * session-gap / watermark / TTL choice (the 30-minute gap and the
+    * streaming state TTLs are assumptions THIS report validates). Gap =
+    * microseconds between a user's consecutive events of one type
+    * (lag over the same (key × ts)-sorted shape as [[sessionizeOf]],
+    * partitioned per (user, type) so the heavy window is
+    * well-distributed); deciles by the [[graft.operators.TextOps
+    * .tokenDeciles]] rank-selection discipline — value at rank
+    * ⌈n·q/10⌉ under a deterministic total order, exact integer
+    * arithmetic, no interpolation. The per-type rank sorts a SKINNY
+    * (type, gap, tiebreak) frame; the 9-row decile table
+    * broadcast-joins the rank equation. */
+  def interarrivalDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+      .select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"))
+    val perUser = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = ev.withColumn("prev", lag(col("ts_us"), 1).over(perUser))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("ts_us") - col("prev")).as("gap_us"),
+        col("user_id"), col("event_id"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("gap_us"), col("user_id"), col("event_id"))))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+    val deciles = (1 to 9).toDF("decile")
+    ranked.join(broadcast(deciles), expr("rn = (n * decile + 9) div 10"))
+      .select(col("event_type"), col("decile"), col("gap_us"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
   /** `q_session_stats`: the corpus-level engagement summary OVER the
     * sessionization output — the report a product/behavior pipeline
     * reads after [[sessionizeOf]] computes the per-session rows: how

@@ -344,6 +344,40 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** `q_quantize_error`: the per-cluster rollup OVER [[embedQuantize]]'s
+    * per-vector int8 report — the number a curator actually gates on
+    * ("is int8 acceptable for THIS cluster?"): per label, vector count,
+    * exact fixed-point mean reconstruction error, the worst vector, and
+    * the scale range (a tiny min-scale flags clusters with outlier
+    * magnitudes whose quantization grid is coarse). Same engine-exact
+    * per-row math as the report (floor(x+0.5), bit-exact l2sq), one
+    * keyed hash aggregate on top — shuffle ∝ |labels|. */
+  def quantizeError(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Exact.countIf
+    Engine.configure(spark)
+    val x = transform(col("embedding"), v => v.cast("double"))
+    val maxAbs = array_max(transform(col("embedding"),
+      v => abs(v.cast("double"))))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxAbs)
+    Engine.spread(Tables.embeddings(spark, sfDir))
+      .withColumn("scale", scale)
+      .withColumn("q", transform(x, v => greatest(lit(-127.0),
+        least(lit(127.0), floor(v * col("scale") + 0.5))).cast("int")))
+      .select(col("label"), col("scale"),
+        l2sq(col("embedding"),
+          transform(col("q"), v => v.cast("double") / col("scale")))
+          .as("l2_err"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("l2_err") * 1e6)).cast("double") / lit(1e6) /
+          count(lit(1)).cast("double")).as("avg_l2_err"),
+        max(col("l2_err")).as("max_l2_err"),
+        min(col("scale")).as("min_scale"),
+        max(col("scale")).as("max_scale"),
+        countIf(col("l2_err") > 0.01).as("n_coarse"))
+      .orderBy(col("label"))
+  }
+
   /** Cluster-tightness report: per label cell, the distribution of
     * squared L2 distances from members to the cell centroid — the
     * index-quality diagnostic a curator reads BEFORE trusting

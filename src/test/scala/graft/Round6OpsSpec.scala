@@ -121,4 +121,58 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_single_event") ==
       sess.count(_.getAs[Long]("n_events") == 1L).toLong)
   }
+
+  test("interarrivalDeciles: rank selection reproduces a brute-force quantile") {
+    val got = EventOps.interarrivalDeciles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // brute force: per (user, type) sorted gaps, decile by the same
+    // rank equation over the per-type gap population
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id").cast("long"),
+        unix_micros(col("ts")), col("event_id").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((t, u), es) =>
+      es.toSeq.sortBy(e => (e._3, e._4)).sliding(2).collect {
+        case Seq(a, b) => (t, b._3 - a._3, u, b._4)
+      }
+    }
+    gaps.groupBy(_._1).foreach { case (t, gs) =>
+      val sorted = gs.sortBy(g => (g._2, g._3, g._4)).map(_._2)
+      (1 to 9).foreach { q =>
+        val want = sorted((sorted.length * q + 9) / 10 - 1)
+        assert(got((t, q)) == want, s"$t d$q")
+      }
+      // deciles non-decreasing
+      val vs = (1 to 9).map(q => got((t, q)))
+      assert(vs == vs.sorted, s"$t: $vs")
+    }
+  }
+
+  test("quantizeError rolls up embedQuantize per label exactly") {
+    import graft.operators.VectorOps
+    val per = VectorOps.embedQuantize(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Double]("l2_err"))).toMap
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label"))
+    val byLabel = labels.groupBy(_._2)
+    val got = VectorOps.quantizeError(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (l, vs) =>
+      val errs = vs.map(v => per(v._1)._2)
+      val scales = vs.map(v => per(v._1)._1)
+      val r = got(l)
+      assert(r.getAs[Long]("n_vecs") == vs.length.toLong)
+      assert(r.getAs[Double]("max_l2_err") == errs.max)
+      assert(r.getAs[Double]("min_scale") == scales.min)
+      assert(r.getAs[Double]("max_scale") == scales.max)
+      val fpMean = errs.map(e => math.floor(e * 1e6).toLong).sum
+        .toDouble / 1e6 / vs.length
+      assert(r.getAs[Double]("avg_l2_err") == fpMean, s"label $l")
+    }
+  }
 }
