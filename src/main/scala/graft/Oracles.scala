@@ -1279,6 +1279,70 @@ SELECT label, count(*) AS n_vecs,
 FROM q GROUP BY label ORDER BY label"""
     },
 
+    // cross-modal cluster composition: doc text signals joined onto
+    // embedding cluster labels through the shared id space
+    "q_cluster_profile" -> """WITH d AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+qq AS (
+  SELECT doc_id, lang, len(t) AS n_tokens,
+    least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE)) * 0.4
+      + (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.3
+      + least(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+          / CAST(len(t) AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE)) * 0.3 AS q
+  FROM d)
+SELECT e.label, qq.lang, count(*) AS n_docs,
+  CAST(sum(qq.n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(CAST(floor(qq.q * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+    / CAST(count(*) AS DOUBLE) AS avg_quality
+FROM qq JOIN embeddings e ON e.vec_id = qq.doc_id
+GROUP BY e.label, qq.lang
+ORDER BY e.label, qq.lang""",
+
+    // modality-overlap rollup: the q_neardup_pairs pair set full-outer
+    // joined with the q_neardup_embedding pair set over the shared ids
+    "q_modality_overlap" -> {
+      import graft.functions.VectorFunctions.cosineSql
+      s"""WITH sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM (SELECT doc_id, lang, source,
+          string_split_regex(trim(text), '\\s+') AS t FROM documents) a),
+inv AS (
+  SELECT doc_id, lang, source, len(s) AS n, unnest(s) AS g FROM sh),
+kept AS (
+  SELECT lang, source, g FROM inv GROUP BY lang, source, g
+  HAVING count(*) > 1 AND count(*) <= 1000),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.n AS n_a, b.n AS n_b, count(*) AS inter
+  FROM inv a
+  JOIN kept k ON k.lang = a.lang AND k.source = a.source AND k.g = a.g
+  JOIN inv b ON b.lang = a.lang AND b.source = a.source AND b.g = a.g
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+tp AS (
+  SELECT doc_a, doc_b FROM pr
+  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.08),
+okl AS (SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 10000),
+ep AS (
+  SELECT id_a AS doc_a, id_b AS doc_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ${cosineSql("a.embedding", "b.embedding")} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    JOIN okl ON okl.label = a.label) p
+  WHERE cos_sim >= 0.3),
+m AS (
+  SELECT CASE WHEN t.doc_a IS NOT NULL AND e.doc_a IS NOT NULL THEN 'both'
+              WHEN t.doc_a IS NOT NULL THEN 'text_only'
+              ELSE 'embedding_only' END AS modality
+  FROM tp t FULL OUTER JOIN ep e
+    ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b)
+SELECT modality, count(*) AS n_pairs FROM m
+GROUP BY modality ORDER BY modality"""
+    },
+
     // maxBlock=10000 mirror: labels with more members are excluded
     "q_neardup_embedding" -> s"""WITH okl AS (
   SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 10000)

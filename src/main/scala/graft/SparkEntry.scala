@@ -86,6 +86,8 @@ object SparkEntry {
     "q_ann_recall" -> ((s: SparkSession, d: String) => VectorOps.annRecall(s, d)),
     "q_cluster_tightness" -> VectorOps.clusterTightness _,
     "q_quantize_error" -> VectorOps.quantizeError _,
+    "q_cluster_profile" -> VectorOps.clusterProfile _,
+    "q_modality_overlap" -> ((s: SparkSession, d: String) => VectorOps.modalityOverlap(s, d)),
 
     // temporal event operators (EventOps)
     "q_asof_join" -> EventOps.asofJoin _,

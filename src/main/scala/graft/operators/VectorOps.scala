@@ -416,6 +416,64 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** `q_cluster_profile`: cross-modal cluster composition — the
+    * documents table's text signals (language, token counts, quality)
+    * joined onto the embeddings table's cluster labels through the
+    * shared id space (vec_id == doc_id in the fixtures; any real corpus
+    * carries such a key). The report a curator reads to decide
+    * per-cluster treatment: which clusters are which language, how much
+    * token mass they hold, and whether a cluster's text quality
+    * justifies keeping it. One projection per side (the embedding
+    * ARRAY is never read — the join ships (id, label) only) and one
+    * keyed hash aggregate; at scale this is a plain fact-fact id join
+    * Catalyst plans as broadcast or sort-merge by size. */
+  def clusterProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, textQualityOf}
+    Engine.configure(spark)
+    val docs = Engine.spread(Tables.documents(spark, sfDir))
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), size(col("t")).as("n_tokens"),
+        textQualityOf(col("t")).as("q"))
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    docs.join(labels, "doc_id")
+      .groupBy(col("label"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(floor(col("q") * 1e6)).cast("double") / lit(1e6) /
+          count(lit(1)).cast("double")).as("avg_quality"))
+      .orderBy(col("label"), col("lang"))
+  }
+
+  /** `q_modality_overlap`: do the text near-dup and the embedding
+    * near-dup mechanisms flag the SAME pairs? Each modality misses
+    * what the other catches (shingle Jaccard is blind to paraphrase;
+    * embedding cosine is blind to short verbatim overlap), and this
+    * report quantifies the split: candidate pairs found by both /
+    * text only / embedding only. Pure composition — both pair
+    * operators keep their own blocking and caps; a full-outer join on
+    * the (smaller, already-thresholded) pair sets and a 3-row
+    * rollup. */
+  def modalityOverlap(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.08, maxDf: Int = 1000,
+      minCos: Double = 0.3, maxBlock: Int = 10000): DataFrame = {
+    Engine.configure(spark)
+    val txt = TextOps.nearDupPairsOf(
+        Engine.spread(Tables.documents(spark, sfDir)), threshold, maxDf)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("__t"))
+    val emb = embeddingNearDupOf(Tables.embeddings(spark, sfDir),
+        minCos, maxBlock)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(true).as("__e"))
+    txt.join(emb, Seq("doc_a", "doc_b"), "full_outer")
+      .select(when(col("__t").isNotNull && col("__e").isNotNull, "both")
+        .when(col("__t").isNotNull, "text_only")
+        .otherwise("embedding_only").as("modality"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("modality"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * cluster id): exact cosine within each block, pairs above `minCos`.
     * Blocking bounds the pair count by block size² exactly like the

@@ -150,6 +150,38 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterProfile covers the joined corpus; counts match a brute-force rollup") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.clusterProfile(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label"))
+    // every (label, lang) cell counts exactly the joined ids
+    val want = labels.flatMap { case (id, l) => docs.get(id).map(g => (l, g)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = rows.map(r => (r.getAs[Int]("label"), r.getAs[String]("lang")) ->
+      r.getAs[Long]("n_docs")).toMap
+    assert(got == want)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == labels.length.toLong)
+  }
+
+  test("modalityOverlap reconciles with both pair operators") {
+    import graft.operators.VectorOps
+    val txt = TextOps.nearDupPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val emb = VectorOps.embeddingNearDup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val got = VectorOps.modalityOverlap(spark, sfDir).collect()
+      .map(r => r.getAs[String]("modality") -> r.getAs[Long]("n_pairs")).toMap
+    assert(got.getOrElse("both", 0L) == (txt & emb).size.toLong)
+    assert(got.getOrElse("text_only", 0L) == (txt -- emb).size.toLong)
+    assert(got.getOrElse("embedding_only", 0L) == (emb -- txt).size.toLong)
+    assert(got.values.sum == (txt | emb).size.toLong)
+  }
+
   test("quantizeError rolls up embedQuantize per label exactly") {
     import graft.operators.VectorOps
     val per = VectorOps.embedQuantize(spark, sfDir).collect()
