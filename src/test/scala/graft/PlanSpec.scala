@@ -239,6 +239,51 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("repetitionAudit/splitManifest/quantizeError: map + one keyed aggregate, no joins beyond broadcast") {
+    // the round-6 audit/manifest rollups must stay single-aggregate
+    // shapes: per-row work in the scan stage, one partial+final hash
+    // aggregate, no unexpected exchanges
+    for ((df, maxShuffles) <- Seq(
+        (TextOps.repetitionAudit(spark, sfDir), 3),
+        (TextOps.splitManifest(spark, sfDir), 3),
+        (VectorOps.quantizeError(spark, sfDir), 3))) {
+      val plan = planString(df)
+      assert(!plan.contains("Join"), plan)
+      assert(plan.contains("partial_"), plan)
+      // spread round-robin + groupBy + output sort
+      assert("Exchange".r.findAllIn(plan).length <= maxShuffles, plan)
+    }
+  }
+
+  test("clusterProfile: the embedding array never ships — label projection only") {
+    val plan = planString(VectorOps.clusterProfile(spark, sfDir))
+    // embeddings side must read (vec_id, label) and NOT the vector payload
+    val reads = plan.split("ReadSchema: ").drop(1).map(_.takeWhile(_ != '\n'))
+    val embRead = reads.find(r => r.contains("label"))
+    assert(embRead.isDefined && !embRead.get.contains("embedding"),
+      reads.mkString("\n"))
+  }
+
+  test("hammingHistogram rides the staged pair stage — no FileScan in the final plan") {
+    // pure rollup composition over simhashPairsOf: the pair operator's
+    // staging discipline (corpus read once into the signature frame)
+    // must carry through the histogram's extra aggregate
+    val df = TextOps.hammingHistogram(spark, sfDir)
+    df.collect() // staged-RDD leaves + AQE shape appear only at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), plan)
+  }
+
+  test("interarrivalDeciles: decile table broadcasts; gap windows stay partitioned") {
+    val plan = planString(
+      graft.operators.EventOps.interarrivalDeciles(spark, sfDir))
+    // the 9-row decile side joins by broadcast, never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("pct-of-total is the broadcast cross-join shape: no window, reused exchange") {
     // round-2 VERDICT item 8: the empty-over() window form moved the
     // (tiny) aggregated relation to a single partition and spammed
