@@ -1343,6 +1343,64 @@ SELECT modality, count(*) AS n_pairs FROM m
 GROUP BY modality ORDER BY modality"""
     },
 
+    // threshold-sweep calibration over both modalities' scored
+    // candidate pairs (loose-threshold variants of the q_modality_overlap
+    // CTEs; 9-cell grid via conditional counts over one joined frame)
+    "q_modality_sweep" -> {
+      import graft.functions.VectorFunctions.cosineSql
+      s"""WITH sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM (SELECT doc_id, lang, source,
+          string_split_regex(trim(text), '\\s+') AS t FROM documents) a),
+inv AS (
+  SELECT doc_id, lang, source, len(s) AS n, unnest(s) AS g FROM sh),
+kept AS (
+  SELECT lang, source, g FROM inv GROUP BY lang, source, g
+  HAVING count(*) > 1 AND count(*) <= 1000),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.n AS n_a, b.n AS n_b, count(*) AS inter
+  FROM inv a
+  JOIN kept k ON k.lang = a.lang AND k.source = a.source AND k.g = a.g
+  JOIN inv b ON b.lang = a.lang AND b.source = a.source AND b.g = a.g
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+tp AS (
+  SELECT doc_a, doc_b,
+    CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS j
+  FROM pr
+  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.02),
+okl AS (SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 10000),
+ep AS (
+  SELECT id_a AS doc_a, id_b AS doc_b, cos_sim AS c FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ${cosineSql("a.embedding", "b.embedding")} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    JOIN okl ON okl.label = a.label) p
+  WHERE cos_sim >= 0.1),
+pj AS (
+  SELECT coalesce(t.j, 0.0) AS j, coalesce(e.c, 0.0) AS c
+  FROM tp t FULL OUTER JOIN ep e
+    ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b),
+grid(jt, ct) AS (VALUES (0.05, 0.3), (0.05, 0.5), (0.05, 0.7),
+  (0.1, 0.3), (0.1, 0.5), (0.1, 0.7),
+  (0.2, 0.3), (0.2, 0.5), (0.2, 0.7))
+SELECT CAST(g.jt AS DOUBLE) AS j_threshold,
+  CAST(g.ct AS DOUBLE) AS c_threshold,
+  count(CASE WHEN p.j >= CAST(g.jt AS DOUBLE)
+    AND p.c >= CAST(g.ct AS DOUBLE) THEN 1 END) AS n_both,
+  count(CASE WHEN p.j >= CAST(g.jt AS DOUBLE)
+    AND p.c < CAST(g.ct AS DOUBLE) THEN 1 END) AS n_text_only,
+  count(CASE WHEN p.j < CAST(g.jt AS DOUBLE)
+    AND p.c >= CAST(g.ct AS DOUBLE) THEN 1 END) AS n_embedding_only
+FROM grid g CROSS JOIN pj p
+GROUP BY g.jt, g.ct
+ORDER BY j_threshold, c_threshold"""
+    },
+
     // maxBlock=10000 mirror: labels with more members are excluded
     "q_neardup_embedding" -> s"""WITH okl AS (
   SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 10000)

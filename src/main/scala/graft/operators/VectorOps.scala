@@ -474,6 +474,48 @@ object VectorOps {
       .orderBy(col("modality"))
   }
 
+  /** `q_modality_sweep`: [[modalityOverlap]] deepened into a threshold
+    * calibration — both pair sets are pulled at LOOSE thresholds with
+    * their scores attached, full-outer joined once, and a 9-cell
+    * (jaccard × cosine) threshold grid is evaluated over that single
+    * joined frame via conditional aggregates. The report that picks
+    * the production thresholds: how the both/text-only/embedding-only
+    * split moves as either knob tightens, from ONE pass — the grid is
+    * a 9-row broadcast, so no new shuffle shape beyond the overlap
+    * operator. Scores are over CANDIDATE pairs (a pair below both
+    * modalities' candidate generation never materializes — inherent
+    * to any blocked/banded search, same recall contract as the pair
+    * operators themselves). */
+  def modalitySweep(spark: SparkSession, sfDir: String,
+      maxDf: Int = 1000, maxBlock: Int = 10000): DataFrame = {
+    import graft.functions.Exact.countIf
+    import spark.implicits._
+    Engine.configure(spark)
+    val txt = TextOps.nearDupPairsOf(
+        Engine.spread(Tables.documents(spark, sfDir)), 0.02, maxDf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val emb = embeddingNearDupOf(Tables.embeddings(spark, sfDir),
+        0.1, maxBlock)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("cos_sim"))
+    val pairs = txt.join(emb, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("jaccard"), lit(0.0)).as("j"),
+        coalesce(col("cos_sim"), lit(0.0)).as("c"))
+    val grid = Seq(0.05, 0.1, 0.2)
+      .flatMap(jt => Seq(0.3, 0.5, 0.7).map(ct => (jt, ct)))
+      .toDF("j_threshold", "c_threshold")
+    pairs.crossJoin(broadcast(grid))
+      .groupBy(col("j_threshold"), col("c_threshold"))
+      .agg(
+        countIf(col("j") >= col("j_threshold") &&
+          col("c") >= col("c_threshold")).as("n_both"),
+        countIf(col("j") >= col("j_threshold") &&
+          col("c") < col("c_threshold")).as("n_text_only"),
+        countIf(col("j") < col("j_threshold") &&
+          col("c") >= col("c_threshold")).as("n_embedding_only"))
+      .orderBy(col("j_threshold"), col("c_threshold"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * cluster id): exact cosine within each block, pairs above `minCos`.
     * Blocking bounds the pair count by block size² exactly like the

@@ -182,6 +182,27 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.values.sum == (txt | emb).size.toLong)
   }
 
+  test("modalitySweep: counts move monotonically as either threshold tightens") {
+    import graft.operators.VectorOps
+    val cells = VectorOps.modalitySweep(spark, sfDir).collect()
+      .map(r => (r.getAs[Double]("j_threshold"), r.getAs[Double]("c_threshold")) ->
+        (r.getAs[Long]("n_both"), r.getAs[Long]("n_text_only"),
+          r.getAs[Long]("n_embedding_only"))).toMap
+    assert(cells.size == 9)
+    val jts = Seq(0.05, 0.1, 0.2); val cts = Seq(0.3, 0.5, 0.7)
+    // tightening jaccard: both shrinks, embedding-only grows (a pair
+    // leaving the text set either drops or moves to embedding-only)
+    for (ct <- cts; Seq(a, b) <- jts.sliding(2)) {
+      assert(cells((b, ct))._1 <= cells((a, ct))._1, s"jt $a->$b at ct=$ct")
+      assert(cells((b, ct))._3 >= cells((a, ct))._3, s"jt $a->$b at ct=$ct")
+    }
+    // tightening cosine: both shrinks, text-only grows
+    for (jt <- jts; Seq(a, b) <- cts.sliding(2)) {
+      assert(cells((jt, b))._1 <= cells((jt, a))._1, s"ct $a->$b at jt=$jt")
+      assert(cells((jt, b))._2 >= cells((jt, a))._2, s"ct $a->$b at jt=$jt")
+    }
+  }
+
   test("quantizeError rolls up embedQuantize per label exactly") {
     import graft.operators.VectorOps
     val per = VectorOps.embedQuantize(spark, sfDir).collect()
