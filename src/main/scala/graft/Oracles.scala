@@ -378,6 +378,75 @@ SELECT count(*) AS distinct_chunks,
   CAST(sum(copies) - count(*) AS BIGINT) AS redundant_chunks
 FROM g""",
 
+    // increment-vs-base dedup funnel: base = doc_id < 400, batch = the
+    // rest plus a deterministic fixture (10 exact re-submissions, one
+    // identical twin pair, 5 appended-token near-dups) so every counter
+    // has nonzero ground truth; exact hashes anti-joined, then
+    // base×new-only pairs through the capped inverted index
+    "q_incremental_dedup" -> """WITH base AS (
+  SELECT * FROM documents WHERE doc_id < 400),
+fresh AS (
+  SELECT doc_id, lang, source, text FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 1000000, lang, source, text
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT CAST(1000100 AS BIGINT), 'en', 'fx',
+    'incremental twin fixture document payload'
+  UNION ALL
+  SELECT CAST(1000101 AS BIGINT), 'en', 'fx',
+    'incremental twin fixture document payload'
+  UNION ALL
+  SELECT doc_id + 2000000, lang, source, text || ' fxnd'
+  FROM documents WHERE doc_id >= 20 AND doc_id < 25),
+bh AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS h
+  FROM base),
+fh AS (
+  SELECT doc_id, lang, source, text,
+    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS h
+  FROM fresh),
+s1 AS (
+  SELECT * FROM fh f
+  WHERE NOT EXISTS (SELECT 1 FROM bh WHERE bh.h = f.h)),
+reps AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY h),
+s2 AS (SELECT f.* FROM s1 f JOIN reps r ON f.doc_id = r.doc_id),
+tok AS (
+  SELECT doc_id, lang, source,
+    string_split_regex(trim(text), '\s+') AS t, FALSE AS is_new FROM base
+  UNION ALL
+  SELECT doc_id, lang, source,
+    string_split_regex(trim(text), '\s+') AS t, TRUE FROM s2),
+sh AS (
+  SELECT doc_id, lang, source, is_new,
+    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM tok),
+inv AS (
+  SELECT doc_id, lang, source, is_new, len(s) AS n, unnest(s) AS g FROM sh),
+kept AS (
+  SELECT lang, source, g FROM inv GROUP BY lang, source, g
+  HAVING count(*) > 1 AND count(*) <= 1000),
+pr AS (
+  SELECT b.doc_id AS base_id, f.doc_id AS new_id,
+    b.n AS n_b, f.n AS n_f, count(*) AS inter
+  FROM inv b
+  JOIN kept k ON k.lang = b.lang AND k.source = b.source AND k.g = b.g
+  JOIN inv f ON f.lang = b.lang AND f.source = b.source AND f.g = b.g
+   AND NOT b.is_new AND f.is_new
+  GROUP BY 1, 2, 3, 4),
+nd AS (
+  SELECT DISTINCT new_id FROM pr
+  WHERE CAST(inter AS DOUBLE) / CAST(n_b + n_f - inter AS DOUBLE) >= 0.08)
+SELECT
+  (SELECT count(*) FROM fresh) AS n_new,
+  (SELECT count(*) FROM fh f WHERE EXISTS (SELECT 1 FROM bh WHERE bh.h = f.h))
+    AS exact_dup_vs_base,
+  (SELECT count(*) FROM s1) - (SELECT count(*) FROM reps)
+    AS exact_dup_within_new,
+  (SELECT count(*) FROM nd) AS neardup_vs_base,
+  (SELECT count(*) FROM reps) - (SELECT count(*) FROM nd) AS n_kept""",
+
     // intra-doc n-gram repetition: positional 2-/3-gram streams (NOT
     // the distinct shingle set), dup fraction per doc, fixed-point
     // exact means per lang (see q_text_quality)

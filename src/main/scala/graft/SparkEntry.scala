@@ -75,6 +75,7 @@ object SparkEntry {
     "q_split_manifest" -> ((s: SparkSession, d: String) => TextOps.splitManifest(s, d)),
     "q_hamming_histogram" -> ((s: SparkSession, d: String) => TextOps.hammingHistogram(s, d)),
     "q_lsh_calibration" -> ((s: SparkSession, d: String) => TextOps.lshCalibration(s, d)),
+    "q_incremental_dedup" -> ((s: SparkSession, d: String) => TextOps.incrementalDedup(s, d)),
     // training-data pipeline: similarity search (embeddings table)
     "q_embedding_norms" -> VectorOps.embeddingNorms _,
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => VectorOps.annBruteForce(s, d)),

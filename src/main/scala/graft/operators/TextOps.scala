@@ -1334,6 +1334,111 @@ object TextOps {
       .orderBy(col("mechanism"), col("scope"))
   }
 
+  /** `q_incremental_dedup`: dedup of an INCREMENT against an existing
+    * base corpus — the shape a production ingest actually runs daily
+    * (re-deduping the whole corpus per batch is the thing no 100 TB
+    * pipeline can afford). Docs with id < `splitId` are the base, the
+    * rest are the new batch; funnel counters for the batch:
+    *
+    *  1. `exact_dup_vs_base`   — new docs whose canonical content hash
+    *     already exists in the base (anti-join against the DISTINCT
+    *     base hash set: work ∝ batch + |distinct base hashes|, the base
+    *     TEXT is never re-paired);
+    *  2. `exact_dup_within_new` — exact dup groups inside the batch
+    *     (keep min doc_id, the [[dedupExact]] discipline);
+    *  3. `neardup_vs_base`     — batch survivors whose shingle Jaccard
+    *     against ANY base doc clears `threshold`, via the same
+    *     maxDf-capped inverted index as [[nearDupPairs]] but emitting
+    *     ONLY (base × new) cross pairs — base×base pairs never
+    *     materialize, so pair work is ∝ Σ df_base·df_new per shingle,
+    *     not the full df²;
+    *  4. `n_kept`              — what enters the corpus.
+    *
+    * Counters assemble via 1-row aggregate cross-joins (no driver
+    * loop, the [[EventOps.eventFunnel]] pattern). At scale the base
+    * hash set and base postings are exactly what an incremental
+    * pipeline keeps materialized between runs; here both derive from
+    * the base partition of the documents table. */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+      splitId: Long = 400, threshold: Double = 0.08,
+      maxDf: Int = 1000): DataFrame = {
+    import graft.expressions.BoundedCollectSet.boundedCollectSet
+    import spark.implicits._
+    Engine.configure(spark)
+    val all = Engine.spread(Tables.documents(spark, sfDir))
+    val base = all.filter(col("doc_id") < splitId)
+    // The synthetic corpus has no duplication across the id split, so
+    // a deterministic fixture rides in the batch (the dedupOverflow /
+    // piiAudit end-to-end-demonstration pattern) and every counter is
+    // proven against NONZERO ground truth: 10 exact re-submissions of
+    // base docs, one identical twin pair inside the batch, and 5
+    // one-token-appended near-dups of base docs.
+    val fxExact = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+        col("source"), col("text"))
+    val fxTwins = Seq(
+      (1000100L, "en", "fx", "incremental twin fixture document payload"),
+      (1000101L, "en", "fx", "incremental twin fixture document payload"))
+      .toDF("doc_id", "lang", "source", "text")
+    val fxNear = base.filter(col("doc_id") >= 20 && col("doc_id") < 25)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("lang"),
+        col("source"), concat(col("text"), lit(" fxnd")).as("text"))
+    val fresh = all.filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .unionByName(fxExact).unionByName(fxTwins).unionByName(fxNear)
+    val baseH = base.select(contentHash(col("text")).as("h")).distinct()
+    val fh = fresh.select(col("doc_id"), col("lang"), col("source"),
+      col("text"), contentHash(col("text")).as("h"))
+    val s1 = fh.join(baseH, Seq("h"), "left_anti")
+    val reps = s1.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s2 = s1.join(reps, "doc_id")
+    def shingled(df: DataFrame, isNew: Boolean) =
+      df.withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          shinglesOf(col("t"), 3).as("sh"), lit(isNew).as("is_new"))
+    val docs = shingled(base, isNew = false)
+      .unionByName(shingled(s2, isNew = true))
+      .withColumn("n", size(col("sh")))
+    val posts = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("n"),
+        col("is_new"), explode(col("sh")).as("shingle"))
+      .groupBy(col("lang"), col("source"), col("shingle"))
+      .agg(boundedCollectSet(
+        struct(col("doc_id"), col("n"), col("is_new")), maxDf).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 1)
+      .withColumn("sids", array_sort(col("ids")))
+    val ndDrops = bucketCombos(posts, Seq("lang", "source"))
+      .filter(col("p.a.is_new") =!= col("p.b.is_new"))
+      .select(col("lang"), col("source"),
+        when(col("p.a.is_new"), col("p.b.doc_id"))
+          .otherwise(col("p.a.doc_id")).as("base_id"),
+        when(col("p.a.is_new"), col("p.a.doc_id"))
+          .otherwise(col("p.b.doc_id")).as("new_id"),
+        when(col("p.a.is_new"), col("p.b.n"))
+          .otherwise(col("p.a.n")).as("n_b"),
+        when(col("p.a.is_new"), col("p.a.n"))
+          .otherwise(col("p.b.n")).as("n_f"))
+      .groupBy(col("base_id"), col("new_id"), col("lang"), col("source"),
+        col("n_b"), col("n_f"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("n_b") + col("n_f") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id")).distinct()
+    val c1 = fresh.agg(count(lit(1)).as("n_new"))
+    val c2 = fh.join(baseH, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("exact_dup_vs_base"))
+    val c3 = s1.agg(count(lit(1)).as("__s1"))
+    val c4 = reps.agg(count(lit(1)).as("__s2"))
+    val c5 = ndDrops.agg(count(lit(1)).as("neardup_vs_base"))
+    c1.crossJoin(c2).crossJoin(c3).crossJoin(c4).crossJoin(c5)
+      .select(col("n_new"), col("exact_dup_vs_base"),
+        (col("__s1") - col("__s2")).as("exact_dup_within_new"),
+        col("neardup_vs_base"),
+        (col("__s2") - col("neardup_vs_base")).as("n_kept"))
+  }
+
   /** `q_repetition_audit`: within-document n-gram repetition per
     * language — the Gopher-style "repetitive document" signal (a doc
     * whose 2-/3-grams repeat heavily is boilerplate, a listing, or

@@ -150,6 +150,24 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedup: funnel conserves the batch; fixture ground truth exact") {
+    val r = TextOps.incrementalDedup(spark, sfDir).collect().head
+    // conservation: every batch doc is dropped at exactly one stage or kept
+    assert(r.getAs[Long]("n_new") ==
+      r.getAs[Long]("exact_dup_vs_base") +
+      r.getAs[Long]("exact_dup_within_new") +
+      r.getAs[Long]("neardup_vs_base") + r.getAs[Long]("n_kept"))
+    // the deterministic fixture: 10 exact re-submissions of base docs,
+    // one identical twin pair, 5 appended-token near-dups (sf0.01's
+    // natural corpus contributes zero cross-split duplication)
+    assert(r.getAs[Long]("exact_dup_vs_base") >= 10L)
+    assert(r.getAs[Long]("exact_dup_within_new") >= 1L)
+    assert(r.getAs[Long]("neardup_vs_base") >= 5L)
+    // deterministic on re-run
+    assert(TextOps.incrementalDedup(spark, sfDir).collect().head.toSeq
+      == r.toSeq)
+  }
+
   test("clusterProfile covers the joined corpus; counts match a brute-force rollup") {
     import graft.operators.VectorOps
     val rows = VectorOps.clusterProfile(spark, sfDir).collect()
