@@ -1386,19 +1386,29 @@ object TextOps {
     val fresh = all.filter(col("doc_id") >= splitId)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .unionByName(fxExact).unionByName(fxTwins).unionByName(fxNear)
-    val baseH = base.select(contentHash(col("text")).as("h")).distinct()
-    val fh = fresh.select(col("doc_id"), col("lang"), col("source"),
-      col("text"), contentHash(col("text")).as("h"))
-    val s1 = fh.join(baseH, Seq("h"), "left_anti")
-    val reps = s1.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val s2 = s1.join(reps, "doc_id")
+    // The five funnel counters are separate 1-row aggregate subtrees in
+    // one plan; without staging, each re-evaluates its whole md5-heavy
+    // narrow lineage (measured 6.6 s at sf0.1 — the hash pipelines ran
+    // ~5×). The dedupMinhashOf discipline applies verbatim: stage the
+    // SKINNY collapse-key frames (doc_id/hash columns, never text) and
+    // rebuild text-carrying frames from the raw scan by id join —
+    // 6.6 → 3.0 s, and the remaining cost is the two honest corpus
+    // passes (hashing, then shingling the survivors) plus the pair
+    // search itself.
+    val keyed = Engine.stage(
+      fresh.select(col("doc_id"), contentHash(col("text")).as("h")))
+    val baseH = Engine.stage(
+      base.select(contentHash(col("text")).as("h")).distinct())
+    val s1 = keyed.join(baseH, Seq("h"), "left_anti")
+    val reps = Engine.stage(
+      s1.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")))
     def shingled(df: DataFrame, isNew: Boolean) =
       df.withColumn("t", tokens(col("text")))
         .select(col("doc_id"), col("lang"), col("source"),
           shinglesOf(col("t"), 3).as("sh"), lit(isNew).as("is_new"))
     val docs = shingled(base, isNew = false)
-      .unionByName(shingled(s2, isNew = true))
+      .unionByName(shingled(fresh.join(reps, "doc_id"), isNew = true))
       .withColumn("n", size(col("sh")))
     val posts = docs
       .select(col("doc_id"), col("lang"), col("source"), col("n"),
@@ -1426,8 +1436,8 @@ object TextOps {
         (col("n_b") + col("n_f") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id")).distinct()
-    val c1 = fresh.agg(count(lit(1)).as("n_new"))
-    val c2 = fh.join(baseH, Seq("h"), "left_semi")
+    val c1 = keyed.agg(count(lit(1)).as("n_new"))
+    val c2 = keyed.join(baseH, Seq("h"), "left_semi")
       .agg(count(lit(1)).as("exact_dup_vs_base"))
     val c3 = s1.agg(count(lit(1)).as("__s1"))
     val c4 = reps.agg(count(lit(1)).as("__s2"))
