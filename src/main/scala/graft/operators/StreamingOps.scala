@@ -332,6 +332,35 @@ object StreamingOps {
       col("duration_us"), col("total_value"), col("n_event_types"))
   }
 
+  /** Streaming ingest dedup — the stateful analog of
+    * [[TextOps.incrementalDedup]]'s exact stages, for a corpus that
+    * arrives as a STREAM instead of a batch: each incoming document is
+    * (1) anti-joined against the STATIC base-corpus hash set (a
+    * stream-static join — the base is never re-scanned per batch;
+    * Spark broadcasts or re-reads the static side per micro-batch as
+    * its size dictates), then (2) deduplicated first-seen-wins WITHIN
+    * the stream across micro-batches via streaming dropDuplicates
+    * state on the canonical content hash ([[graft.functions
+    * .TextFunctions.contentHash]]: NFC + lower + whitespace-collapse +
+    * md5 — the same key as every exact-dedup operator, so stream and
+    * batch agree on what "duplicate" means).
+    *
+    * Emits each kept document exactly once, immediately on first
+    * sight (append mode; dedup state is not an aggregation, so no
+    * watermark is needed for emission). State is one entry per
+    * DISTINCT kept hash — for an unbounded deployment, add a
+    * watermark on an event-time column and swap in
+    * `dropDuplicatesWithinWatermark` to bound it by recency, the
+    * same recall-for-state trade as [[dedupFirstSeenTtl]]. */
+  def incrementalDedupStream(docs: DataFrame, baseHashes: DataFrame)
+      : DataFrame = {
+    import graft.functions.TextFunctions.contentHash
+    docs.withColumn("h", contentHash(col("text")))
+      .join(baseHashes.select(col("h")), Seq("h"), "left_anti")
+      .dropDuplicates("h")
+      .drop("h")
+  }
+
   /** [[sessionizeEvents]] over a watermarked parquet file stream. */
   def sessionizeStream(spark: SparkSession, srcDir: String,
       schema: StructType, gapSec: Long = 1800L,

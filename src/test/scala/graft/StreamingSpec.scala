@@ -29,6 +29,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("incrementalDedupStream: base anti-join + cross-batch first-seen state") {
+    import spark.implicits._
+    val src = tmp("incdedup_src")
+    // static base corpus: two documents
+    val base = Seq((1L, "the base document one"), (2L, "the base document two"))
+      .toDF("doc_id", "text")
+    val baseHashes = base.select(
+      graft.functions.TextFunctions.contentHash(col("text")).as("h"))
+    // micro-batch 1: A new, B duplicates base doc 1
+    Seq((10L, "a fresh new document alpha"), (11L, "the base document one"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingOps.incrementalDedupStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        baseHashes)
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("inc_dedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(afterB1 == Set(10L), afterB1.toString) // B dropped vs base
+      // micro-batch 2: C duplicates A ACROSS batches (normalization
+      // differs — case + whitespace — but the canonical hash matches),
+      // D is new
+      Seq((12L, "A  Fresh   NEW document ALPHA"), (13L, "another new document"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val afterB2 = spark.table("inc_dedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(afterB2 == Set(10L, 13L), afterB2.toString) // C dropped by state
+    } finally q.stop()
+  }
+
   test("sessionizeEvents: stream over file source == batch sessions") {
     import graft.operators.EventOps
     val src = tmp("sess_src")
