@@ -95,6 +95,57 @@ sig AS (
   FROM nib)"""
   }
 
+  /** IVF probe/re-rank pipeline parameterized by `nprobe` —
+    * `q_ann_ivf` IS ivfSql(2); `q_ivf_sweep` composes one per sweep
+    * point against [[annBruteForceSql]]'s ground truth. */
+  private def ivfSql(nprobe: Int): String = {
+    val fp = "1048576.0"
+    val cdims = (0 until 64).map { d =>
+      s"CAST(sum(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * $fp) " +
+        s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
+    }.mkString(",\n    ")
+    val probeCos =
+      "list_sum(list_transform(list_zip(q.qv, c.centroid), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""WITH cent AS (
+  SELECT label, [$cdims] AS centroid
+  FROM embeddings GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+probe AS (
+  SELECT query_id, qv, label FROM (
+    SELECT q.query_id, q.qv, c.label,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY $probeCos DESC, c.label) AS pr
+    FROM q CROSS JOIN cent c) p
+  WHERE pr <= $nprobe),
+scored AS (
+  SELECT p.query_id, e.vec_id, e.label,
+    ${graft.functions.VectorFunctions.cosineSql("p.qv", "e.embedding")} AS cos_sim
+  FROM probe p JOIN embeddings e
+    ON e.label = p.label AND e.vec_id <> p.query_id)
+SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) r
+WHERE rnk <= 5 ORDER BY query_id, rnk"""
+  }
+
+  private val annBruteForceSql: String = """WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) r
+WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   // lazy: `base` is declared below (initialization order)
   lazy val all: Map[String, String] = base + ("q_ann_recall" ->
     // index-quality evaluation: recall@5 of the IVF index against the
@@ -1213,38 +1264,20 @@ SELECT label, count(*) AS n_vecs,
 FROM d GROUP BY label ORDER BY label"""
     },
 
-    "q_ann_ivf" -> {
-      val fp = "1048576.0"
-      val cdims = (0 until 64).map { d =>
-        s"CAST(sum(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * $fp) " +
-          s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
-      }.mkString(",\n    ")
-      val probeCos =
-        "list_sum(list_transform(list_zip(q.qv, c.centroid), " +
-          "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
-          "(sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
-          "sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
-      s"""WITH cent AS (
-  SELECT label, [$cdims] AS centroid
-  FROM embeddings GROUP BY label),
-q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-probe AS (
-  SELECT query_id, qv, label FROM (
-    SELECT q.query_id, q.qv, c.label,
-      row_number() OVER (PARTITION BY q.query_id
-        ORDER BY $probeCos DESC, c.label) AS pr
-    FROM q CROSS JOIN cent c) p
-  WHERE pr <= 2),
-scored AS (
-  SELECT p.query_id, e.vec_id, e.label,
-    ${graft.functions.VectorFunctions.cosineSql("p.qv", "e.embedding")} AS cos_sim
-  FROM probe p JOIN embeddings e
-    ON e.label = p.label AND e.vec_id <> p.query_id)
-SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) r
-WHERE rnk <= 5 ORDER BY query_id, rnk"""
-    },
+    "q_ann_ivf" -> ivfSql(2),
+
+    // IVF recall-vs-nprobe sweep: each sweep point joins its probe/
+    // re-rank pipeline (ivfSql(np)) against the brute-force ground
+    // truth and aggregates one recall row
+    "q_ivf_sweep" -> Seq(1, 2, 3).map { np =>
+      s"""SELECT CAST($np AS INT) AS nprobe,
+  count(ivf.vec_id) AS n_hits,
+  count(*) AS n_candidates,
+  CAST(count(ivf.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+FROM (${annBruteForceSql}) bf
+LEFT JOIN (${ivfSql(np)}) ivf
+  ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) s ORDER BY nprobe"),
 
     // Deterministic 2-iteration Lloyd's k-means (init = vec_id < 8 cast
     // to double, bit-exact l2² argmin with cell-id tiebreak, fixed-point
@@ -1720,19 +1753,6 @@ SELECT doc_id, list_min(list_transform(
   s -> md5(s))) AS fingerprint
 FROM tok ORDER BY doc_id""",
 
-    "q_ann_bruteforce" -> """WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-), scored AS (
-  SELECT q.query_id, e.vec_id, e.label,
-    list_sum(list_transform(list_zip(q.qv, e.embedding),
-        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
-  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
-)
-SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) r
-WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "q_ann_bruteforce" -> annBruteForceSql,
   )
 }

@@ -90,6 +90,7 @@ object SparkEntry {
     "q_cluster_profile" -> VectorOps.clusterProfile _,
     "q_modality_overlap" -> ((s: SparkSession, d: String) => VectorOps.modalityOverlap(s, d)),
     "q_modality_sweep" -> ((s: SparkSession, d: String) => VectorOps.modalitySweep(s, d)),
+    "q_ivf_sweep" -> ((s: SparkSession, d: String) => VectorOps.ivfSweep(s, d)),
 
     // temporal event operators (EventOps)
     "q_asof_join" -> EventOps.asofJoin _,

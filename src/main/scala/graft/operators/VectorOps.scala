@@ -313,6 +313,33 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** `q_ivf_sweep`: recall@k of the IVF index per `nprobe` — the
+    * latency-vs-recall curve an ANN deployment is actually tuned on
+    * (probing more cells reads more of the corpus and recovers the
+    * neighbors that straddle cell boundaries; this report prices each
+    * step). One brute-force ground-truth pass is staged (25 (query,
+    * neighbor) rows — metadata-sized, the staging doctrine's ideal
+    * case; its lineage is a corpus scan that would otherwise re-run
+    * per sweep point) and each sweep point is one probe/re-rank
+    * pipeline + a broadcast-joinable recall aggregate. */
+  def ivfSweep(spark: SparkSession, sfDir: String, k: Int = 5,
+      nprobes: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    import graft.functions.Exact.countIf
+    Engine.configure(spark)
+    val bf = Engine.stage(annBruteForce(spark, sfDir, k)
+      .select(col("query_id"), col("vec_id")))
+    nprobes.map { np =>
+      val ivf = annIvf(spark, sfDir, k, np)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      bf.join(ivf, Seq("query_id", "vec_id"), "left_outer")
+        .agg(countIf(col("__hit").isNotNull).as("n_hits"),
+          count(lit(1)).as("n_candidates"))
+        .select(lit(np).as("nprobe"), col("n_hits"), col("n_candidates"),
+          (col("n_hits").cast("double") / col("n_candidates").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
   /** Symmetric int8 embedding quantization report — the 4× memory /
     * bandwidth lever an ANN index at 100 TB actually deploys — with
     * per-vector reconstruction error so a curator can decide whether

@@ -221,6 +221,21 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfSweep: recall is monotone in nprobe and reconciles with annRecall") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.ivfSweep(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("nprobe") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    // probing more cells can only recover MORE true neighbors
+    assert(rows(1)._1 <= rows(2)._1 && rows(2)._1 <= rows(3)._1, rows.toString)
+    rows.values.foreach { case (h, r) => assert(r == h.toDouble / 25.0) }
+    // the nprobe=2 point IS annRecall's aggregate
+    val viaRecall = VectorOps.annRecall(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_hit")).sum
+    assert(rows(2)._1 == viaRecall)
+  }
+
   test("quantizeError rolls up embedQuantize per label exactly") {
     import graft.operators.VectorOps
     val per = VectorOps.embedQuantize(spark, sfDir).collect()
