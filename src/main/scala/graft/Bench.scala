@@ -23,10 +23,17 @@ import org.apache.spark.sql.SparkSession
   *    so per-query numbers are comparable across rounds even as new
   *    queries are appended.
   *  - A fixed CONTROL query (pure in-memory range-sum, no IO, no
-  *    staging) is timed before and after the timed section and reported
-  *    as "control" in the JSON: if control_after >> control_before, the
-  *    run itself degraded the JVM (leak/GC pressure) and per-query
-  *    drift is attributable in-run rather than to query code.
+  *    staging) anchors the numbers against EXTERNAL load: it is timed
+  *    settled at open, re-timed every [[controlEvery]] timed queries,
+  *    and timed raw+settled at close, all reported as the "controls"
+  *    SERIES in the JSON. Two rounds running, the driver's committed
+  *    BENCH was poisoned by machine load arriving MID-run (medians up
+  *    to ~12x the idle values) and a single before/after pair could
+  *    not localize it; with the series a reader can see exactly which
+  *    segment of the query list ran under load and normalize (or
+  *    discard) just that segment. The closing control is taken twice:
+  *    raw (conflates end-of-run debris with load) and settled (the
+  *    comparable steady value — should match the open on an idle box).
   */
 object Bench {
   // NB: the timed region is the noop write alone; staged-block cleanup
@@ -82,12 +89,21 @@ object Bench {
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       finally Engine.clearStaged(spark, blocking = true)
     }
+    // Control SERIES: (timed queries completed before this point, sec,
+    // kind). Mid-run points make external-load windows localizable from
+    // the JSON alone — one point per `controlEvery` queries costs ~1 s
+    // total and buys a per-segment normalizer.
+    val controlEvery = 10
+    val controls =
+      collection.mutable.ListBuffer.empty[(Int, Double, String)]
     val controlBefore = settle(spark)
+    controls += ((0, controlBefore, "settled_open"))
     // three timed runs, report the min — steady-state cost with scheduler/
     // GC noise suppressed (single-shot per-query numbers vary run-to-run;
     // min-of-3 tightens the sub-second comparisons min-of-2 left noisy).
     // A throwing query reports -1, never a bogus time-to-failure.
     val errors = collection.mutable.ListBuffer.empty[String]
+    var completed = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -101,21 +117,32 @@ object Bench {
         Engine.clearStaged(spark, blocking = true) // untimed, between runs
         dt
       }
+      completed += 1
+      if (completed % controlEvery == 0 && completed < SparkEntry.queries.size)
+        controls += ((completed, controlTime(spark), "mid"))
       // min = best steady-state; median = drift-resistant companion
       // (controls prove this box swings ~2× run-to-run — min alone
       // can't distinguish a plan regression from scheduler luck)
       name -> (if (times.contains(-1.0)) (-1.0, -1.0)
         else (times.min, times.sorted.apply(1)))
     }
-    val controlAfter = controlTime(spark)
+    // Closing control, raw THEN settled: raw shows end-of-run debris +
+    // load together; settled is the steady value comparable to the open.
+    val controlAfterRaw = controlTime(spark)
+    controls += ((completed, controlAfterRaw, "raw_close"))
+    val controlAfter = settle(spark)
+    controls += ((completed, controlAfter, "settled_close"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qsMed = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ctl = s"""{"before":$controlBefore,"after":$controlAfter}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errJson,"control":$ctl,"sf":"$sfDir"}""")
+    val ctlSeries = controls.map { case (at, sec, kind) =>
+      s"""{"after_n":$at,"sec":$sec,"kind":"$kind"}"""
+    }.mkString("[", ",", "]")
+    val ctl = s"""{"before":$controlBefore,"after":$controlAfter,"after_raw":$controlAfterRaw}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errJson,"control":$ctl,"controls":$ctlSeries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

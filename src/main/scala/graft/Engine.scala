@@ -136,8 +136,11 @@ object Engine {
       val buf = staged.computeIfAbsent(df.sparkSession,
         _ => scala.collection.mutable.ArrayBuffer.empty)
       buf.synchronized { buf += r }
-      schemas.computeIfAbsent(df.sparkSession,
-        _ => scala.collection.mutable.ArrayBuffer.empty) += df.schema
+      // same buffer-level discipline as `staged`: concurrent stage()
+      // calls on one session must not lose/corrupt schema entries
+      val sbuf = schemas.computeIfAbsent(df.sparkSession,
+        _ => scala.collection.mutable.ArrayBuffer.empty)
+      sbuf.synchronized { sbuf += df.schema }
     }
     out
   }
@@ -148,7 +151,8 @@ object Engine {
     * ride-along arrays only with a measured justification). */
   private[graft] def stagedSchemas(spark: SparkSession)
       : Seq[org.apache.spark.sql.types.StructType] =
-    Option(schemas.get(spark)).map(_.toSeq).getOrElse(Nil)
+    Option(schemas.get(spark))
+      .map(b => b.synchronized { b.toSeq }).getOrElse(Nil)
 
   private val schemas = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable

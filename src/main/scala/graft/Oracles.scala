@@ -526,11 +526,13 @@ SELECT lang, count(*) AS n_docs,
   max(d2) AS max_dup2gram
 FROM d GROUP BY lang ORDER BY lang""",
 
-    // deterministic train/val/test holdout: same mod-100 md5 bucket as
-    // the sampling operators (train < 80, val < 90, test otherwise)
+    // deterministic train/val/test holdout: mod-100 md5 bucket of the
+    // CANONICAL CONTENT HASH (train < 80, val < 90, test otherwise) —
+    // identical content always co-splits regardless of doc_id
     "q_split_manifest" -> {
       import graft.functions.TextFunctions.hashBucket100Sql
-      val hb = hashBucket100Sql("doc_id")
+      val hb = hashBucket100Sql(
+        "md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g'))")
       s"""SELECT split, lang, count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id

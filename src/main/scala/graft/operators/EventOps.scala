@@ -230,14 +230,14 @@ object EventOps {
     * microseconds between a user's consecutive events of one type
     * (lag over the same (key × ts)-sorted shape as [[sessionizeOf]],
     * partitioned per (user, type) so the heavy window is
-    * well-distributed); deciles by the [[graft.operators.TextOps
-    * .tokenDeciles]] rank-selection discipline — value at rank
+    * well-distributed); deciles by exact rank selection — value at rank
     * ⌈n·q/10⌉ under a deterministic total order, exact integer
-    * arithmetic, no interpolation. The per-type rank sorts a SKINNY
-    * (type, gap, tiebreak) frame; the 9-row decile table
-    * broadcast-joins the rank equation. */
+    * arithmetic, no interpolation — DISTRIBUTED via
+    * [[RankOps.decilesOf]] (range-partition on the full total order +
+    * per-partition run-length offsets): `event_type` is a
+    * low-cardinality key, so a per-type window sort would be one
+    * reducer per type at 100× (round-6 VERDICT item 3). */
   def interarrivalDeciles(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     Engine.configure(spark)
     val ev = Engine.spread(Tables.events(spark, sfDir))
       .select(col("event_type"), col("user_id").cast("long").as("user_id"),
@@ -249,15 +249,8 @@ object EventOps {
       .filter(col("prev").isNotNull)
       .select(col("event_type"), (col("ts_us") - col("prev")).as("gap_us"),
         col("user_id"), col("event_id"))
-    val ranked = gaps
-      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
-        .orderBy(col("gap_us"), col("user_id"), col("event_id"))))
-      .withColumn("n", count(lit(1))
-        .over(Window.partitionBy(col("event_type"))))
-    val deciles = (1 to 9).toDF("decile")
-    ranked.join(broadcast(deciles), expr("rn = (n * decile + 9) div 10"))
-      .select(col("event_type"), col("decile"), col("gap_us"))
-      .orderBy(col("event_type"), col("decile"))
+    RankOps.decilesOf(spark, gaps, "event_type", "gap_us",
+      "user_id", Some("event_id"))
   }
 
   /** `q_session_stats`: the corpus-level engagement summary OVER the

@@ -124,16 +124,30 @@ object VectorOps {
   def annIvf(spark: SparkSession, sfDir: String, k: Int = 5,
       nprobe: Int = 2): DataFrame = {
     Engine.configure(spark)
-    val Fp = 1048576.0 // 2^20
     val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+    annIvfFrom(emb, ivfCentroidsOf(emb), k, nprobe)
+  }
+
+  /** The BUILD stage of [[annIvf]] standalone: one fixed-point-exact
+    * centroid per `label` cell (one corpus-wide aggregate). Callers
+    * that probe the same index repeatedly ([[ivfSweep]]) build this
+    * once and pass it to [[annIvfFrom]] per probe setting. */
+  private[graft] def ivfCentroidsOf(emb: DataFrame): DataFrame = {
+    val Fp = 1048576.0 // 2^20
     val centDims = (0 until Dims).map { d =>
       (sum(floor(element_at(col("embedding"), d + 1).cast("double") * Fp))
         .cast("double") / Fp / count(lit(1))).as(s"c$d")
     }
-    val centroids = emb.groupBy(col("label"))
+    emb.groupBy(col("label"))
       .agg(centDims.head, centDims.tail: _*)
       .select(col("label"),
         array((0 until Dims).map(d => col(s"c$d")): _*).as("centroid"))
+  }
+
+  /** The PROBE + SEARCH stages of [[annIvf]] against an already-built
+    * centroid table. */
+  private[graft] def annIvfFrom(emb: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val pw = Window.partitionBy(col("query_id"))
@@ -317,19 +331,23 @@ object VectorOps {
     * latency-vs-recall curve an ANN deployment is actually tuned on
     * (probing more cells reads more of the corpus and recovers the
     * neighbors that straddle cell boundaries; this report prices each
-    * step). One brute-force ground-truth pass is staged (25 (query,
-    * neighbor) rows — metadata-sized, the staging doctrine's ideal
-    * case; its lineage is a corpus scan that would otherwise re-run
-    * per sweep point) and each sweep point is one probe/re-rank
-    * pipeline + a broadcast-joinable recall aggregate. */
+    * step). Both sweep-invariant frames are staged ONCE (round-6
+    * VERDICT item 5): the brute-force ground truth (25 (query,
+    * neighbor) rows) and the IVF centroid table (|labels| rows) —
+    * each is metadata-sized with a corpus-wide lineage that would
+    * otherwise re-run per sweep point (the centroid aggregate ran
+    * 3× before). Each sweep point is then one probe/re-rank pipeline
+    * + a broadcast-joinable recall aggregate. */
   def ivfSweep(spark: SparkSession, sfDir: String, k: Int = 5,
       nprobes: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     import graft.functions.Exact.countIf
     Engine.configure(spark)
     val bf = Engine.stage(annBruteForce(spark, sfDir, k)
       .select(col("query_id"), col("vec_id")))
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+    val centroids = Engine.stage(ivfCentroidsOf(emb))
     nprobes.map { np =>
-      val ivf = annIvf(spark, sfDir, k, np)
+      val ivf = annIvfFrom(emb, centroids, k, np)
         .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
       bf.join(ivf, Seq("query_id", "vec_id"), "left_outer")
         .agg(countIf(col("__hit").isNotNull).as("n_hits"),

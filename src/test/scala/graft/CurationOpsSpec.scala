@@ -85,7 +85,7 @@ class CurationOpsSpec extends SparkSpec {
   test("tokenDeciles: rank-selected values reproduce a brute-force quantile") {
     import graft.functions.{TextFunctions => T}
     val got = TextOps.tokenDeciles(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val byLang = Tables.documents(spark, sfDir)
       .select(col("lang"), col("doc_id"), T.tokenCount(col("text")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
@@ -101,6 +101,25 @@ class CurationOpsSpec extends SparkSpec {
     got.keys.map(_._1).toSeq.distinct.foreach { lang =>
       val vs = (1 to 9).map(q => got((lang, q)))
       assert(vs == vs.sorted, s"$lang: $vs")
+    }
+  }
+
+  test("RankOps.decilesOf: one key spanning every range partition stays exact") {
+    // the adversarial shape for the distributed selection: a SINGLE key
+    // whose population must spread over many range partitions — the
+    // per-partition offset arithmetic does all the work (a bug in the
+    // cumulative offsets or a boundary re-draw between passes would
+    // mis-rank immediately). 1000 distinct values + duplicate runs.
+    import graft.operators.RankOps
+    val vals = ((1 to 1000).map(i => ("only", (i * 7 % 500).toLong, i.toLong))
+      ).toDF("k", "v", "tie")
+    val got = RankOps.decilesOf(spark, vals, "k", "v", "tie", None)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    Engine.clearStaged(spark, blocking = true)
+    val sorted = (1 to 1000).map(i => ((i * 7 % 500).toLong, i.toLong))
+      .sortBy(identity).map(_._1)
+    (1 to 9).foreach { q =>
+      assert(got(q) == sorted((1000 * q + 9) / 10 - 1), s"d$q")
     }
   }
 

