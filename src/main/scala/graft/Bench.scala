@@ -142,7 +142,21 @@ object Bench {
       s"""{"after_n":$at,"sec":$sec,"kind":"$kind"}"""
     }.mkString("[", ",", "]")
     val ctl = s"""{"before":$controlBefore,"after":$controlAfter,"after_raw":$controlAfterRaw}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errJson,"control":$ctl,"controls":$ctlSeries,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errJson,"control":$ctl,"controls":$ctlSeries,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's per-round artifact truncates stdout tail (round 7 lost
+    // 38 of 71 per-query medians); persist the full line to stable paths
+    // so every median survives regardless of how stdout is captured.
+    for (p <- Seq("target/bench.json", "/tmp/bench_last.json")) {
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(path,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: $e")
+      }
+    }
     spark.stop()
   }
 }

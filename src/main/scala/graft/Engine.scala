@@ -13,8 +13,10 @@ object Engine {
     // (jobs/silver/claims_to_iceberg.py:60-63 relies on to_date returning
     // null for unparseable input).
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    // events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark refuses it
-    // unless read as long — Tables.events converts back to a timestamp.
+    // Historical events.parquet fixtures stored ts as INT64
+    // TIMESTAMP(NANOS), which Spark refuses unless read as long; the conf
+    // is a no-op for µs/ms fixtures. Tables.events branches on the loaded
+    // schema and always yields ts: TIMESTAMP at µs precision.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // InferFiltersFromGenerate rewrites explode(attr) into a pre-filter
     // size(<full original expression>) > 0, INLINING the generator's

@@ -250,10 +250,10 @@ GROUP BY member_id
 HAVING count(*) >= 2
 ORDER BY total_amount DESC, member_id"""),
 
-    // CAST(ts AS TIMESTAMP) floor-truncates DuckDB's TIMESTAMP_NS to
-    // microseconds — the same truncation Tables.events applies Spark-side
-    // (ts div 1000), so the comparison stays exact even if events ever
-    // carry sub-microsecond components.
+    // CAST(ts AS TIMESTAMP) makes the oracle encoding-agnostic: it
+    // floor-truncates a TIMESTAMP_NS fixture to microseconds (matching
+    // Tables.events' ns-long branch) and is the identity on the current
+    // TIMESTAMP_MICROS fixture — comparison stays exact either way.
     "q_recent_activity" -> """WITH ev0 AS (
   SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
 mx AS (SELECT max(ts) AS max_ts FROM ev0),

@@ -20,17 +20,38 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set by
-    * [[graft.Engine.configure]]) it arrives as a long we truncate to
-    * microseconds. DuckDB preserves TIMESTAMP_NS on read, so every oracle
-    * over events applies the matching truncation explicitly
-    * (`CAST(ts AS TIMESTAMP)` floor-truncates ns→µs) — see Oracles.scala;
-    * comparison stays exact even if events carry sub-µs components. */
+  /** events.ts has changed physical parquet type across fixture
+    * regenerations (INT64 TIMESTAMP(NANOS) through round 6;
+    * TIMESTAMP(MICROS) from round 7), so the loader branches on the
+    * LOADED schema instead of assuming one encoding:
+    *
+    *  - LongType — the NANOS case: Spark's vectorized reader rejects
+    *    TIMESTAMP(NANOS) unless `spark.sql.legacy.parquet.nanosAsLong`
+    *    (set here and in [[graft.Engine.configure]]; a no-op for µs/ms
+    *    files) delivers it as a raw long, which we floor-truncate to µs.
+    *  - TimestampNTZType — µs/ms files written without UTC adjustment;
+    *    cast to the session-zone timestamp the operators expect (exact:
+    *    session zone is UTC per Engine.configure, so the wall-clock
+    *    reading IS the instant).
+    *  - TimestampType — µs/ms files written isAdjustedToUTC; pass through.
+    *
+    * Every downstream operator therefore always sees `ts: TIMESTAMP` at
+    * µs precision. The DuckDB oracle side is encoding-agnostic too:
+    * `CAST(ts AS TIMESTAMP)` floor-truncates ns→µs and is the identity
+    * on µs/ms — see Oracles.scala. TablesSpec pins all three branches
+    * against the next regeneration. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected INT64 ns-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -15,8 +15,9 @@ object CatalogOps {
     "embeddings")
 
   /** Register the star schema as temp views (the metastore analog).
-    * `events` goes through Tables.events (nanos conf + ns→µs ts), so the
-    * registered view exposes the same schema every operator sees. */
+    * `events` goes through Tables.events (schema-branched ts
+    * normalization), so the registered view exposes the same
+    * `ts: TIMESTAMP` schema every operator sees. */
   def registerTables(spark: SparkSession, sfDir: String): Unit =
     TableNames.foreach { n =>
       val df = if (n == "events") Tables.events(spark, sfDir)

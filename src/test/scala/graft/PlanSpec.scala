@@ -293,6 +293,15 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("WindowExec") && !plan.contains(" Window "), plan)
       assert(plan.contains("MapPartitions"), plan)
       assert(!plan.contains("FileScan"), plan)
+      // The CORRECTNESS pin (round-7 VERDICT item 7), not just a perf
+      // shape: repartitionByRange draws its range boundaries by SAMPLING,
+      // so if pass 2 re-evaluated the plan instead of reading the staged
+      // materialization, it could land rows in different partitions than
+      // the offsets pass 1 computed — silently wrong deciles. Pass 2 must
+      // read the stage()d blocks (Scan ExistingRDD = LogicalRDD leaf) and
+      // must NOT re-plan the range exchange.
+      assert(plan.contains("Scan ExistingRDD"), plan)
+      assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
       Engine.clearStaged(spark, blocking = true)
     }
   }
