@@ -1756,5 +1756,25 @@ SELECT doc_id, list_min(list_transform(
 FROM tok ORDER BY doc_id""",
 
     "q_ann_bruteforce" -> annBruteForceSql,
+
+    // concatenate-and-chunk packing: per-shard token tape in doc_id
+    // order, cut every 256 tokens; a doc belongs to the bin holding its
+    // first token — the same window cumsum the Spark operator runs
+    "q_pack_sequences" -> (s"""WITH toks AS (
+  SELECT doc_id,
+    ${graft.functions.TextFunctions.hashShardSql("doc_id", 8)} AS shard,
+    CAST(len(string_split_regex(trim(text), '""" + """\s+""" + s"""')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT shard, doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM toks)
+SELECT shard, CAST(start_tok // 256 AS BIGINT) AS bin,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  min(doc_id) AS first_doc,
+  max(doc_id) AS last_doc
+FROM cum GROUP BY shard, bin ORDER BY shard, bin"""),
   )
 }

@@ -103,6 +103,9 @@ object SparkEntry {
 
     // graph: near-dup transitive closure (GraphOps)
     "q_dup_components" -> GraphOps.dupComponents _,
+
+    // round-8 additions (appended — see ListMap note above)
+    "q_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -864,6 +864,55 @@ object TextOps {
       .orderBy(col("shard"))
   }
 
+  /** Sequence-PACKING manifest — the concatenate-and-chunk plan every
+    * training dataloader needs: documents are placed on a per-shard
+    * token tape (tokens laid end-to-end in doc_id order) and the tape
+    * is cut into fixed `contextTokens` windows; each document is
+    * assigned to the bin where its FIRST token lands. The manifest rows
+    * are one per non-empty (shard, bin): how many documents start
+    * there, their total tokens, and the doc_id span — exactly what a
+    * packed-dataset writer materializes per context window.
+    *
+    * Deterministic by construction (md5 shard placement + doc_id order
+    * + exact long token counts), so the DuckDB oracle reproduces it
+    * bit-for-bit via the same window cumsum.
+    *
+    * Scale: the only shuffle is ONE hash partition on `shard` with an
+    * in-partition sort for the window cumsum. Unlike a low-cardinality
+    * GROUP key (the deciles lesson — [[RankOps.decilesOf]] exists
+    * because `lang` has a HANDFUL of values forever), `nShards` is the
+    * curator's parallelism knob chosen ∝ corpus size (tokens ÷ shard
+    * budget), so per-task work is bounded by construction and the
+    * packing of different shards is embarrassingly parallel — sharding
+    * exists precisely to make the sequential tape per-shard-local. */
+  def packSequences(spark: SparkSession, sfDir: String, nShards: Int = 8,
+      contextTokens: Int = 256): DataFrame = {
+    Engine.configure(spark)
+    packSequencesOf(Engine.spread(Tables.documents(spark, sfDir)),
+      nShards, contextTokens)
+  }
+
+  /** [[packSequences]] over any (doc_id, text) frame. */
+  def packSequencesOf(docs: DataFrame, nShards: Int,
+      contextTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        hashShard(col("doc_id").cast("string"), nShards).as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"start_tok div $contextTokens"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
   /** Chunk-level exact dedup summary — dedup at the granularity
     * training actually consumes: after [[chunkDocs]]' overlapping
     * chunking, identical 50-token windows recur ACROSS documents

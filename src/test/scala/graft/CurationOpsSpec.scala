@@ -161,6 +161,37 @@ class CurationOpsSpec extends SparkSpec {
       TextOps.trainingShards(spark, sfDir).collect().map(_.toSeq).toSeq)
   }
 
+  test("packSequences: tape arithmetic — bins by first-token position, conserves docs/tokens") {
+    // one shard so the tape is a single sequence; cap 10 tokens.
+    // doc 1: 4 tokens -> starts at 0  -> bin 0
+    // doc 2: 5 tokens -> starts at 4  -> bin 0
+    // doc 3: 3 tokens -> starts at 9  -> bin 0 (straddles into bin 1)
+    // doc 4: 12 tokens -> starts at 12 -> bin 1 (longer than the cap)
+    // doc 5: 1 token  -> starts at 24 -> bin 2
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e"), (3L, "a b c"),
+      (4L, (1 to 12).map("w" + _).mkString(" ")), (5L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.packSequencesOf(docs, nShards = 1, contextTokens = 10)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc")))
+    assert(out.toSeq == Seq((0L, 3L, 12L, 1L, 3L), (1L, 1L, 12L, 4L, 4L),
+      (2L, 1L, 1L, 5L, 5L)))
+    // conservation at fixture scale: every doc lands in exactly one bin,
+    // token totals survive the packing
+    val fx = TextOps.packSequences(spark, sfDir).collect()
+    val docsTotal = Tables.documents(spark, sfDir).count()
+    assert(fx.map(_.getAs[Long]("n_docs")).sum == docsTotal)
+    // plan: ONE exchange (hash on shard) feeding the window sort — the
+    // groupBy above it rides the same partitioning (partial+final agg),
+    // plus the final presentation sort's range exchange
+    val plan = TextOps.packSequences(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, plan)
+  }
+
   test("clusterTightness: covers the corpus, mean sits inside [min, max]") {
     val rows = VectorOps.clusterTightness(spark, sfDir).collect()
     val total = Tables.embeddings(spark, sfDir).count()

@@ -298,10 +298,13 @@ class PlanSpec extends SparkSpec {
       // so if pass 2 re-evaluated the plan instead of reading the staged
       // materialization, it could land rows in different partitions than
       // the offsets pass 1 computed — silently wrong deciles. Pass 2 must
-      // read the stage()d blocks (Scan ExistingRDD = LogicalRDD leaf) and
-      // must NOT re-plan the range exchange.
+      // read the stage()d blocks (Scan ExistingRDD = LogicalRDD leaf) with
+      // no range exchange BELOW the MapPartitions selection (the
+      // presentation orderBy above it legitimately range-partitions;
+      // parents print first, so "below" = after the last MapPartitions).
       assert(plan.contains("Scan ExistingRDD"), plan)
-      assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
+      val belowPass2 = plan.substring(plan.lastIndexOf("MapPartitions"))
+      assert(!belowPass2.toLowerCase.contains("rangepartitioning"), plan)
       Engine.clearStaged(spark, blocking = true)
     }
   }
