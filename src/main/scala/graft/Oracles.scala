@@ -1776,5 +1776,27 @@ SELECT shard, CAST(start_tok // 256 AS BIGINT) AS bin,
   min(doc_id) AS first_doc,
   max(doc_id) AS last_doc
 FROM cum GROUP BY shard, bin ORDER BY shard, bin"""),
+
+    // cut manifest: one row per 256-token tape boundary falling strictly
+    // inside a document — (which doc, token offset of the cut); DuckDB
+    // range() is end-exclusive, hence the +1
+    "q_pack_cuts" -> (s"""WITH toks AS (
+  SELECT doc_id,
+    ${graft.functions.TextFunctions.hashShardSql("doc_id", 8)} AS shard,
+    CAST(len(string_split_regex(trim(text), '""" + """\s+""" + s"""')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT shard, doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM toks),
+cuts AS (
+  SELECT shard, doc_id, start_tok,
+    unnest(range(CAST(start_tok // 256 + 1 AS BIGINT),
+                 CAST((start_tok + n_tokens - 1) // 256 + 1 AS BIGINT))) AS boundary
+  FROM cum)
+SELECT shard, CAST(boundary AS BIGINT) AS bin, doc_id,
+  CAST(boundary * 256 - start_tok AS BIGINT) AS cut_offset
+FROM cuts ORDER BY shard, bin, doc_id"""),
   )
 }

@@ -913,6 +913,55 @@ object TextOps {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Writer-facing companion of [[packSequences]]: the CUT manifest.
+    * Every `contextTokens` boundary of the per-shard token tape that
+    * lands strictly INSIDE a document produces one row — which document
+    * the packed-dataset writer must split, at which token offset, for
+    * which window boundary. A document longer than the window straddles
+    * several boundaries and emits one row per cut; documents that fit
+    * entirely inside a window emit nothing.
+    *
+    * Same single hash-shuffle-on-shard window cumsum as the manifest
+    * (the cut rows are a per-row `sequence`+`explode` projection of it —
+    * output ∝ cuts, i.e. ∝ total tokens ÷ contextTokens, never ∝
+    * docs × bins), so the two queries together cost one packing plan. */
+  def packCuts(spark: SparkSession, sfDir: String, nShards: Int = 8,
+      contextTokens: Int = 256): DataFrame = {
+    Engine.configure(spark)
+    packCutsOf(Engine.spread(Tables.documents(spark, sfDir)),
+      nShards, contextTokens)
+  }
+
+  /** [[packCuts]] over any (doc_id, text) frame. */
+  def packCutsOf(docs: DataFrame, nShards: Int,
+      contextTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        hashShard(col("doc_id").cast("string"), nShards).as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // boundaries b·cap with start < b·cap < start+n ⇔
+      // b ∈ [start div cap + 1, (start+n-1) div cap]; empty when the doc
+      // fits inside one window (sequence would throw on a descending
+      // range, so guard with an explicit empty array)
+      .withColumn("bs", expr(
+        s"""CASE WHEN (start_tok + n_tokens - 1) div $contextTokens
+                  >= start_tok div $contextTokens + 1
+           THEN sequence(start_tok div $contextTokens + 1,
+                         (start_tok + n_tokens - 1) div $contextTokens)
+           ELSE array() END"""))
+      .select(col("shard"), col("doc_id"), col("start_tok"),
+        explode(col("bs")).as("boundary"))
+      .select(col("shard"), col("boundary").as("bin"), col("doc_id"),
+        (col("boundary") * contextTokens - col("start_tok"))
+          .as("cut_offset"))
+      .orderBy(col("shard"), col("bin"), col("doc_id"))
+  }
+
   /** Chunk-level exact dedup summary — dedup at the granularity
     * training actually consumes: after [[chunkDocs]]' overlapping
     * chunking, identical 50-token windows recur ACROSS documents

@@ -192,6 +192,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(shuffles <= 2, plan)
   }
 
+  test("packCuts: exactly the boundaries strictly inside docs, offsets in (0, n)") {
+    // same tape as the packSequences test (cap 10): boundaries at 10
+    // (inside doc 3: 9..12, cut 1 token in) and 20 (inside doc 4:
+    // 12..24, cut 8 in); 30 falls beyond the 25-token tape
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e"), (3L, "a b c"),
+      (4L, (1 to 12).map("w" + _).mkString(" ")), (5L, "z"))
+      .toDF("doc_id", "text")
+    val cuts = TextOps.packCutsOf(docs, nShards = 1, contextTokens = 10)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cut_offset")))
+    assert(cuts.toSeq == Seq((1L, 3L, 1L), (2L, 4L, 8L)))
+    // fixture-scale invariant: every cut is strictly interior to its doc
+    val fx = TextOps.packCuts(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+        .select($"doc_id", size(graft.functions.TextFunctions.tokens($"text"))
+          .cast("long").as("n")), "doc_id")
+      .select($"cut_offset", $"n").collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      val (off, n) = (r.getLong(0), r.getLong(1))
+      assert(off > 0 && off < n, s"cut $off not interior to doc of $n tokens")
+    }
+  }
+
   test("clusterTightness: covers the corpus, mean sits inside [min, max]") {
     val rows = VectorOps.clusterTightness(spark, sfDir).collect()
     val total = Tables.embeddings(spark, sfDir).count()
