@@ -1798,5 +1798,34 @@ cuts AS (
 SELECT shard, CAST(boundary AS BIGINT) AS bin, doc_id,
   CAST(boundary * 256 - start_tok AS BIGINT) AS cut_offset
 FROM cuts ORDER BY shard, bin, doc_id"""),
+
+    // purchases range-joined (BETWEEN) to click-derived sessions: the
+    // session CTEs mirror q_sessionize restricted to clicks; DuckDB
+    // plans the inequality join directly (IEJoin), the engine bucketizes
+    "q_range_join" -> """WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT *, CASE WHEN prev IS NULL
+      OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END
+      AS new_s
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev FROM e)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM b
+), sess AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+    min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_idx
+), p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, sess.session_idx,
+  sess.session_start, sess.session_end, p.value
+FROM p JOIN sess ON p.user_id = sess.user_id
+  AND p.ts BETWEEN sess.session_start AND sess.session_end
+ORDER BY p.event_id""",
   )
 }

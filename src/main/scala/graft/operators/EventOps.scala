@@ -223,6 +223,69 @@ object EventOps {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Point-in-interval RANGE JOIN — the other temporal join Spark
+    * lacks as a relation (Databricks ships a range-join hint; DuckDB
+    * plans IEJoin): each point row is matched to the interval rows with
+    * the same `keys` and `start <= ts <= end`.
+    *
+    * A naive `ON p.ts BETWEEN i.start AND i.end` is an inequality-only
+    * condition Catalyst can only plan as BroadcastNestedLoopJoin /
+    * CartesianProduct — points × intervals comparisons per key. The
+    * scalable shape is BUCKETIZATION: chop time into fixed
+    * `bucketSec` buckets, replicate each interval into every bucket it
+    * overlaps (replication = duration/bucketSec + 1 — the knob trades
+    * replication against per-bucket join fan-in; size it near the
+    * typical interval duration), map each point to the single bucket
+    * containing it, equi-join on (keys, bucket), and re-check the
+    * exact predicate as a residual filter. The join is a plain hash
+    * join — shuffle ∝ points + replicated intervals — and because a
+    * point lives in EXACTLY one bucket, a matching interval is met
+    * exactly once: no post-join distinct.
+    *
+    * Bucket ids derive from `unix_micros` with floor division
+    * (`div`), so the mapping is exact for pre-epoch timestamps too.
+    * Both inputs may carry arbitrary payload columns; name collisions
+    * other than `keys` are the caller's to resolve. */
+  def rangeJoinOf(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], ptsTs: String, startCol: String, endCol: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val bucketUs = bucketSec * 1000000L
+    val iv = intervals.withColumn("_bucket", explode(sequence(
+      expr(s"unix_micros($startCol) div $bucketUs"),
+      expr(s"unix_micros($endCol) div $bucketUs"))))
+    val pt = points.withColumn("_bucket",
+      expr(s"unix_micros($ptsTs) div $bucketUs"))
+    pt.join(iv, keys :+ "_bucket")
+      .filter(col(ptsTs) >= col(startCol) && col(ptsTs) <= col(endCol))
+      .drop("_bucket")
+  }
+
+  /** `q_range_join`: session attribution — purchases matched to the
+    * CLICK-derived browsing session containing them (sessions built
+    * from click events alone, so this is NOT the sessionizer's own
+    * assignment re-read: purchases played no part in the session
+    * boundaries). Inner join: purchases outside every click session
+    * drop. Per-user click sessions are disjoint, so each purchase
+    * matches at most one session and the output is ∝ purchases. */
+  def rangeJoin(spark: SparkSession, sfDir: String,
+      gapSec: Long = 1800L, bucketSec: Long = 3600L): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+    val sessions = sessionizeOf(ev.filter(col("event_type") === "click"),
+      "user_id", "ts", "event_id", gapSec, "value")
+      .select(col("user_id"), col("session_idx"),
+        col("session_start"), col("session_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    rangeJoinOf(purchases, sessions, Seq("user_id"), "ts",
+        "session_start", "session_end", bucketSec)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("session_idx"), col("session_start"), col("session_end"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** `q_interarrival_deciles`: exact deciles of per-user inter-arrival
     * gaps, per event type — the cadence distribution behind every
     * session-gap / watermark / TTL choice (the 30-minute gap and the

@@ -143,6 +143,35 @@ class EventOpsSpec extends SparkSpec {
     assert(out((2L, 1L)) == ((2L, 0L, 2.0, 2L)))
   }
 
+  test("rangeJoinOf: inclusive bounds, one match across buckets, equi-join plan") {
+    // bucketSec = 60 so the 10:00–10:05 interval spans 6 buckets; the
+    // probe at 10:03 must match it exactly ONCE (point lives in one
+    // bucket); bounds are inclusive on both ends
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:01:00"), 101L),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 102L))
+      .toDF("user_id", "s", "e", "iv_id")
+    val points = Seq(
+      (1L, ts("2024-01-01 10:03:00"), 200L), // interior, multi-bucket iv
+      (1L, ts("2024-01-01 10:00:00"), 201L), // exactly at start
+      (1L, ts("2024-01-01 10:05:00"), 202L), // exactly at end
+      (1L, ts("2024-01-01 10:06:00"), 203L), // outside -> dropped
+      (3L, ts("2024-01-01 10:03:00"), 204L)) // no such key -> dropped
+      .toDF("user_id", "ts", "event_id")
+    val out = EventOps.rangeJoinOf(points, intervals, Seq("user_id"),
+      "ts", "s", "e", bucketSec = 60L)
+    val rows = out.collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("iv_id"))
+    assert(rows.length == 3) // exactly-once: no duplicate for 200
+    assert(rows.toMap == Map(200L -> 100L, 201L -> 100L, 202L -> 100L))
+    // the plan must be an equi hash join on (keys, bucket) — never the
+    // inequality-only BroadcastNestedLoopJoin/CartesianProduct shape
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("sessionize: session count and totals reconcile with the raw table") {
     val raw = Tables.events(spark, sfDir)
     val sessions = EventOps.sessionize(spark, sfDir)
