@@ -1827,5 +1827,40 @@ SELECT p.event_id, p.user_id, p.ts, sess.session_idx,
 FROM p JOIN sess ON p.user_id = sess.user_id
   AND p.ts BETWEEN sess.session_start AND sess.session_end
 ORDER BY p.event_id""",
+
+    // click sessions × error sessions per user, overlap predicate
+    // max(start) <= min(end); DuckDB plans the inequality pair directly,
+    // the engine uses the exactly-once bucketized shape
+    "q_session_overlap" -> """WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+  FROM events WHERE event_type IN ('click', 'error')
+), b AS (
+  SELECT *, CASE WHEN prev IS NULL
+      OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END
+      AS new_s
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) AS prev FROM e)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM b
+), sess AS (
+  SELECT user_id, event_type, CAST(session_idx AS BIGINT) AS session_idx,
+    min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, event_type, session_idx)
+SELECT c.user_id,
+  c.session_idx AS click_idx, x.session_idx AS err_idx,
+  c.session_start AS click_start, c.session_end AS click_end,
+  x.session_start AS err_start, x.session_end AS err_end,
+  date_diff('microsecond',
+    greatest(c.session_start, x.session_start),
+    least(c.session_end, x.session_end)) AS overlap_us
+FROM (SELECT * FROM sess WHERE event_type = 'click') c
+JOIN (SELECT * FROM sess WHERE event_type = 'error') x
+  ON c.user_id = x.user_id
+ AND greatest(c.session_start, x.session_start)
+     <= least(c.session_end, x.session_end)
+ORDER BY c.user_id, click_idx, err_idx""",
   )
 }

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "q_pack_cuts" -> ((s: SparkSession, d: String) => TextOps.packCuts(s, d)),
     "q_range_join" -> ((s: SparkSession, d: String) => EventOps.rangeJoin(s, d)),
+    "q_session_overlap" -> ((s: SparkSession, d: String) => EventOps.sessionOverlap(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

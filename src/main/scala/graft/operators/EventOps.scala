@@ -286,6 +286,64 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Interval-OVERLAP join (interval × interval) — same bucketization
+    * as [[rangeJoinOf]] with one extra subtlety: two overlapping
+    * intervals co-occupy EVERY bucket their intersection spans, so a
+    * plain bucket equi-join would emit one row per shared bucket. The
+    * standard dedup-free assignment: a pair is emitted only in the
+    * bucket containing `greatest(start_l, start_r)` — that bucket is
+    * covered by both intervals whenever they overlap (max start ≤ min
+    * end), and it is unique, so each overlapping pair appears exactly
+    * once with no post-join `distinct` (which would shuffle the whole
+    * pair set again at scale).
+    *
+    * Start/end column names must already be disambiguated between the
+    * two sides (rename before calling); only `keys` may be shared. */
+  def intervalJoinOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftStart: String, leftEnd: String, rightStart: String,
+      rightEnd: String, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val bUs = bucketSec * 1000000L
+    def bucketsOf(s: String, e: String) = sequence(
+      expr(s"unix_micros($s) div $bUs"), expr(s"unix_micros($e) div $bUs"))
+    val l = left.withColumn("_bucket", explode(bucketsOf(leftStart, leftEnd)))
+    val r = right.withColumn("_bucket", explode(bucketsOf(rightStart, rightEnd)))
+    l.join(r, keys :+ "_bucket")
+      .filter(greatest(col(leftStart), col(rightStart)) <=
+        least(col(leftEnd), col(rightEnd)))
+      .filter(col("_bucket") ===
+        expr(s"unix_micros(greatest($leftStart, $rightStart)) div $bUs"))
+      .drop("_bucket")
+  }
+
+  /** `q_session_overlap`: per user, click-derived browsing sessions
+    * overlapped with error-derived incident sessions — "was the user's
+    * browsing disturbed by an error burst, and for how long". Both
+    * session frames come from the same gap sessionizer over disjoint
+    * event slices; the overlap join is the bucketized exactly-once
+    * shape, output ∝ true overlaps. */
+  def sessionOverlap(spark: SparkSession, sfDir: String,
+      gapSec: Long = 1800L, bucketSec: Long = 3600L): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+    def sessionsOf(eventType: String, prefix: String) =
+      sessionizeOf(ev.filter(col("event_type") === eventType),
+        "user_id", "ts", "event_id", gapSec, "value")
+        .select(col("user_id"), col("session_idx").as(s"${prefix}_idx"),
+          col("session_start").as(s"${prefix}_start"),
+          col("session_end").as(s"${prefix}_end"))
+    intervalJoinOf(sessionsOf("click", "click"), sessionsOf("error", "err"),
+        Seq("user_id"), "click_start", "click_end", "err_start", "err_end",
+        bucketSec)
+      .select(col("user_id"), col("click_idx"), col("err_idx"),
+        col("click_start"), col("click_end"),
+        col("err_start"), col("err_end"),
+        (unix_micros(least(col("click_end"), col("err_end"))) -
+          unix_micros(greatest(col("click_start"), col("err_start"))))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("click_idx"), col("err_idx"))
+  }
+
   /** `q_interarrival_deciles`: exact deciles of per-user inter-arrival
     * gaps, per event type — the cadence distribution behind every
     * session-gap / watermark / TTL choice (the 30-minute gap and the

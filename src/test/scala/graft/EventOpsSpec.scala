@@ -172,6 +172,26 @@ class EventOpsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("intervalJoinOf: overlapping pairs exactly once, touching and disjoint handled") {
+    // bucketSec = 60; the first pair overlaps across 4 shared buckets
+    // and must emit ONCE; the second pair touches at a single instant
+    // (max start == min end — overlaps, 0-length); the third is disjoint
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 10L),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 11L),
+      (3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00"), 12L))
+      .toDF("user_id", "ls", "le", "l_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:20:00"), 20L),
+      (2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:06:00"), 21L),
+      (3L, ts("2024-01-01 10:02:00"), ts("2024-01-01 10:03:00"), 22L))
+      .toDF("user_id", "rs", "re", "r_id")
+    val out = EventOps.intervalJoinOf(left, right, Seq("user_id"),
+      "ls", "le", "rs", "re", bucketSec = 60L)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+    assert(out.sorted.toSeq == Seq((10L, 20L), (11L, 21L)))
+  }
+
   test("sessionize: session count and totals reconcile with the raw table") {
     val raw = Tables.events(spark, sfDir)
     val sessions = EventOps.sessionize(spark, sfDir)
