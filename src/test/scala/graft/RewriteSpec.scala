@@ -358,6 +358,59 @@ class RewriteSpec extends SparkSpec {
       == q.queryExecution.analyzed)
   }
 
+  test("SparkSessionExtensions wiring: native expressions resolve as SQL functions") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      Engine.configure(ext)
+      // scalar kernels: SQL result == the DataFrame API's native column
+      val row = ext.sql(s"""SELECT
+        graft_nfc('é') AS nfc,
+        graft_vector_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),
+                         CAST(array(4.0, 5.0, 6.0) AS ARRAY<FLOAT>)) AS dot,
+        graft_vector_l2sq(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+                          CAST(array(4.0, 6.0) AS ARRAY<FLOAT>)) AS l2,
+        graft_simhash48(array('a b', 'b c')) AS sh,
+        size(graft_minhash_bands(array('a b', 'b c'), 12, 3)) AS nbands
+        """).head()
+      assert(row.getAs[String]("nfc") == "é")
+      assert(row.getAs[Double]("dot") == 32.0)
+      assert(row.getAs[Double]("l2") == 25.0)
+      import graft.functions.TextFunctions.simhash48
+      val dfSh = ext.range(1).select(
+        simhash48(org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("a b"),
+          org.apache.spark.sql.functions.lit("b c"))).as("sh"))
+        .head().getAs[Long]("sh")
+      assert(row.getAs[Long]("sh") == dfSh)
+      assert(row.getAs[Int]("nbands") == 4) // 12 components in bands of 3
+      // bounded aggregate: cap respected, NULL once exceeded
+      ext.range(3).createOrReplaceTempView("_ids")
+      val agg = ext.sql("""SELECT
+        graft_bounded_collect_set(id, 5) AS ok,
+        graft_bounded_collect_set(id, 2) AS over
+        FROM _ids""").head()
+      assert(agg.getAs[Seq[Long]]("ok").toSet == Set(0L, 1L, 2L))
+      assert(agg.isNullAt(agg.fieldIndex("over")))
+      // shape args must be literals — a column reference is a plan-time error
+      val err = intercept[Exception] {
+        ext.sql("SELECT graft_bounded_collect_set(id, CAST(id AS INT)) FROM _ids").collect()
+      }
+      assert(err.getMessage.contains("INT literal"), err.getMessage)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("SparkSessionExtensions wiring: verbatim SQL optimizes without Expand") {
     silver // materialize the fixture on the shared session first
     val stock = GoldSql.view(spark, "gold_provider_performance")
