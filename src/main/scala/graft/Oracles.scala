@@ -1824,7 +1824,7 @@ FROM cuts ORDER BY shard, bin, doc_id"""),
   FROM events WHERE event_type = 'purchase')
 SELECT p.event_id, p.user_id, p.ts, sess.session_idx,
   sess.session_start, sess.session_end, p.value
-FROM p JOIN sess ON p.user_id = sess.user_id
+FROM p LEFT JOIN sess ON p.user_id = sess.user_id
   AND p.ts BETWEEN sess.session_start AND sess.session_end
 ORDER BY p.event_id""",
 
@@ -1853,11 +1853,12 @@ SELECT c.user_id,
   c.session_idx AS click_idx, x.session_idx AS err_idx,
   c.session_start AS click_start, c.session_end AS click_end,
   x.session_start AS err_start, x.session_end AS err_end,
-  date_diff('microsecond',
-    greatest(c.session_start, x.session_start),
-    least(c.session_end, x.session_end)) AS overlap_us
+  CASE WHEN x.session_idx IS NULL THEN NULL
+       ELSE date_diff('microsecond',
+         greatest(c.session_start, x.session_start),
+         least(c.session_end, x.session_end)) END AS overlap_us
 FROM (SELECT * FROM sess WHERE event_type = 'click') c
-JOIN (SELECT * FROM sess WHERE event_type = 'error') x
+LEFT JOIN (SELECT * FROM sess WHERE event_type = 'error') x
   ON c.user_id = x.user_id
  AND greatest(c.session_start, x.session_start)
      <= least(c.session_end, x.session_end)

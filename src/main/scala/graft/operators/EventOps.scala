@@ -265,9 +265,15 @@ object EventOps {
     * CLICK-derived browsing session containing them (sessions built
     * from click events alone, so this is NOT the sessionizer's own
     * assignment re-read: purchases played no part in the session
-    * boundaries). Inner join: purchases outside every click session
-    * drop. Per-user click sessions are disjoint, so each purchase
-    * matches at most one session and the output is ∝ purchases. */
+    * boundaries). LEFT semantics: a purchase outside every click
+    * session keeps its row with NULL session columns — the
+    * unattributed slice is data, not noise. Per-user click sessions
+    * are disjoint, so each purchase matches at most one session and
+    * the output is exactly ∝ purchases.
+    *
+    * The left extension is the matched inner core plus an anti-join of
+    * the purchases against it on the purchase id — shuffle ∝ purchases,
+    * and the interval side is never replicated a second time. */
   def rangeJoin(spark: SparkSession, sfDir: String,
       gapSec: Long = 1800L, bucketSec: Long = 3600L): DataFrame = {
     Engine.configure(spark)
@@ -278,12 +284,19 @@ object EventOps {
         col("session_start"), col("session_end"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-    rangeJoinOf(purchases, sessions, Seq("user_id"), "ts",
+    val matched = rangeJoinOf(purchases, sessions, Seq("user_id"), "ts",
         "session_start", "session_end", bucketSec)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("session_idx"), col("session_start"), col("session_end"),
         col("value"))
-      .orderBy(col("event_id"))
+    val unmatched = purchases
+      .join(matched.select(col("event_id")), Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit(null).cast("long").as("session_idx"),
+        lit(null).cast("timestamp").as("session_start"),
+        lit(null).cast("timestamp").as("session_end"),
+        col("value"))
+    matched.unionByName(unmatched).orderBy(col("event_id"))
   }
 
   /** Interval-OVERLAP join (interval × interval) — same bucketization
@@ -321,7 +334,10 @@ object EventOps {
     * browsing disturbed by an error burst, and for how long". Both
     * session frames come from the same gap sessionizer over disjoint
     * event slices; the overlap join is the bucketized exactly-once
-    * shape, output ∝ true overlaps. */
+    * shape. LEFT semantics on the browsing side: an undisturbed
+    * session keeps its row with NULL error columns (the anti-join
+    * extension, keyed on the session identity — shuffle ∝ sessions),
+    * so the report covers EVERY browsing session, matched or not. */
   def sessionOverlap(spark: SparkSession, sfDir: String,
       gapSec: Long = 1800L, bucketSec: Long = 3600L): DataFrame = {
     Engine.configure(spark)
@@ -332,7 +348,8 @@ object EventOps {
         .select(col("user_id"), col("session_idx").as(s"${prefix}_idx"),
           col("session_start").as(s"${prefix}_start"),
           col("session_end").as(s"${prefix}_end"))
-    intervalJoinOf(sessionsOf("click", "click"), sessionsOf("error", "err"),
+    val clicks = sessionsOf("click", "click")
+    val matched = intervalJoinOf(clicks, sessionsOf("error", "err"),
         Seq("user_id"), "click_start", "click_end", "err_start", "err_end",
         bucketSec)
       .select(col("user_id"), col("click_idx"), col("err_idx"),
@@ -341,6 +358,16 @@ object EventOps {
         (unix_micros(least(col("click_end"), col("err_end"))) -
           unix_micros(greatest(col("click_start"), col("err_start"))))
           .as("overlap_us"))
+    val unmatched = clicks
+      .join(matched.select(col("user_id"), col("click_idx")),
+        Seq("user_id", "click_idx"), "left_anti")
+      .select(col("user_id"), col("click_idx"),
+        lit(null).cast("long").as("err_idx"),
+        col("click_start"), col("click_end"),
+        lit(null).cast("timestamp").as("err_start"),
+        lit(null).cast("timestamp").as("err_end"),
+        lit(null).cast("long").as("overlap_us"))
+    matched.unionByName(unmatched)
       .orderBy(col("user_id"), col("click_idx"), col("err_idx"))
   }
 
