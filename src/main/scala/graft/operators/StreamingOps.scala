@@ -401,6 +401,22 @@ object StreamingOps {
       .drop("h")
   }
 
+  /** Stream-static RANGE JOIN: arriving points (the stream) attributed
+    * to the static interval table — live session attribution, geofence
+    * matching, maintenance-window tagging. Delegates to
+    * [[EventOps.rangeJoinOf]] verbatim: the bucketization is STATELESS
+    * on the stream side (each point computes its one bucket from its
+    * own timestamp — no watermark, no state store), the interval side
+    * is a static frame replicated into its overlapped buckets, and the
+    * stream-static equi join Spark plans needs no state either. The
+    * exactly-once-per-matching-interval property carries over
+    * unchanged. StreamingSpec pins streamed == batch. */
+  def rangeJoinStream(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], ptsTs: String, startCol: String, endCol: String,
+      bucketSec: Long): DataFrame =
+    EventOps.rangeJoinOf(points, intervals, keys, ptsTs, startCol, endCol,
+      bucketSec)
+
   /** [[sessionizeEvents]] over a watermarked parquet file stream. */
   def sessionizeStream(spark: SparkSession, srcDir: String,
       schema: StructType, gapSec: Long = 1800L,

@@ -401,6 +401,44 @@ class StreamingSpec extends SparkSpec {
     assert(rep.nonEmpty, s"no single representative explains ${out.take(5)}")
   }
 
+  test("rangeJoinStream: stream-static attribution == batch range join, stateless") {
+    import graft.operators.EventOps
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = tmp("rjoin_src")
+    val sessions = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00")),
+      (1L, 2L, ts("2024-01-01 14:00:00"), ts("2024-01-01 14:10:00")),
+      (2L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+      .toDF("user_id", "session_idx", "session_start", "session_end")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:45:00"), 100L), // inside 1/1 (multi-bucket)
+      (1L, ts("2024-01-01 14:05:00"), 101L), // inside 1/2
+      (1L, ts("2024-01-01 12:00:00"), 102L), // between sessions -> drop
+      (2L, ts("2024-01-01 10:30:00"), 103L), // at end -> inclusive
+      (3L, ts("2024-01-01 10:15:00"), 104L)) // no sessions -> drop
+      .toDF("user_id", "ts", "event_id")
+    purchases.coalesce(2).write.mode("overwrite").parquet(src)
+
+    val batch = EventOps.rangeJoinOf(spark.read.parquet(src), sessions,
+        Seq("user_id"), "ts", "session_start", "session_end", 3600L)
+      .collect().map(_.toSeq).toSet
+
+    val schema = spark.read.parquet(src).schema
+    val streamed = StreamingOps.rangeJoinStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      sessions, Seq("user_id"), "ts", "session_start", "session_end", 3600L)
+    // stateless: append mode with NO watermark must be accepted
+    val q = streamed.writeStream.format("memory").queryName("rjoin_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rjoin_stream").collect().map(_.toSeq).toSet
+      assert(got == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bronzeCsvStream: AvailableNow incremental ingest with metadata") {
     val src = tmp("csv_stream")
     val sink = tmp("bronze_stream")
