@@ -284,11 +284,17 @@ object EventOps {
         col("session_start"), col("session_end"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-    val matched = rangeJoinOf(purchases, sessions, Seq("user_id"), "ts",
+    // staged: the matched core feeds BOTH union arms (rows + the
+    // anti-join's id set); without it the whole join subtree — purchase
+    // scan, session build, interval replication — executes twice. The
+    // staged payload is seven scalars per matched purchase, inside the
+    // staging size doctrine. Measured at sf0.1: 2.6 -> 1.9 s.
+    val matched = Engine.stage(
+      rangeJoinOf(purchases, sessions, Seq("user_id"), "ts",
         "session_start", "session_end", bucketSec)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("session_idx"), col("session_start"), col("session_end"),
-        col("value"))
+        col("value")))
     val unmatched = purchases
       .join(matched.select(col("event_id")), Seq("event_id"), "left_anti")
       .select(col("event_id"), col("user_id"), col("ts"),
@@ -349,6 +355,12 @@ object EventOps {
           col("session_start").as(s"${prefix}_start"),
           col("session_end").as(s"${prefix}_end"))
     val clicks = sessionsOf("click", "click")
+    // NOT staged, unlike rangeJoin's matched core: A/B at sf0.1 measured
+    // break-even (unstaged 2.18/1.57 s vs staged 1.89/1.61 s — noise).
+    // The double-referenced frames here are already post-aggregate
+    // session rows whose exchanges AQE reuses; staging buys nothing the
+    // runtime doesn't already do (round-6 lesson: trust the measurement,
+    // not the initial plan).
     val matched = intervalJoinOf(clicks, sessionsOf("error", "err"),
         Seq("user_id"), "click_start", "click_end", "err_start", "err_end",
         bucketSec)
