@@ -1863,5 +1863,61 @@ LEFT JOIN (SELECT * FROM sess WHERE event_type = 'error') x
  AND greatest(c.session_start, x.session_start)
      <= least(c.session_end, x.session_end)
 ORDER BY c.user_id, click_idx, err_idx""",
+
+    // clean -> pack composition: the q_training_shards clean CTE chain
+    // (exact dedup, near-dup removal, quality gate) feeding the
+    // q_pack_sequences window cumsum
+    "q_pack_clean" -> (s"""WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(nfc_normalize(text))), '""" + """\s+""" + s"""', ' ', 'g'))),
+base AS (
+  SELECT d.doc_id, d.lang, d.source,
+    string_split_regex(trim(d.text), '""" + """\s+""" + s"""') AS t
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+sh AS (
+  SELECT doc_id, lang, source, t,
+    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM base),
+inv AS (
+  SELECT doc_id, lang, source, len(s) AS n, unnest(s) AS g FROM sh),
+kept AS (
+  SELECT lang, source, g FROM inv GROUP BY lang, source, g
+  HAVING count(*) > 1 AND count(*) <= 1000),
+pairs AS (
+  SELECT doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      a.n AS n_a, b.n AS n_b, count(*) AS inter
+    FROM inv a
+    JOIN kept k ON k.lang = a.lang AND k.source = a.source AND k.g = a.g
+    JOIN inv b ON b.lang = a.lang AND b.source = a.source AND b.g = a.g
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n, b.n) x
+  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.08),
+clean AS (
+  SELECT doc_id, t,
+    least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE)) * 0.4
+      + (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.3
+      + least(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+          / CAST(len(t) AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE)) * 0.3 AS q
+  FROM sh
+  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+toks AS (
+  SELECT doc_id,
+    ${graft.functions.TextFunctions.hashShardSql("doc_id", 8)} AS shard,
+    CAST(len(t) AS BIGINT) AS n_tokens
+  FROM clean WHERE q >= 0.5),
+cum AS (
+  SELECT shard, doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM toks)
+SELECT shard, CAST(start_tok // 256 AS BIGINT) AS bin,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  min(doc_id) AS first_doc,
+  max(doc_id) AS last_doc
+FROM cum GROUP BY shard, bin ORDER BY shard, bin"""),
   )
 }

@@ -894,12 +894,18 @@ object TextOps {
 
   /** [[packSequences]] over any (doc_id, text) frame. */
   def packSequencesOf(docs: DataFrame, nShards: Int,
-      contextTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
+      contextTokens: Int): DataFrame =
+    packManifestOf(docs
       .select(col("doc_id"),
         hashShard(col("doc_id").cast("string"), nShards).as("shard"),
-        tokenCount(col("text")).cast("long").as("n_tokens"))
+        tokenCount(col("text")).cast("long").as("n_tokens")),
+      contextTokens)
+
+  /** The manifest core over a prepared (doc_id, shard, n_tokens) frame —
+    * shared by the raw and cleaned-corpus packers. */
+  private def packManifestOf(toks: DataFrame, contextTokens: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
@@ -911,6 +917,27 @@ object TextOps {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("shard"), col("bin"))
+  }
+
+  /** [[packSequences]] over the CLEANED corpus — the composition a real
+    * pipeline runs (clean → pack): [[cleanedDocs]]' survivors (exact
+    * dedup → near-dup removal → quality gate) packed into context
+    * windows. Token counts come from the cleaner's already-materialized
+    * token arrays (`size(t)`) — no re-tokenize. Doc_id order within a
+    * shard is preserved from the raw corpus; dropped documents simply
+    * vanish from the tape, exactly like a production packing job run
+    * after curation. */
+  def packClean(spark: SparkSession, sfDir: String, nShards: Int = 8,
+      contextTokens: Int = 256, threshold: Double = 0.08,
+      minQuality: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    Engine.configure(spark)
+    packManifestOf(
+      cleanedDocs(Engine.spread(Tables.documents(spark, sfDir)),
+        threshold, minQuality, maxDf)
+        .select(col("doc_id"),
+          hashShard(col("doc_id").cast("string"), nShards).as("shard"),
+          size(col("t")).cast("long").as("n_tokens")),
+      contextTokens)
   }
 
   /** Writer-facing companion of [[packSequences]]: the CUT manifest.

@@ -217,6 +217,20 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("packClean: packs exactly the cleaned survivors, token totals agree") {
+    val packed = TextOps.packClean(spark, sfDir).collect()
+    val clean = TextOps.corpusClean(spark, sfDir).collect()
+    // doc and token conservation against the cleaner's own rollup
+    assert(packed.map(_.getAs[Long]("n_docs")).sum ==
+      clean.map(_.getAs[Long]("n_docs")).sum)
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum ==
+      clean.map(_.getAs[Long]("total_tokens")).sum)
+    // strictly fewer (or equal) docs than packing the raw corpus
+    val raw = TextOps.packSequences(spark, sfDir).collect()
+    assert(packed.map(_.getAs[Long]("n_docs")).sum <=
+      raw.map(_.getAs[Long]("n_docs")).sum)
+  }
+
   test("clusterTightness: covers the corpus, mean sits inside [min, max]") {
     val rows = VectorOps.clusterTightness(spark, sfDir).collect()
     val total = Tables.embeddings(spark, sfDir).count()
