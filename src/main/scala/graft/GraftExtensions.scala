@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    // any foldable INT expression (e.g. `2 + 2`, a named constant) is
+    // just as plan-time-constant as a bare literal — evaluate it now
+    case f if f.foldable && f.dataType == org.apache.spark.sql.types.IntegerType =>
+      f.eval() match {
+        case v: Int => v
+        case null => throw new IllegalArgumentException(
+          s"$what must not be NULL (it sizes the codegen'd kernel at plan time)")
+      }
     case other => throw new IllegalArgumentException(
       s"$what must be an INT literal (it sizes the codegen'd kernel at plan time), got $other")
   }

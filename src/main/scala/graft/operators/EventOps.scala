@@ -242,10 +242,16 @@ object EventOps {
     * point lives in EXACTLY one bucket, a matching interval is met
     * exactly once: no post-join distinct.
     *
-    * Bucket ids derive from `unix_micros` with floor division
-    * (`div`), so the mapping is exact for pre-epoch timestamps too.
-    * Both inputs may carry arbitrary payload columns; name collisions
-    * other than `keys` are the caller's to resolve. */
+    * Bucket ids derive from `unix_micros div bucketUs`. Spark's `div`
+    * truncates toward zero (it is NOT floor for negatives), but
+    * truncating division is still MONOTONE, which is the only property
+    * correctness needs: for s <= p <= e, bucket(p) always lies within
+    * [bucket(s), bucket(e)], so a point's single bucket is always among
+    * its covering interval's replicated buckets — pre-epoch (negative
+    * µs) timestamps included. Both inputs may carry arbitrary payload
+    * columns; name collisions other than `keys` are the caller's to
+    * resolve. Intervals must satisfy start <= end (a reversed interval
+    * makes `sequence` throw — loudly, not wrongly). */
   def rangeJoinOf(points: DataFrame, intervals: DataFrame,
       keys: Seq[String], ptsTs: String, startCol: String, endCol: String,
       bucketSec: Long): DataFrame = {
