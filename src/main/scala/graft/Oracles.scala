@@ -1919,5 +1919,48 @@ SELECT shard, CAST(start_tok // 256 AS BIGINT) AS bin,
   min(doc_id) AS first_doc,
   max(doc_id) AS last_doc
 FROM cum GROUP BY shard, bin ORDER BY shard, bin"""),
+
+    // per-user union length of all per-(user, type) gap sessions: the
+    // same window sweep the engine runs (running max end, new-segment
+    // flag, segment cumsum, per-segment span, per-user rollup)
+    "q_active_time" -> """WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev IS NULL
+      OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END
+      AS new_s
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) AS prev FROM e)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM b
+), iv AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, event_type, session_idx
+), m AS (
+  SELECT user_id, session_start, session_end,
+    max(epoch_us(session_end)) OVER (PARTITION BY user_id
+      ORDER BY session_start, session_end
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+), mk AS (
+  SELECT *, CASE WHEN prev_max IS NULL
+      OR epoch_us(session_start) > prev_max THEN 1 ELSE 0 END AS new_seg
+  FROM m
+), sg AS (
+  SELECT *, sum(new_seg) OVER (PARTITION BY user_id
+      ORDER BY session_start, session_end
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM mk
+), per AS (
+  SELECT user_id, seg, count(*) AS n_iv,
+    min(epoch_us(session_start)) AS s, max(epoch_us(session_end)) AS e
+  FROM sg GROUP BY user_id, seg)
+SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+  count(*) AS n_segments, CAST(sum(e - s) AS BIGINT) AS covered_us
+FROM per GROUP BY user_id ORDER BY user_id""",
   )
 }

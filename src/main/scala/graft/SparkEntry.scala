@@ -110,6 +110,7 @@ object SparkEntry {
     "q_range_join" -> ((s: SparkSession, d: String) => EventOps.rangeJoin(s, d)),
     "q_session_overlap" -> ((s: SparkSession, d: String) => EventOps.sessionOverlap(s, d)),
     "q_pack_clean" -> ((s: SparkSession, d: String) => TextOps.packClean(s, d)),
+    "q_active_time" -> ((s: SparkSession, d: String) => EventOps.activeTime(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -389,6 +389,64 @@ object EventOps {
       .orderBy(col("user_id"), col("click_idx"), col("err_idx"))
   }
 
+  /** Per-key interval UNION length — the coverage primitive: total time
+    * covered by at least one interval, overlaps counted once. The
+    * classic sweep, expressed as the SAME one-exchange window shape as
+    * [[sessionizeOf]]: sort each key's intervals by (start, end), track
+    * the running max end over PRECEDING rows, flag a new disjoint
+    * segment whenever an interval starts strictly after everything seen
+    * so far ended, number segments with a running sum, then one hash
+    * aggregate per (key, segment) and one per key. No pairwise interval
+    * comparison anywhere — a self-join formulation would be quadratic
+    * per key and is exactly what the sweep avoids.
+    *
+    * Returns one row per key: `n_intervals`, `n_segments` (disjoint
+    * covered stretches), `covered_us` (the union length). Touching
+    * intervals (next.start == prev.end) merge — coverage is measured on
+    * closed intervals. */
+  def intervalUnionOf(intervals: DataFrame, key: String, startCol: String,
+      endCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(key))
+      .orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(unix_micros(col(endCol)))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = intervals
+      .withColumn("_new_seg",
+        when(prevMaxEnd.isNull ||
+          unix_micros(col(startCol)) > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("_seg", sum(col("_new_seg"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col(key), col("_seg"))
+      .agg(count(lit(1)).as("n_iv"),
+        min(unix_micros(col(startCol))).as("s"),
+        max(unix_micros(col(endCol))).as("e"))
+      .groupBy(col(key))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_segments"),
+        sum(col("e") - col("s")).as("covered_us"))
+  }
+
+  /** `q_active_time`: per-user total ACTIVE time — the union length of
+    * every per-event-type gap session (click/view/purchase/... sessions
+    * overlap each other across types; summing their durations would
+    * double-count, the union counts each covered instant once). The
+    * engagement denominator every coverage ratio needs. */
+  def activeTime(spark: SparkSession, sfDir: String,
+      gapSec: Long = 1800L): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+    // one sessionize pass per (user, type): partition key is the pair
+    val typed = sessionizeOf(
+      ev.withColumn("uid_type",
+        concat_ws(":", col("user_id"), col("event_type"))),
+      "uid_type", "ts", "event_id", gapSec, "value")
+      .withColumn("user_id",
+        split(col("uid_type"), ":").getItem(0).cast("long"))
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    intervalUnionOf(typed, "user_id", "session_start", "session_end")
+      .orderBy(col("user_id"))
+  }
+
   /** `q_interarrival_deciles`: exact deciles of per-user inter-arrival
     * gaps, per event type — the cadence distribution behind every
     * session-gap / watermark / TTL choice (the 30-minute gap and the

@@ -192,6 +192,30 @@ class EventOpsSpec extends SparkSpec {
     assert(out.sorted.toSeq == Seq((10L, 20L), (11L, 21L)))
   }
 
+  test("intervalUnionOf: overlap/touch/nest merge, disjoint split, lengths exact") {
+    // user 1: [10:00,10:30] ∪ [10:15,10:45] (overlap) ∪ [10:45,11:00]
+    //         (touching -> same segment) = one 60-min segment;
+    //         [12:00,12:10] disjoint -> second segment. Total 70 min.
+    // user 2: [10:00,11:00] ⊃ [10:10,10:20] (nested — running MAX end,
+    //         not lag(end), must keep the outer end) ∪ [10:50,11:30]
+    //         = one 90-min segment.
+    val iv = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (1L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00")),
+      (1L, ts("2024-01-01 10:45:00"), ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:10:00")),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:20:00")),
+      (2L, ts("2024-01-01 10:50:00"), ts("2024-01-01 11:30:00")))
+      .toDF("user_id", "s", "e")
+    val out = EventOps.intervalUnionOf(iv, "user_id", "s", "e")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("n_segments"),
+          r.getAs[Long]("covered_us"))).toMap
+    assert(out(1L) == ((4L, 2L, 70L * 60 * 1000000L)))
+    assert(out(2L) == ((3L, 1L, 90L * 60 * 1000000L)))
+  }
+
   test("sessionize: session count and totals reconcile with the raw table") {
     val raw = Tables.events(spark, sfDir)
     val sessions = EventOps.sessionize(spark, sfDir)
