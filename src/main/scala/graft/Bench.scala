@@ -147,7 +147,11 @@ object Bench {
     // The driver's per-round artifact truncates stdout tail (round 7 lost
     // 38 of 71 per-query medians); persist the full line to stable paths
     // so every median survives regardless of how stdout is captured.
-    for (p <- Seq("target/bench.json", "/tmp/bench_last.json")) {
+    // /tmp copy is per-user-suffixed: a fixed world-writable path lets
+    // concurrent runs (or other users) clobber each other and follows
+    // any pre-existing foreign symlink at that name
+    val tmpCopy = s"/tmp/bench_last_${sys.props.getOrElse("user.name", "unknown")}.json"
+    for (p <- Seq("target/bench.json", tmpCopy)) {
       try {
         val path = java.nio.file.Paths.get(p)
         Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))

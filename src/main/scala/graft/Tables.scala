@@ -44,6 +44,12 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ branch's cast interprets the wall-clock reading in the
+    // SESSION time zone — pin it to UTC here, not only in
+    // Engine.configure, so a caller that skips configure in a non-UTC
+    // JVM still gets unshifted instants (the ns-long branch is
+    // zone-independent; this makes the NTZ branch match).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

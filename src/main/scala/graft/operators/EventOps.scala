@@ -130,8 +130,20 @@ object EventOps {
     * deterministic. Session metrics stay exact: integer microsecond
     * duration, decimal value sum. */
   def sessionizeOf(events: DataFrame, key: String, ts: String, tie: String,
-      gapSec: Long, valueCol: String): DataFrame = {
-    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+      gapSec: Long, valueCol: String): DataFrame =
+    sessionizeByOf(events, Seq(key), ts, tie, gapSec, valueCol)
+
+  /** [[sessionizeOf]] generalized to a MULTI-COLUMN partition key: the
+    * session identity is the tuple `keys` and every key column survives
+    * into the output (so no caller ever needs to pack keys into a
+    * delimited string and re-parse it — the round-8 `activeTime` did
+    * exactly that and a `:` inside a future string key would have
+    * silently mis-grouped). Plan shape is identical: ONE hash exchange
+    * on `keys`, one sort, windows + aggregate on the same exchange. */
+  def sessionizeByOf(events: DataFrame, keys: Seq[String], ts: String,
+      tie: String, gapSec: Long, valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "sessionizeByOf needs at least one key column")
+    val ord = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(tie))
     val bounded = events.withColumn("_prev",
       lag(unix_micros(col(ts)), 1).over(ord))
       .withColumn("_new", when(col("_prev").isNull ||
@@ -140,7 +152,7 @@ object EventOps {
       .withColumn("session_idx",
         sum(col("_new")).over(ord.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
-    bounded.groupBy(col(key), col("session_idx"))
+    bounded.groupBy((keys.map(col) :+ col("session_idx")): _*)
       .agg(count(lit(1)).as("n_events"),
         min(col(ts)).as("session_start"),
         max(col(ts)).as("session_end"),
@@ -250,8 +262,12 @@ object EventOps {
     * its covering interval's replicated buckets — pre-epoch (negative
     * µs) timestamps included. Both inputs may carry arbitrary payload
     * columns; name collisions other than `keys` are the caller's to
-    * resolve. Intervals must satisfy start <= end (a reversed interval
-    * makes `sequence` throw — loudly, not wrongly). */
+    * resolve. Intervals must satisfy start <= end — the bucket
+    * `sequence` carries an EXPLICIT step of 1, so a reversed interval
+    * throws "Illegal sequence boundaries" loudly (the two-arg form
+    * would default to step -1 and silently emit a descending bucket
+    * array whose rows the residual filter then drops — silently-empty
+    * matches, the worst failure mode). */
   def rangeJoinOf(points: DataFrame, intervals: DataFrame,
       keys: Seq[String], ptsTs: String, startCol: String, endCol: String,
       bucketSec: Long): DataFrame = {
@@ -259,7 +275,7 @@ object EventOps {
     val bucketUs = bucketSec * 1000000L
     val iv = intervals.withColumn("_bucket", explode(sequence(
       expr(s"unix_micros($startCol) div $bucketUs"),
-      expr(s"unix_micros($endCol) div $bucketUs"))))
+      expr(s"unix_micros($endCol) div $bucketUs"), lit(1L))))
     val pt = points.withColumn("_bucket",
       expr(s"unix_micros($ptsTs) div $bucketUs"))
     pt.join(iv, keys :+ "_bucket")
@@ -329,8 +345,11 @@ object EventOps {
       rightEnd: String, bucketSec: Long): DataFrame = {
     require(bucketSec > 0, "bucketSec must be positive")
     val bUs = bucketSec * 1000000L
+    // explicit step 1: reversed intervals throw, never silently descend
+    // (see the [[rangeJoinOf]] contract note)
     def bucketsOf(s: String, e: String) = sequence(
-      expr(s"unix_micros($s) div $bUs"), expr(s"unix_micros($e) div $bUs"))
+      expr(s"unix_micros($s) div $bUs"), expr(s"unix_micros($e) div $bUs"),
+      lit(1L))
     val l = left.withColumn("_bucket", explode(bucketsOf(leftStart, leftEnd)))
     val r = right.withColumn("_bucket", explode(bucketsOf(rightStart, rightEnd)))
     l.join(r, keys :+ "_bucket")
@@ -435,13 +454,12 @@ object EventOps {
       gapSec: Long = 1800L): DataFrame = {
     Engine.configure(spark)
     val ev = Engine.spread(Tables.events(spark, sfDir))
-    // one sessionize pass per (user, type): partition key is the pair
-    val typed = sessionizeOf(
-      ev.withColumn("uid_type",
-        concat_ws(":", col("user_id"), col("event_type"))),
-      "uid_type", "ts", "event_id", gapSec, "value")
-      .withColumn("user_id",
-        split(col("uid_type"), ":").getItem(0).cast("long"))
+    // one sessionize pass per (user, type): the partition key is the
+    // PAIR, carried as two real columns ([[sessionizeByOf]]) — never a
+    // delimited concat re-parsed afterwards, which would mis-group any
+    // future string user_id containing the delimiter
+    val typed = sessionizeByOf(ev, Seq("user_id", "event_type"),
+        "ts", "event_id", gapSec, "value")
       .select(col("user_id"), col("session_start"), col("session_end"))
     intervalUnionOf(typed, "user_id", "session_start", "session_end")
       .orderBy(col("user_id"))

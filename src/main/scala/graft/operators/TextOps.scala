@@ -973,8 +973,10 @@ object TextOps {
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // boundaries b·cap with start < b·cap < start+n ⇔
       // b ∈ [start div cap + 1, (start+n-1) div cap]; empty when the doc
-      // fits inside one window (sequence would throw on a descending
-      // range, so guard with an explicit empty array)
+      // fits inside one window. The CASE guard is what keeps that case
+      // correct: two-arg sequence on a descending range does NOT throw —
+      // it defaults to step -1 and silently emits the boundaries in
+      // reverse, which would fabricate cut rows here.
       .withColumn("bs", expr(
         s"""CASE WHEN (start_tok + n_tokens - 1) div $contextTokens
                   >= start_tok div $contextTokens + 1
