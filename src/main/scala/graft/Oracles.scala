@@ -1962,5 +1962,35 @@ FROM cum GROUP BY shard, bin ORDER BY shard, bin"""),
 SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
   count(*) AS n_segments, CAST(sum(e - s) AS BIGINT) AS covered_us
 FROM per GROUP BY user_id ORDER BY user_id""",
+
+    // replication audit for the bucketized temporal joins: per click
+    // session, buckets = end//bUs - start//bUs + 1 at bucketSec=600;
+    // counters split at maxBuckets=2 (the deliberately tight audit
+    // operating point — both sides nonzero at fixture scale)
+    "q_bucket_audit" -> """WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT *, CASE WHEN prev IS NULL
+      OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END
+      AS new_s
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev FROM e)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM b
+), sess AS (
+  SELECT user_id, session_idx, min(ts) AS st, max(ts) AS en
+  FROM s GROUP BY user_id, session_idx
+), nb AS (
+  SELECT epoch_us(en) // 600000000 - epoch_us(st) // 600000000 + 1 AS n
+  FROM sess)
+SELECT count(*) AS n_intervals,
+  count(*) FILTER (WHERE n > 2) AS n_over_cap,
+  CAST(max(n) AS BIGINT) AS max_buckets,
+  CAST(sum(CASE WHEN n <= 2 THEN n ELSE 0 END) AS BIGINT) AS replicated_rows,
+  CAST(sum(CASE WHEN n > 2 THEN n ELSE 0 END) AS BIGINT) AS over_cap_buckets
+FROM nb""",
   )
 }

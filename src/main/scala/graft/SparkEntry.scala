@@ -111,6 +111,9 @@ object SparkEntry {
     "q_session_overlap" -> ((s: SparkSession, d: String) => EventOps.sessionOverlap(s, d)),
     "q_pack_clean" -> ((s: SparkSession, d: String) => TextOps.packClean(s, d)),
     "q_active_time" -> ((s: SparkSession, d: String) => EventOps.activeTime(s, d)),
+
+    // round-9 additions (appended — see ListMap note above)
+    "q_bucket_audit" -> ((s: SparkSession, d: String) => EventOps.bucketAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -216,6 +216,83 @@ class EventOpsSpec extends SparkSpec {
     assert(out(2L) == ((3L, 1L, 90L * 60 * 1000000L)))
   }
 
+  test("rangeJoinOf maxBuckets: adversarially long interval is exact via the fallback arm") {
+    // one WEEK-long interval against 60 s buckets would replicate into
+    // ~10k bucket rows uncapped; with maxBuckets = 10 it must route to
+    // the keys-only fallback arm — same matches, bounded replication,
+    // still no nested-loop/cartesian anywhere in the plan
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-08 00:00:00"), 100L), // long
+      (1L, ts("2024-01-02 10:00:00"), ts("2024-01-02 10:05:00"), 101L), // short, nested inside
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 102L))
+      .toDF("user_id", "s", "e", "iv_id")
+    val points = Seq(
+      (1L, ts("2024-01-02 10:03:00"), 200L), // inside BOTH user-1 intervals
+      (1L, ts("2024-01-05 00:00:00"), 201L), // inside the long one only
+      (1L, ts("2024-01-09 00:00:00"), 202L), // outside both -> dropped
+      (2L, ts("2024-01-01 10:03:00"), 203L))
+      .toDF("user_id", "ts", "event_id")
+    val capped = EventOps.rangeJoinOf(points, intervals, Seq("user_id"),
+      "ts", "s", "e", bucketSec = 60L, maxBuckets = 10)
+    val expected = Set((200L, 100L), (200L, 101L), (201L, 100L), (203L, 102L))
+    val got = capped.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("iv_id"))).toSet
+    assert(got == expected)
+    // exact-split contract: capped == uncapped, pair for pair
+    val uncapped = EventOps.rangeJoinOf(points, intervals, Seq("user_id"),
+      "ts", "s", "e", bucketSec = 60L, maxBuckets = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("iv_id")))
+    assert(uncapped.length == 4 && uncapped.toSet == expected)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("intervalJoinOf maxBuckets: long×long, long×short, short×long each exactly once") {
+    // every over-cap combination must surface exactly once through its
+    // designated arm: longL×longR and longL×shortR via the longL arm,
+    // shortL×longR via the third arm, shortL×shortR bucketized
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-08 00:00:00"), 10L), // long
+      (1L, ts("2024-01-03 10:00:00"), ts("2024-01-03 10:10:00"), 11L)) // short
+      .toDF("user_id", "ls", "le", "l_id")
+    val right = Seq(
+      (1L, ts("2024-01-04 00:00:00"), ts("2024-01-11 00:00:00"), 20L), // long
+      (1L, ts("2024-01-03 10:05:00"), ts("2024-01-03 10:06:00"), 21L), // short
+      (1L, ts("2024-02-01 00:00:00"), ts("2024-02-08 00:00:00"), 22L)) // long, disjoint
+      .toDF("user_id", "rs", "re", "r_id")
+    val out = EventOps.intervalJoinOf(left, right, Seq("user_id"),
+      "ls", "le", "rs", "re", bucketSec = 60L, maxBuckets = 10)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+    // 10 overlaps 20 (long×long) and 21 (long×short); 11 overlaps 21
+    // (short×short, bucketized); nothing overlaps 22
+    assert(out.length == 3 && out.toSet ==
+      Set((10L, 20L), (10L, 21L), (11L, 21L)))
+    val uncapped = EventOps.intervalJoinOf(left, right, Seq("user_id"),
+      "ls", "le", "rs", "re", bucketSec = 60L, maxBuckets = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+    assert(uncapped.sorted.toSeq == out.sorted.toSeq)
+  }
+
+  test("bucketReplicationAuditOf: counters split exactly at the cap") {
+    // nb at 60 s buckets: 1-min iv crossing no boundary = 1 or 2; the
+    // 10-min iv = 11; the week iv = 10081 — cap at 10 puts only the
+    // week over
+    val iv = Seq(
+      (1L, ts("2024-01-01 10:00:10"), ts("2024-01-01 10:00:50")), // 1 bucket
+      (1L, ts("2024-01-01 10:00:30"), ts("2024-01-01 10:01:30")), // 2 buckets
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")), // 11 buckets
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-08 00:00:00"))) // 10081
+      .toDF("user_id", "s", "e")
+    val a = EventOps.bucketReplicationAuditOf(iv, "s", "e", 60L, 10)
+      .collect().head
+    assert(a.getAs[Long]("n_intervals") == 4L)
+    assert(a.getAs[Long]("n_over_cap") == 2L)      // the 11 and the week
+    assert(a.getAs[Long]("max_buckets") == 10081L)
+    assert(a.getAs[Long]("replicated_rows") == 3L)  // 1 + 2
+    assert(a.getAs[Long]("over_cap_buckets") == 11L + 10081L)
+  }
+
   test("sessionize: session count and totals reconcile with the raw table") {
     val raw = Tables.events(spark, sfDir)
     val sessions = EventOps.sessionize(spark, sfDir)
