@@ -1992,5 +1992,24 @@ SELECT count(*) AS n_intervals,
   CAST(sum(CASE WHEN n <= 2 THEN n ELSE 0 END) AS BIGINT) AS replicated_rows,
   CAST(sum(CASE WHEN n > 2 THEN n ELSE 0 END) AS BIGINT) AS over_cap_buckets
 FROM nb""",
+
+    // cohort triangle: q_retention's cells + per-cohort size + rate
+    // (one double division of two exact longs, order-independent)
+    "q_retention_matrix" -> """WITH act AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events),
+f AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id),
+sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY cohort_day),
+cells AS (
+  SELECT f.cohort_day,
+    CAST(date_diff('day', f.cohort_day, a.d) // 7 AS INT) AS week_offset,
+    count(DISTINCT a.user_id) AS n_users
+  FROM act a JOIN f ON f.user_id = a.user_id
+  GROUP BY f.cohort_day, week_offset)
+SELECT c.cohort_day, c.week_offset, c.n_users, s.cohort_size,
+  CAST(c.n_users AS DOUBLE) * 100.0 / CAST(s.cohort_size AS DOUBLE)
+    AS retention_pct
+FROM cells c JOIN sz s ON s.cohort_day = c.cohort_day
+ORDER BY c.cohort_day, c.week_offset""",
   )
 }

@@ -226,6 +226,39 @@ object EventOps {
       .orderBy(col("cohort_day"), col("week_offset"))
   }
 
+  /** `q_retention_matrix`: the cohort TRIANGLE — [[retention]]'s
+    * (cohort_day × week_offset) counts extended with the cohort size
+    * and the retention RATE, the form a growth dashboard actually
+    * plots. Cohort size is the distinct-user count of the cohort
+    * (== its week-0 cell: a user's first active day is by definition
+    * in week 0), joined back the same way as the W1 pct-of-total shape
+    * (Checks.scala): the per-cohort-day size frame is ≤ one row per
+    * calendar day, so Catalyst broadcasts it — no extra shuffle over
+    * the cell frame. The rate is ONE double division of two exact
+    * longs as the final projected step — order-independent, so the
+    * hash compare holds. */
+  def retentionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val act = Engine.spread(Tables.events(spark, sfDir))
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    // `first` holds one row per user, so plain count IS the distinct count
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(first, "user_id")
+      .select(col("cohort_day"),
+        expr("datediff(d, cohort_day) div 7").cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        (col("n_users").cast("double") * 100.0 /
+          col("cohort_size").cast("double")).as("retention_pct"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
   /** `q_sessionize`: 30-minute-gap sessions over the events table, one
     * row per (user, session) with exact duration and value totals. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {

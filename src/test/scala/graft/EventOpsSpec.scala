@@ -293,6 +293,29 @@ class EventOpsSpec extends SparkSpec {
     assert(a.getAs[Long]("over_cap_buckets") == 11L + 10081L)
   }
 
+  test("retentionMatrix: cells reconcile with q_retention; week-0 is the full cohort") {
+    val cells = EventOps.retention(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Int]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    val matrix = EventOps.retentionMatrix(spark, sfDir).collect()
+    assert(matrix.length == cells.size)
+    matrix.foreach { r =>
+      val key = (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Int]("week_offset"))
+      assert(cells(key) == r.getAs[Long]("n_users"))
+      val pct = r.getAs[Double]("retention_pct")
+      if (key._2 == 0) {
+        // a user's first active day is in week 0, so the week-0 cell IS
+        // the cohort: count == size, rate exactly 100
+        assert(r.getAs[Long]("n_users") == r.getAs[Long]("cohort_size"))
+        assert(pct == 100.0)
+      } else {
+        assert(pct > 0.0 && pct <= 100.0)
+        assert(r.getAs[Long]("n_users") <= r.getAs[Long]("cohort_size"))
+      }
+    }
+  }
+
   test("sessionize: session count and totals reconcile with the raw table") {
     val raw = Tables.events(spark, sfDir)
     val sessions = EventOps.sessionize(spark, sfDir)
