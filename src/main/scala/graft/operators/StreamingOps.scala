@@ -417,6 +417,65 @@ object StreamingOps {
     EventOps.rangeJoinOf(points, intervals, keys, ptsTs, startCol, endCol,
       bucketSec)
 
+  /** Stream-STREAM range join — BOTH sides live: points and intervals
+    * arrive as watermarked streams and each point matches the interval
+    * rows with equal `keys` and `start <= ts <= end` (the matched inner
+    * core of [[EventOps.rangeJoinOf]] / q_range_join). This is the
+    * production attribution shape when the interval side is itself
+    * computed upstream (session manifests, maintenance windows,
+    * campaign flights) and trickles in rather than sitting in a table.
+    *
+    * What makes the state FINITE — the part the batch operator doesn't
+    * need — is `maxDurSec`, a declared bound on interval duration: the
+    * join condition constrains the two event-time columns BOTH ways
+    * (`ts >= start` and `ts <= start + maxDurSec`), which is exactly
+    * the shape Spark's stream-stream join derives its state-eviction
+    * watermarks from. A point row is held only until the watermark
+    * passes it (no admissible interval start remains), an interval
+    * only until the watermark passes `start + maxDurSec` — without the
+    * bound, every point would wait forever for an interval that might
+    * still arrive. Same knob family as the batch side's `maxBuckets`:
+    * a duration bound that [[EventOps.bucketReplicationAuditOf]]'s
+    * duration statistics size.
+    *
+    * The bound is enforced LOUDLY, not silently: an interval longer
+    * than `maxDurSec` fails the query via `assert_true` (matching
+    * beyond `start + maxDurSec` is unprovable under bounded state, and
+    * silently-missing matches are the failure mode this engine never
+    * ships). Late rows on either side — beyond the respective
+    * watermark delay — are dropped by the engine, the standard
+    * watermark contract (StreamingSpec pins a late interval yielding
+    * no match while on-time pairs keep flowing). Inner semantics:
+    * emission is immediate on co-arrival, no watermark wait; output
+    * columns are the points' plus the intervals' non-key columns,
+    * exactly the batch operator's shape. */
+  def rangeJoinStreamStream(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], ptsTs: String, startCol: String, endCol: String,
+      maxDurSec: Long, pointsDelay: String, intervalsDelay: String)
+      : DataFrame = {
+    require(maxDurSec > 0, "maxDurSec must be positive")
+    val p = points.withWatermark(ptsTs, pointsDelay)
+    val i = intervals.withWatermark(startCol, intervalsDelay)
+      // loud duration contract: a too-long interval throws, because its
+      // tail matches would be silently unprovable under bounded state
+      .filter(assert_true(
+        unix_micros(col(endCol)) - unix_micros(col(startCol)) <=
+          maxDurSec * 1000000L,
+        lit(s"rangeJoinStreamStream: interval longer than maxDurSec=$maxDurSec"))
+        .isNull)
+    val keyCond = keys.map(k => p(k) === i(k))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = p.join(i,
+      keyCond &&
+        p(ptsTs) >= i(startCol) &&
+        p(ptsTs) <= i(startCol) + expr(s"INTERVAL '$maxDurSec' SECOND") &&
+        p(ptsTs) <= i(endCol),
+      "inner")
+    val outCols = points.columns.toSeq.map(c => p(c).as(c)) ++
+      intervals.columns.toSeq.filterNot(keys.contains).map(c => i(c).as(c))
+    joined.select(outCols: _*)
+  }
+
   /** [[sessionizeEvents]] over a watermarked parquet file stream. */
   def sessionizeStream(spark: SparkSession, srcDir: String,
       schema: StructType, gapSec: Long = 1800L,

@@ -439,6 +439,99 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rangeJoinStreamStream: both sides streaming == batch core; late interval drops") {
+    import graft.operators.EventOps
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ptsIn = MemoryStream[(Long, Timestamp, Long)]
+    val ivsIn = MemoryStream[(Long, Timestamp, Timestamp, Long)]
+    val streamed = StreamingOps.rangeJoinStreamStream(
+      ptsIn.toDF().toDF("user_id", "ts", "event_id"),
+      ivsIn.toDF().toDF("user_id", "session_start", "session_end", "session_idx"),
+      Seq("user_id"), "ts", "session_start", "session_end",
+      maxDurSec = 7200L, pointsDelay = "30 minutes",
+      intervalsDelay = "30 minutes")
+    val q = streamed.writeStream.format("memory").queryName("rjoin_ss")
+      .outputMode("append").start()
+    try {
+      // batch 1: one matching pair, one point past the interval end, and
+      // a high-ts row on EACH side pushing the watermark to ~19:30
+      ptsIn.addData(
+        (1L, ts("2024-01-01 10:00:30"), 100L), // inside iv 1
+        (1L, ts("2024-01-01 10:59:00"), 101L), // after iv 1 end -> no match
+        (9L, ts("2024-01-01 20:00:00"), 199L)) // watermark push
+      ivsIn.addData(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:45:00"), 1L),
+        (8L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:01:00"), 9L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("rjoin_ss").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("session_idx")))
+      assert(afterB1.toSet == Set((100L, 1L)), afterB1.mkString(";"))
+      // batch 2: an interval ~9.5 h LATE (start far behind the ~19:30
+      // watermark) that WOULD contain point 100 — must produce nothing,
+      // the matching point's state is provably evicted; an on-time pair
+      // in the same batch keeps flowing
+      ivsIn.addData(
+        (1L, ts("2024-01-01 10:00:10"), ts("2024-01-01 10:30:00"), 2L), // late
+        (2L, ts("2024-01-01 19:40:00"), ts("2024-01-01 19:50:00"), 3L))
+      ptsIn.addData((2L, ts("2024-01-01 19:45:00"), 102L))
+      q.processAllAvailable()
+      val finalRows = spark.table("rjoin_ss").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("session_idx")))
+      assert(finalRows.toSet == Set((100L, 1L), (102L, 3L)),
+        finalRows.mkString(";"))
+      // == the batch matched core over the NON-LATE rows (the late
+      // interval is exactly what the watermark contract excludes)
+      val batchPts = Seq(
+        (1L, ts("2024-01-01 10:00:30"), 100L),
+        (1L, ts("2024-01-01 10:59:00"), 101L),
+        (9L, ts("2024-01-01 20:00:00"), 199L),
+        (2L, ts("2024-01-01 19:45:00"), 102L))
+        .toDF("user_id", "ts", "event_id")
+      val batchIvs = Seq(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:45:00"), 1L),
+        (8L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:01:00"), 9L),
+        (2L, ts("2024-01-01 19:40:00"), ts("2024-01-01 19:50:00"), 3L))
+        .toDF("user_id", "session_start", "session_end", "session_idx")
+      val batch = EventOps.rangeJoinOf(batchPts, batchIvs, Seq("user_id"),
+          "ts", "session_start", "session_end", 3600L)
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("session_idx")))
+      assert(batch.toSet == finalRows.toSet && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("rangeJoinStreamStream: an interval longer than maxDurSec fails loudly") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ptsIn = MemoryStream[(Long, Timestamp, Long)]
+    val ivsIn = MemoryStream[(Long, Timestamp, Timestamp, Long)]
+    val streamed = StreamingOps.rangeJoinStreamStream(
+      ptsIn.toDF().toDF("user_id", "ts", "event_id"),
+      ivsIn.toDF().toDF("user_id", "session_start", "session_end", "session_idx"),
+      Seq("user_id"), "ts", "session_start", "session_end",
+      maxDurSec = 3600L, pointsDelay = "30 minutes",
+      intervalsDelay = "30 minutes")
+    val q = streamed.writeStream.format("memory").queryName("rjoin_ss_guard")
+      .outputMode("append").start()
+    try {
+      ivsIn.addData( // 2 h long against a 1 h bound -> assert_true throws
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), 1L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("maxDurSec")), e.toString)
+    } finally q.stop()
+  }
+
   test("bronzeCsvStream: AvailableNow incremental ingest with metadata") {
     val src = tmp("csv_stream")
     val sink = tmp("bronze_stream")
