@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{GoldSql, SilverCleanse}
+import graft.operators.{EventOps, GoldSql, SilverCleanse, TemporalSql}
 
 /** The SQL-surface gold views (the reference user's own interface) over
   * silver_claims: structural checks + exact integer cross-checks against
@@ -81,5 +81,37 @@ class GoldSqlSpec extends SparkSpec {
     assert(rows.length == 3)
     assert(rows.map(_.getAs[String]("period")).toSet ==
       Set("Last 30 Days", "Last 7 Days", "Last 24 Hours"))
+  }
+
+  // The temporal joins as verbatim SQL (TemporalSql): each recipe must
+  // reproduce its DataFrame twin row for row — same columns, same
+  // values, same order — so a migrating SQL user gets IDENTICAL results
+  // from the pasted text.
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("TemporalSql.rangeJoin == EventOps.rangeJoin (pure-SQL bucketized range join)") {
+    val sql = TemporalSql.rangeJoin(spark, sfDir)
+    val df = EventOps.rangeJoin(spark, sfDir)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    val (s, d) = (rowsOf(sql), rowsOf(df))
+    assert(s.nonEmpty && s == d)
+  }
+
+  test("TemporalSql.asofJoin == EventOps.asofJoin (pure-SQL union-marker as-of)") {
+    val sql = TemporalSql.asofJoin(spark, sfDir)
+    val df = EventOps.asofJoin(spark, sfDir)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    val (s, d) = (rowsOf(sql), rowsOf(df))
+    assert(s.nonEmpty && s == d)
+  }
+
+  test("TemporalSql.sessionOverlap == EventOps.sessionOverlap (pure-SQL overlap join)") {
+    val sql = TemporalSql.sessionOverlap(spark, sfDir)
+    val df = EventOps.sessionOverlap(spark, sfDir)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    val (s, d) = (rowsOf(sql), rowsOf(df))
+    assert(s.nonEmpty && s == d)
   }
 }
