@@ -117,12 +117,33 @@ object SplitMultiDistinctAggregate extends Rule[LogicalPlan] {
     (dataChildren(ae.aggregateFunction).map(_.canonicalized),
       ae.filter.map(_.canonicalized))
 
+  /** The SINGLE-distinct-set + percentile case is a judgment call, so it
+    * is measured, not assumed (round-9): stock planning handles one
+    * distinct set without Expand (planAggregateWithOneDistinct — a
+    * 4-phase aggregate, no join), but any percentile sharing the
+    * operator drags the whole thing into ObjectHashAggregate with its
+    * row-collecting buffers keyed per (group, distinct-value) through
+    * BOTH shuffles. Measured on lineitem sf0.1 (~600k rows,
+    * count(DISTINCT l_partkey) + percentile_disc(0.5) + count(*) GROUP
+    * BY l_suppkey): stock 2.12–6.67 s across 4 runs (the partial
+    * percentile buffers are keyed per (l_suppkey, l_partkey) through
+    * the first exchange — width ∝ distinct pairs) vs split
+    * 0.67–0.75 s steady (~3×; the split isolates the percentile on a
+    * group-keyed branch and the dedup branch stays codegen'd
+    * HashAggregate). One fewer join does NOT pay for distinct-keyed
+    * percentile buffers. Default ON; the conf is the escape hatch (and
+    * the measurement harness toggle). */
+  private def splitSinglePercentile: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.getConfString(
+      "spark.graft.split.singleDistinctPercentile", "true").toBoolean
+
   private def shouldRewrite(a: Aggregate): Boolean = {
     val aes = aggExprsOf(a)
     val distincts = aes.filter(_.isDistinct)
     val distinctSets = distincts.map(distinctKey).distinct
     val percs = aes.filter(ae => !ae.isDistinct && isPercentileLike(ae.aggregateFunction))
-    val worthIt = distinctSets.size >= 2 || (distinctSets.nonEmpty && percs.nonEmpty)
+    val worthIt = distinctSets.size >= 2 ||
+      (distinctSets.size == 1 && percs.nonEmpty && splitSinglePercentile)
     def safe =
       distincts.forall(ae => supportedDistinct(ae.aggregateFunction)) &&
         a.aggregateExpressions.forall(_.deterministic) &&

@@ -164,6 +164,37 @@ class RewriteSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan)
   }
 
+  test("single distinct + percentile: split by default (measured), conf-gated to stock") {
+    silver
+    val q = spark.sql("""SELECT provider_name,
+      count(DISTINCT member_id) AS m,
+      percentile_disc(0.5) WITHIN GROUP (ORDER BY claim_amount) AS med,
+      count(*) AS n
+      FROM silver_claims GROUP BY provider_name""")
+    // default ON (measured ~3x on lineitem sf0.1 — see the rule comment):
+    // equal results, 3 branches (base/dedup/percentile) = 2 joins, no
+    // Expand, and the percentile buffer never rides a distinct-keyed
+    // partial aggregate
+    assertSame(q)
+    val rewritten = SplitMultiDistinctAggregate(q.queryExecution.analyzed)
+    val joins = rewritten.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 2, rewritten.toString)
+    val plan = ofRows(spark, rewritten).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    // conf OFF: the case bails to stock planAggregateWithOneDistinct
+    spark.conf.set("spark.graft.split.singleDistinctPercentile", "false")
+    try {
+      assert(SplitMultiDistinctAggregate(q.queryExecution.analyzed)
+        == q.queryExecution.analyzed)
+      // the MULTI-distinct path must be unaffected by the conf
+      val multi = GoldSql.view(spark, "gold_provider_performance")
+      assert(SplitMultiDistinctAggregate(multi.queryExecution.analyzed)
+        != multi.queryExecution.analyzed)
+    } finally
+      spark.conf.unset("spark.graft.split.singleDistinctPercentile")
+  }
+
   test("bails out: single distinct set without percentile is left to stock planning") {
     silver
     val q = spark.sql(
