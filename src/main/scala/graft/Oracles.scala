@@ -2011,5 +2011,56 @@ SELECT c.cohort_day, c.week_offset, c.n_users, s.cohort_size,
     AS retention_pct
 FROM cells c JOIN sz s ON s.cohort_day = c.cohort_day
 ORDER BY c.cohort_day, c.week_offset""",
+
+    // forward as-of: the q_asof_join window mirrored (ts DESC, ties to
+    // the SMALLEST ref id — event_id DESC makes it the last encountered)
+    "q_asof_forward" -> """WITH u AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 0 AS is_probe,
+         struct_pack(r_ts := CAST(ts AS TIMESTAMP), r_id := event_id,
+                     r_value := value) AS ref
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1, NULL
+  FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT user_id, ts, event_id, is_probe,
+    last_value(ref IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts DESC, is_probe, event_id DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM u)
+SELECT event_id, user_id, ts,
+  m.r_id AS ref_event_id, m.r_ts AS ref_ts, m.r_value AS ref_value
+FROM w WHERE is_probe = 1 ORDER BY event_id""",
+
+    // nearest as-of: both windows over one pass; smaller absolute gap
+    // wins, equal gaps resolve backward
+    "q_asof_nearest" -> """WITH u AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 0 AS is_probe,
+         struct_pack(r_ts := CAST(ts AS TIMESTAMP), r_id := event_id,
+                     r_value := value) AS ref
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1, NULL
+  FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT user_id, ts, event_id, is_probe,
+    last_value(ref IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_probe, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mb,
+    last_value(ref IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts DESC, is_probe, event_id DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mf
+  FROM u
+), sel AS (
+  SELECT *, CASE
+    WHEN mb IS NULL THEN mf
+    WHEN mf IS NULL THEN mb
+    WHEN epoch_us(mf.r_ts) - epoch_us(ts) < epoch_us(ts) - epoch_us(mb.r_ts)
+      THEN mf
+    ELSE mb END AS m
+  FROM w)
+SELECT event_id, user_id, ts,
+  m.r_id AS ref_event_id, m.r_ts AS ref_ts, m.r_value AS ref_value
+FROM sel WHERE is_probe = 1 ORDER BY event_id""",
   )
 }

@@ -115,6 +115,8 @@ object SparkEntry {
     // round-9 additions (appended — see ListMap note above)
     "q_bucket_audit" -> ((s: SparkSession, d: String) => EventOps.bucketAudit(s, d)),
     "q_retention_matrix" -> EventOps.retentionMatrix _,
+    "q_asof_forward" -> EventOps.asofJoinForward _,
+    "q_asof_nearest" -> EventOps.asofJoinNearest _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

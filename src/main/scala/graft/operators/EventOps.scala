@@ -46,11 +46,26 @@ object EventOps {
     * `probes`/`refs` need columns: `key`, `ts`, `tie` (a total-order
     * tiebreaker, e.g. event_id) plus payloads. Probe columns pass
     * through; reference payload columns come back `ref_`-prefixed.
-    */
+    *
+    * `direction` is the pandas merge_asof / Flint surface:
+    * `"backward"` (default — latest ref at-or-before), `"forward"`
+    * (earliest ref at-or-AFTER; the mirror-image window ordered
+    * descending, so same-ts references still sort before probes and
+    * `>=` semantics hold; same-ts ref ties resolve to the SMALLEST tie,
+    * the mirror of backward's largest), `"nearest"` (both windows over
+    * the ONE exchange — two in-partition sorts, no second shuffle —
+    * then per probe the candidate with the smaller absolute gap; equal
+    * gaps resolve backward). `tolSec` bounds the gap on whichever
+    * side(s) the direction reads, BEFORE the nearest-choice, so a
+    * tolerance-excluded backward match never shadows an in-tolerance
+    * forward one. */
   def asofJoinOf(probes: DataFrame, refs: DataFrame, key: String,
       ts: String, tie: String, refPayload: Seq[String],
-      tolSec: Option[Long] = None): DataFrame = {
+      tolSec: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.types.StructType
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val probeCols = probes.columns.toSeq
     val refFields = Seq(ts, tie) ++ refPayload.filterNot(Seq(ts, tie).contains)
     val refType = StructType(refFields.map(f => refs.schema(f)))
@@ -61,20 +76,48 @@ object EventOps {
     val p = probes.select(col(key), col(ts).as("_ts"), col(tie).as("_tie"),
       lit(1).as("_probe"), lit(null).cast(refType).as("_ref"),
       struct(probeCols.map(col): _*).as("_p"))
-    val w = Window.partitionBy(col(key))
+    val wB = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_probe"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val raw = r.unionByName(p)
-      .withColumn("_m0", last(col("_ref"), ignoreNulls = true).over(w))
-      .filter(col("_probe") === 1)
-    // tolerance = max staleness (pandas merge_asof semantics): a match
-    // older than tolSec nulls out — a post-window map, so the one-
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col("_ts").desc, col("_probe"), col("_tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = r.unionByName(p)
+    val withCands = direction match {
+      case "backward" => base
+        .withColumn("_cb", last(col("_ref"), ignoreNulls = true).over(wB))
+      case "forward" => base
+        .withColumn("_cf", last(col("_ref"), ignoreNulls = true).over(wF))
+      case _ => base
+        .withColumn("_cb", last(col("_ref"), ignoreNulls = true).over(wB))
+        .withColumn("_cf", last(col("_ref"), ignoreNulls = true).over(wF))
+    }
+    val raw = withCands.filter(col("_probe") === 1)
+    // tolerance = max gap (pandas merge_asof semantics): an out-of-
+    // tolerance candidate nulls out — a post-window map, so the one-
     // shuffle plan shape is unchanged
-    val matched = tolSec match {
-      case Some(t) => raw.withColumn("_m",
-        when(unix_micros(col("_ts")) - unix_micros(col(s"_m0.$ts")) <=
-          t * 1000000L, col("_m0")))
-      case None => raw.withColumn("_m", col("_m0"))
+    def bounded(cand: String, forward: Boolean): Column = {
+      val gap =
+        if (forward) unix_micros(col(cand).getField(ts)) - unix_micros(col("_ts"))
+        else unix_micros(col("_ts")) - unix_micros(col(cand).getField(ts))
+      tolSec match {
+        case Some(t) => when(gap <= t * 1000000L, col(cand))
+        case None => col(cand)
+      }
+    }
+    val matched = direction match {
+      case "backward" => raw.withColumn("_m", bounded("_cb", forward = false))
+      case "forward" => raw.withColumn("_m", bounded("_cf", forward = true))
+      case _ => raw
+        .withColumn("_fb", bounded("_cb", forward = false))
+        .withColumn("_ff", bounded("_cf", forward = true))
+        .withColumn("_m",
+          when(col("_fb").isNull, col("_ff"))
+            .when(col("_ff").isNull, col("_fb"))
+            .when(unix_micros(col("_ff").getField(ts)) - unix_micros(col("_ts")) <
+              unix_micros(col("_ts")) - unix_micros(col("_fb").getField(ts)),
+              col("_ff"))
+            .otherwise(col("_fb"))) // equal gaps resolve backward
     }
     val out = probeCols.filterNot(_ == key).map(c => col(s"_p.$c").as(c)) ++
       Seq(col(s"_m.$ts").as(s"ref_$ts"), col(s"_m.$tie").as(s"ref_$tie")) ++
@@ -114,6 +157,42 @@ object EventOps {
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     asofJoinOf(probes, refs, "user_id", "ts", "event_id", Seq("value"),
         Some(tolSec))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ref_event_id"), col("ref_ts"), col("ref_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** `q_asof_forward`: every click annotated with the NEXT same-user
+    * purchase at-or-after it — the time-to-conversion direction
+    * (pandas merge_asof direction='forward'). Same one-shuffle
+    * union-marker plan as [[asofJoin]], window mirrored. */
+  def asofJoinForward(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+    val probes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val refs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    asofJoinOf(probes, refs, "user_id", "ts", "event_id", Seq("value"),
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ref_event_id"), col("ref_ts"), col("ref_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** `q_asof_nearest`: every click annotated with the CLOSEST same-user
+    * purchase in either direction (equal gaps resolve backward) — the
+    * measurement-alignment direction (pandas merge_asof
+    * direction='nearest'). One exchange, two in-partition sorts. */
+  def asofJoinNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+    val probes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val refs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    asofJoinOf(probes, refs, "user_id", "ts", "event_id", Seq("value"),
+        direction = "nearest")
       .select(col("event_id"), col("user_id"), col("ts"),
         col("ref_event_id"), col("ref_ts"), col("ref_value"))
       .orderBy(col("event_id"))

@@ -59,6 +59,55 @@ class EventOpsSpec extends SparkSpec {
     assert(unbounded.forall(_ == 100L))
   }
 
+  test("asofJoinOf forward: inclusive >=, same-ts ref ties resolve to MIN tie id") {
+    val refs = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 100L, 5.0),
+      (1L, ts("2024-01-01 11:00:00"), 101L, 7.0), // same ts: smaller id wins
+      (1L, ts("2024-01-01 10:00:00"), 102L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 200L), // ref AT probe ts counts
+      (1L, ts("2024-01-01 10:30:00"), 201L), // next ref is 11:00
+      (1L, ts("2024-01-01 12:00:00"), 202L), // after all refs -> NULL
+      (2L, ts("2024-01-01 10:00:00"), 203L)) // no refs -> NULL
+      .toDF("user_id", "ts", "event_id")
+    val out = EventOps.asofJoinOf(probes, refs, "user_id", "ts", "event_id",
+        Seq("value"), direction = "forward")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("ref_event_id")).map(_.toLong)).toMap
+    assert(out(200L).contains(100L)) // min id among the two same-ts refs
+    assert(out(201L).contains(100L))
+    assert(out(202L).isEmpty)
+    assert(out(203L).isEmpty)
+  }
+
+  test("asofJoinOf nearest: smaller gap wins, equal gap resolves backward, tolerance per side") {
+    val refs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 101L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 200L), // 30m back vs 90m fwd -> back
+      (1L, ts("2024-01-01 11:45:00"), 201L), // 105m back vs 15m fwd -> fwd
+      (1L, ts("2024-01-01 11:00:00"), 202L)) // equal 60m -> backward
+      .toDF("user_id", "ts", "event_id")
+    val near = EventOps.asofJoinOf(probes, refs, "user_id", "ts", "event_id",
+        Seq("value"), direction = "nearest")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("ref_event_id")).toMap
+    assert(near == Map(200L -> 100L, 201L -> 101L, 202L -> 100L))
+    // tolerance bounds each side BEFORE the choice: at 202 (60m each
+    // way) a 30-minute tolerance kills both; at 201 it keeps forward
+    // even though backward exists out-of-tolerance
+    val tol = EventOps.asofJoinOf(probes, refs, "user_id", "ts", "event_id",
+        Seq("value"), tolSec = Some(1800L), direction = "nearest")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("ref_event_id")).map(_.toLong)).toMap
+    assert(tol(200L).contains(100L))
+    assert(tol(201L).contains(101L))
+    assert(tol(202L).isEmpty)
+  }
+
   test("eventFunnel: stage counts are monotone non-increasing, order enforced") {
     val rows = EventOps.eventFunnel(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
