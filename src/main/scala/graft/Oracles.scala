@@ -2062,5 +2062,54 @@ FROM w WHERE is_probe = 1 ORDER BY event_id""",
 SELECT event_id, user_id, ts,
   m.r_id AS ref_event_id, m.r_ts AS ref_ts, m.r_value AS ref_value
 FROM sel WHERE is_probe = 1 ORDER BY event_id""",
+
+    // idle-gap complement of q_active_time: same sweep to the per-
+    // segment rows, then lag gaps per user (span = covered + idle)
+    "q_idle_gaps" -> """WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev IS NULL
+      OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END
+      AS new_s
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) AS prev FROM e)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM b
+), iv AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, event_type, session_idx
+), m AS (
+  SELECT user_id, session_start, session_end,
+    max(epoch_us(session_end)) OVER (PARTITION BY user_id
+      ORDER BY session_start, session_end
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+), mk AS (
+  SELECT *, CASE WHEN prev_max IS NULL
+      OR epoch_us(session_start) > prev_max THEN 1 ELSE 0 END AS new_seg
+  FROM m
+), sg AS (
+  SELECT *, sum(new_seg) OVER (PARTITION BY user_id
+      ORDER BY session_start, session_end
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM mk
+), per AS (
+  SELECT user_id, seg,
+    min(epoch_us(session_start)) AS s, max(epoch_us(session_end)) AS e
+  FROM sg GROUP BY user_id, seg
+), g AS (
+  SELECT user_id, s, e,
+    s - lag(e) OVER (PARTITION BY user_id ORDER BY s, e) AS gap
+  FROM per)
+SELECT user_id,
+  count(*) FILTER (WHERE gap IS NOT NULL) AS n_gaps,
+  CAST(COALESCE(sum(gap), 0) AS BIGINT) AS idle_us,
+  CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us,
+  CAST(max(e) - min(s) AS BIGINT) AS span_us
+FROM g GROUP BY user_id ORDER BY user_id""",
   )
 }

@@ -117,6 +117,7 @@ object SparkEntry {
     "q_retention_matrix" -> EventOps.retentionMatrix _,
     "q_asof_forward" -> EventOps.asofJoinForward _,
     "q_asof_nearest" -> EventOps.asofJoinNearest _,
+    "q_idle_gaps" -> ((s: SparkSession, d: String) => EventOps.idleGaps(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

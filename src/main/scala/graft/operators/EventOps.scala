@@ -651,7 +651,19 @@ object EventOps {
     * intervals (next.start == prev.end) merge — coverage is measured on
     * closed intervals. */
   def intervalUnionOf(intervals: DataFrame, key: String, startCol: String,
-      endCol: String): DataFrame = {
+      endCol: String): DataFrame =
+    segmentsOf(intervals, key, startCol, endCol)
+      .groupBy(col(key))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_segments"),
+        sum(col("e") - col("s")).as("covered_us"))
+
+  /** The sweep's intermediate: per (key, segment) the maximal DISJOINT
+    * covered stretches — one row per segment with its interval count
+    * and [s, e] micros. Shared by [[intervalUnionOf]] (coverage) and
+    * [[idleGapsOf]] (its complement). */
+  private def segmentsOf(intervals: DataFrame, key: String,
+      startCol: String, endCol: String): DataFrame = {
     val ord = Window.partitionBy(col(key))
       .orderBy(col(startCol), col(endCol))
     val prevMaxEnd = max(unix_micros(col(endCol)))
@@ -666,10 +678,43 @@ object EventOps {
       .agg(count(lit(1)).as("n_iv"),
         min(unix_micros(col(startCol))).as("s"),
         max(unix_micros(col(endCol))).as("e"))
+  }
+
+  /** Per-key IDLE-GAP report — the complement of [[intervalUnionOf]]:
+    * the dead stretches BETWEEN a key's covered segments. One lag
+    * window over the (few) segment rows of the shared sweep — the
+    * heavy per-interval work is the same one exchange; the gap pass
+    * runs on rows ∝ segments. Returns `n_gaps` (= segments − 1),
+    * `idle_us` (total uncovered time inside the observed span),
+    * `max_gap_us`, and `span_us` (last end − first start); the
+    * identity `span = covered + idle` reconciles it against
+    * [[intervalUnionOf]] and is spec-pinned. Keys with one segment
+    * report zero gaps, zero idle. */
+  def idleGapsOf(intervals: DataFrame, key: String, startCol: String,
+      endCol: String): DataFrame = {
+    val segs = segmentsOf(intervals, key, startCol, endCol)
+    val ord = Window.partitionBy(col(key)).orderBy(col("s"), col("e"))
+    segs.withColumn("_gap", col("s") - lag(col("e"), 1).over(ord))
       .groupBy(col(key))
-      .agg(sum(col("n_iv")).as("n_intervals"),
-        count(lit(1)).as("n_segments"),
-        sum(col("e") - col("s")).as("covered_us"))
+      .agg(countIf(col("_gap").isNotNull).as("n_gaps"),
+        coalesce(sum(col("_gap")), lit(0L)).as("idle_us"),
+        coalesce(max(col("_gap")), lit(0L)).as("max_gap_us"),
+        (max(col("e")) - min(col("s"))).as("span_us"))
+  }
+
+  /** `q_idle_gaps`: per-user DEAD time — the gaps between the same
+    * active segments q_active_time measures (per-(user, type) gap
+    * sessions, union-swept). Together the two queries split every
+    * user's observed span exactly into covered + idle. */
+  def idleGaps(spark: SparkSession, sfDir: String,
+      gapSec: Long = 1800L): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+    val typed = sessionizeByOf(ev, Seq("user_id", "event_type"),
+        "ts", "event_id", gapSec, "value")
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    idleGapsOf(typed, "user_id", "session_start", "session_end")
+      .orderBy(col("user_id"))
   }
 
   /** `q_active_time`: per-user total ACTIVE time — the union length of

@@ -342,6 +342,35 @@ class EventOpsSpec extends SparkSpec {
     assert(a.getAs[Long]("over_cap_buckets") == 11L + 10081L)
   }
 
+  test("idleGapsOf: gaps complement the union exactly (span = covered + idle)") {
+    // user 1: segments [10:00,11:00] and [12:00,12:10] -> one 60-min gap;
+    // user 2: one segment -> zero gaps, zero idle
+    val iv = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (1L, ts("2024-01-01 10:15:00"), ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:10:00")),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00")))
+      .toDF("user_id", "s", "e")
+    val gaps = EventOps.idleGapsOf(iv, "user_id", "s", "e")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("idle_us"),
+          r.getAs[Long]("max_gap_us"), r.getAs[Long]("span_us"))).toMap
+    assert(gaps(1L) == ((1L, 60L * 60 * 1000000L, 60L * 60 * 1000000L,
+      130L * 60 * 1000000L)))
+    assert(gaps(2L) == ((0L, 0L, 0L, 20L * 60 * 1000000L)))
+    // the identity against the union, on the real fixture: per user,
+    // span == covered + idle
+    val union = EventOps.activeTime(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("covered_us")).toMap
+    val idle = EventOps.idleGaps(spark, sfDir).collect()
+    assert(idle.nonEmpty)
+    idle.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("span_us") ==
+        union(u) + r.getAs[Long]("idle_us"), s"user $u")
+    }
+  }
+
   test("retentionMatrix: cells reconcile with q_retention; week-0 is the full cohort") {
     val cells = EventOps.retention(spark, sfDir).collect()
       .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
