@@ -476,6 +476,56 @@ object StreamingOps {
     joined.select(outCols: _*)
   }
 
+  /** Stream-STREAM interval-overlap join — both interval sets live,
+    * each overlapping same-key pair emitted exactly once (the matched
+    * core of [[EventOps.intervalJoinOf]] / q_session_overlap). Note
+    * what the streaming engine gives for free here: a symmetric
+    * stateful hash join needs NO bucketization — each arriving
+    * interval probes the other side's state once, so the batch
+    * operator's exactly-once bucket discipline has no streaming
+    * counterpart to pay for.
+    *
+    * What bounds the state is the same declared `maxDurSec` duration
+    * bound as [[rangeJoinStreamStream]], written into the condition as
+    * a two-sided constraint between the two watermarked START columns
+    * (overlap + duration bound imply `|l.start − r.start| <=
+    * maxDurSec`, stated explicitly so Spark derives eviction for both
+    * sides); the exact overlap predicate `greatest(start) <=
+    * least(end)` rides as a residual. Over-long intervals fail loudly
+    * on either side (assert_true), late intervals drop at the
+    * watermark — both contracts StreamingSpec pins. Start/end names
+    * must be pre-disambiguated (the batch operator's contract); output
+    * is left columns then right non-key columns. */
+  def intervalJoinStreamStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, maxDurSec: Long,
+      leftDelay: String, rightDelay: String): DataFrame = {
+    require(maxDurSec > 0, "maxDurSec must be positive")
+    def guarded(df: DataFrame, s: String, e: String, delay: String) =
+      df.withWatermark(s, delay)
+        .filter(assert_true(
+          unix_micros(col(e)) - unix_micros(col(s)) <= maxDurSec * 1000000L,
+          lit(s"intervalJoinStreamStream: interval longer than maxDurSec=$maxDurSec"))
+          .isNull)
+    val l = guarded(left, leftStart, leftEnd, leftDelay)
+    val r = guarded(right, rightStart, rightEnd, rightDelay)
+    val keyCond = keys.map(k => l(k) === r(k))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val dur = expr(s"INTERVAL '$maxDurSec' SECOND")
+    val joined = l.join(r,
+      keyCond &&
+        // the eviction-deriving pair: overlap + duration bound imply it
+        r(rightStart) >= l(leftStart) - dur &&
+        r(rightStart) <= l(leftStart) + dur &&
+        // the exact overlap, as residual
+        greatest(l(leftStart), r(rightStart)) <=
+          least(l(leftEnd), r(rightEnd)),
+      "inner")
+    val outCols = left.columns.toSeq.map(c => l(c).as(c)) ++
+      right.columns.toSeq.filterNot(keys.contains).map(c => r(c).as(c))
+    joined.select(outCols: _*)
+  }
+
   /** [[sessionizeEvents]] over a watermarked parquet file stream. */
   def sessionizeStream(spark: SparkSession, srcDir: String,
       schema: StructType, gapSec: Long = 1800L,

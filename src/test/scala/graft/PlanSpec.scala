@@ -309,6 +309,75 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketAudit: one aggregate pass — no join, no explode (never pays what it measures)") {
+    val plan = planString(graft.operators.EventOps.bucketAudit(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Generate"), plan) // no interval replication
+  }
+
+  test("capped temporal joins: equi plans, no nested-loop/cartesian; overlap is ONE join + anti") {
+    import org.apache.spark.sql.execution.joins._
+    def joinsOf(df: DataFrame) = {
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      p.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: BroadcastHashJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+        case j: BroadcastNestedLoopJoinExec => j: SparkPlan
+        case j: CartesianProductExec => j: SparkPlan
+      }
+    }
+    val rj = joinsOf(graft.operators.EventOps.rangeJoin(spark, sfDir))
+    assert(rj.nonEmpty && !rj.exists(j =>
+      j.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+        j.isInstanceOf[CartesianProductExec]), rj.mkString("\n"))
+    Engine.clearStaged(spark, blocking = true)
+    // the sentinel cap form: the overlap core is ONE equi join — it
+    // prints twice because the (deliberately unstaged, round-8 A/B)
+    // matched core feeds both union arms — plus the left-extension
+    // anti join. The rejected 3-arm split would show 3 DISTINCT inner
+    // join conditions per reference; here both inner nodes carry the
+    // identical sentinel-bucket condition.
+    val so = joinsOf(graft.operators.EventOps.sessionOverlap(spark, sfDir))
+    assert(!so.exists(j => j.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      j.isInstanceOf[CartesianProductExec]), so.mkString("\n"))
+    val (anti, inner) = so.partition(_.toString.contains("LeftAnti"))
+    assert(anti.size == 1, so.mkString("\n"))
+    assert(inner.size == 2, so.mkString("\n"))
+    def shape(p: SparkPlan) = p.toString.linesIterator.next()
+      .replaceAll("#\\d+L?", "#x")
+    assert(inner.map(shape).distinct.size == 1, inner.map(shape).mkString("\n"))
+  }
+
+  test("asofJoinNearest: both direction windows share ONE hash exchange") {
+    val plan = planString(graft.operators.EventOps.asofJoinNearest(spark, sfDir))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"$hashEx hash exchanges\n$plan")
+    // two window operators (asc + desc sorts), zero joins
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("idleGaps: gap window rides the segment aggregate — two hash exchanges total") {
+    // sessionize exchanges on (user, type); the union sweep re-keys on
+    // user; every aggregate/window above reuses that partitioning (the
+    // gap lag runs on rows ∝ segments, never re-shuffling intervals)
+    val plan = planString(graft.operators.EventOps.idleGaps(spark, sfDir))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 2, s"$hashEx hash exchanges\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("retentionMatrix: the cohort-size frame broadcasts onto the cells") {
+    val df = graft.operators.EventOps.retentionMatrix(spark, sfDir)
+    df.collect() // AQE decides the tiny-side broadcast at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pct-of-total is the broadcast cross-join shape: no window, reused exchange") {
     // round-2 VERDICT item 8: the empty-over() window form moved the
     // (tiny) aggregated relation to a single partition and spammed

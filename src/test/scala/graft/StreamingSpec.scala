@@ -504,6 +504,90 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStreamStream: both interval sets live == batch core; late side drops") {
+    import graft.operators.EventOps
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lIn = MemoryStream[(Long, Timestamp, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Timestamp, Long)]
+    val streamed = StreamingOps.intervalJoinStreamStream(
+      lIn.toDF().toDF("user_id", "ls", "le", "l_id"),
+      rIn.toDF().toDF("user_id", "rs", "re", "r_id"),
+      Seq("user_id"), "ls", "le", "rs", "re",
+      maxDurSec = 7200L, leftDelay = "30 minutes", rightDelay = "30 minutes")
+    val q = streamed.writeStream.format("memory").queryName("ivj_ss")
+      .outputMode("append").start()
+    try {
+      // batch 1: one overlapping pair + a non-overlapping watermark
+      // pusher on each side (distinct keys so the pushers never match)
+      lIn.addData(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 10L),
+        (7L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:10:00"), 79L))
+      rIn.addData(
+        (1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:30:00"), 20L),
+        (8L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:05:00"), 89L))
+      q.processAllAvailable()
+      def pairs() = spark.table("ivj_ss").collect()
+        .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+      assert(pairs() == Set((10L, 20L)), pairs().mkString(";"))
+      // batch 2: a LATE left interval (start far behind the ~19:30
+      // watermark) that would overlap right 20 -> dropped; an on-time
+      // pair keeps flowing
+      lIn.addData(
+        (1L, ts("2024-01-01 10:40:00"), ts("2024-01-01 10:50:00"), 11L), // late
+        (2L, ts("2024-01-01 19:45:00"), ts("2024-01-01 20:00:00"), 12L))
+      rIn.addData(
+        (2L, ts("2024-01-01 19:40:00"), ts("2024-01-01 19:50:00"), 21L))
+      q.processAllAvailable()
+      assert(pairs() == Set((10L, 20L), (12L, 21L)), pairs().mkString(";"))
+      // == the batch overlap join over the NON-LATE rows
+      val batchL = Seq(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 10L),
+        (7L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:10:00"), 79L),
+        (2L, ts("2024-01-01 19:45:00"), ts("2024-01-01 20:00:00"), 12L))
+        .toDF("user_id", "ls", "le", "l_id")
+      val batchR = Seq(
+        (1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:30:00"), 20L),
+        (8L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:05:00"), 89L),
+        (2L, ts("2024-01-01 19:40:00"), ts("2024-01-01 19:50:00"), 21L))
+        .toDF("user_id", "rs", "re", "r_id")
+      val batch = EventOps.intervalJoinOf(batchL, batchR, Seq("user_id"),
+          "ls", "le", "rs", "re", bucketSec = 3600L)
+        .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+      assert(batch == pairs() && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("intervalJoinStreamStream: a too-long interval fails loudly") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lIn = MemoryStream[(Long, Timestamp, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Timestamp, Long)]
+    val streamed = StreamingOps.intervalJoinStreamStream(
+      lIn.toDF().toDF("user_id", "ls", "le", "l_id"),
+      rIn.toDF().toDF("user_id", "rs", "re", "r_id"),
+      Seq("user_id"), "ls", "le", "rs", "re",
+      maxDurSec = 3600L, leftDelay = "30 minutes", rightDelay = "30 minutes")
+    val q = streamed.writeStream.format("memory").queryName("ivj_ss_guard")
+      .outputMode("append").start()
+    try {
+      rIn.addData( // 3 h long against a 1 h bound -> assert_true throws
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 13:00:00"), 1L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("maxDurSec")), e.toString)
+    } finally q.stop()
+  }
+
   test("rangeJoinStreamStream: an interval longer than maxDurSec fails loudly") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
