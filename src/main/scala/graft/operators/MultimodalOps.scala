@@ -9,11 +9,16 @@ import graft.{Engine, Tables}
   * path over `mapPartitions` with case-class Encoders — the Scala
   * counterpart of a Pandas-UDF `mapInPandas` batch decode.
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB (this container has no
-  * image/audio codecs — builder brief): the Spark-side plumbing —
-  * binary column, schema, partition-batched iteration, typed output —
-  * is real and tested; swap `fakeDecode` for a JNI/codec call and
-  * nothing else changes.
+  * Codec status (round 9): the IMAGE path is a REAL decoder —
+  * `javax.imageio` ships with every JDK (PNG/JPEG/GIF/BMP), so
+  * [[decodeImages]]/[[resizeImagesReal]] decode genuine image bytes
+  * with no added dependency; MultimodalSpec round-trips generated
+  * PNGs/JPEGs and pins the corrupt-payload counting contract. The
+  * AUDIO/VIDEO paths below remain DETERMINISTIC STUBS (the container
+  * truly has no codecs for those): their Spark-side plumbing — binary
+  * column, schema, partition-batched iteration, typed output — is
+  * real and tested; swap the fake for a JNI/codec call and nothing
+  * else changes.
   */
 object MultimodalOps {
 
@@ -68,6 +73,109 @@ object MultimodalOps {
         // per-partition setup would construct the codec ONCE here
         it.map { case (id, bytes) =>
           MediaFeature(id, bytes.length, fakeDecode(bytes))
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------
+  // REAL image decode — javax.imageio (pure JDK, no added dependency).
+  // The long-standing "this container has no codecs" caveat is only
+  // true for AUDIO/VIDEO: every JDK ships PNG/JPEG/GIF/BMP readers.
+  // So the image half of the multimodal family runs a genuine codec;
+  // the audio/video paths below keep the documented stubs.
+  // ---------------------------------------------------------------
+
+  /** Decoded-image feature row. `decoded=false` rows carry zeros: a
+    * corrupt or non-image payload is COUNTED, never a job failure —
+    * the only survivable contract when one bad file among billions
+    * must not kill a 100 TB scan. Channel means divide exact integer
+    * sums by the pixel count (one double division at the end), so
+    * results are bit-stable across partitionings. */
+  final case class ImageFeature(doc_id: Long, decoded: Boolean,
+      width: Int, height: Int, mean_r: Double, mean_g: Double,
+      mean_b: Double, mean_luma: Double)
+
+  /** Partition-batched REAL image decode over (doc_id, payload) rows:
+    * ImageIO disk-caching is disabled once per partition (temp-file
+    * churn would dominate small images), each payload decodes from its
+    * in-memory bytes, and per-channel INTEGER sums reduce each raster.
+    * Luma = (r+g+b)/3 per pixel summed exactly, divided once. The
+    * iterator never materializes a partition of rasters — one image is
+    * in flight per row, the mapPartitions batch shape a vectorized
+    * decoder also wants. */
+  def decodeImages(spark: SparkSession, payloads: DataFrame)
+      : Dataset[ImageFeature] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          img match {
+            case Some(im) =>
+              val (w, h) = (im.getWidth, im.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = im.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              ImageFeature(id, decoded = true, w, h,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+                (sr + sg + sb).toDouble / (3L * n))
+            case None =>
+              ImageFeature(id, decoded = false, 0, 0, 0.0, 0.0, 0.0, 0.0)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize through the same JDK codec: decode, bilinear
+    * scale to width×height, re-encode PNG (lossless, so the output
+    * bytes are deterministic). Non-decodable payloads yield an EMPTY
+    * buffer with dims (0,0) — counted, not thrown, same contract as
+    * [[decodeImages]]. Output size per row is bounded by the target
+    * dims regardless of input size. */
+  def resizeImagesReal(spark: SparkSession, payloads: DataFrame,
+      width: Int = 16, height: Int = 16): Dataset[ResizedImage] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          img match {
+            case Some(im) =>
+              val out = new java.awt.image.BufferedImage(width, height,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(im, 0, 0, width, height, null)
+              } finally g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              ResizedImage(id, width, height, buf.toByteArray)
+            case None => ResizedImage(id, 0, 0, Array.emptyByteArray)
+          }
         }
       }
   }

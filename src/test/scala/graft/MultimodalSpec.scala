@@ -72,4 +72,97 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("total_bytes") >=
       r.getAs[Long]("max_bytes")))
   }
+
+  // --- REAL image codec path (javax.imageio, pure JDK) ---
+
+  /** Deterministic seeded test image: every pixel's channels derive
+    * from (doc, x, y) arithmetic — the expected channel sums are
+    * computable in the test without touching the codec. */
+  private def testImage(doc: Int, w: Int, h: Int) = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (doc * 37 + x * 11 + y * 3) % 256
+      val g = (doc * 17 + x * 5 + y * 13) % 256
+      val b = (doc * 29 + x * 7 + y * 19) % 256
+      im.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    im
+  }
+
+  private def pngBytes(im: java.awt.image.BufferedImage): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", buf)
+    buf.toByteArray
+  }
+
+  test("decodeImages: REAL PNG/JPEG decode, exact channel means, corrupt rows counted") {
+    import spark.implicits._
+    val imgs = (1 to 12).map(i => (i, testImage(i, 8 + i % 5, 6 + i % 3)))
+    // expected means from the raster directly — independent of the
+    // operator's decode path (PNG is lossless, so they must agree
+    // EXACTLY)
+    val expected = imgs.map { case (i, im) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until im.getHeight; x <- 0 until im.getWidth) {
+        val rgb = im.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      }
+      val n = im.getWidth.toLong * im.getHeight
+      i.toLong -> (im.getWidth, im.getHeight, sr.toDouble / n,
+        sg.toDouble / n, sb.toDouble / n)
+    }.toMap
+    val jpegId = 100L
+    val jpegBytes = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(testImage(7, 10, 10), "jpg", buf)
+      buf.toByteArray
+    }
+    val corrupt = Seq((200L, "not an image".getBytes("UTF-8")),
+      (201L, Array[Byte](1, 2, 3)))
+    val payloads = (imgs.map { case (i, im) => (i.toLong, pngBytes(im)) } ++
+      Seq((jpegId, jpegBytes)) ++ corrupt).toDF("doc_id", "payload")
+    val out = MultimodalOps.decodeImages(spark, payloads.repartition(4))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.size == 15)
+    expected.foreach { case (id, (w, h, mr, mg, mb)) =>
+      val f = out(id)
+      assert(f.decoded && f.width == w && f.height == h, s"doc $id")
+      assert(f.mean_r == mr && f.mean_g == mg && f.mean_b == mb, s"doc $id")
+      assert(f.mean_luma == (mr + mg + mb) / 3.0 ||
+        math.abs(f.mean_luma - (mr + mg + mb) / 3.0) < 1e-9, s"doc $id")
+    }
+    // the JPEG decodes (lossy values — shape checks only)
+    val j = out(jpegId)
+    assert(j.decoded && j.width == 10 && j.height == 10)
+    assert(j.mean_r >= 0.0 && j.mean_r <= 255.0)
+    // corrupt payloads are COUNTED, not thrown
+    corrupt.foreach { case (id, _) =>
+      assert(!out(id).decoded && out(id).width == 0, s"doc $id")
+    }
+  }
+
+  test("resizeImagesReal: decode→bilinear→PNG round-trip, bounded output, corrupt safe") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, pngBytes(testImage(3, 32, 24))),
+      (2L, pngBytes(testImage(4, 5, 5))), // upscale path
+      (3L, "garbage".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = MultimodalOps.resizeImagesReal(spark, payloads, 16, 16)
+      .collect().map(r => r.doc_id -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val r = out(id)
+      assert(r.width == 16 && r.height == 16)
+      // the re-encoded buffer IS a 16×16 image (decode it back)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.pixels))
+      assert(back.getWidth == 16 && back.getHeight == 16)
+    }
+    assert(out(3L).width == 0 && out(3L).pixels.isEmpty)
+    // determinism: a second run yields byte-identical PNG buffers
+    val again = MultimodalOps.resizeImagesReal(spark, payloads, 16, 16)
+      .collect().map(r => r.doc_id -> r).toMap
+    Seq(1L, 2L).foreach(id =>
+      assert(java.util.Arrays.equals(out(id).pixels, again(id).pixels)))
+  }
 }
