@@ -14,8 +14,10 @@ import graft.{Engine, Tables}
   * [[decodeImages]]/[[resizeImagesReal]] decode genuine image bytes
   * with no added dependency; MultimodalSpec round-trips generated
   * PNGs/JPEGs and pins the corrupt-payload counting contract. The
-  * AUDIO/VIDEO paths below remain DETERMINISTIC STUBS (the container
-  * truly has no codecs for those): their Spark-side plumbing — binary
+  * AUDIO path is real too — `javax.sound.sampled` decodes WAV/AIFF
+  * PCM ([[decodeAudio]]). Only the VIDEO path below remains a
+  * DETERMINISTIC STUB (the JDK has no video codec): its Spark-side
+  * plumbing — binary
   * column, schema, partition-batched iteration, typed output — is
   * real and tested; swap the fake for a JNI/codec call and nothing
   * else changes.
@@ -78,11 +80,11 @@ object MultimodalOps {
   }
 
   // ---------------------------------------------------------------
-  // REAL image decode — javax.imageio (pure JDK, no added dependency).
-  // The long-standing "this container has no codecs" caveat is only
-  // true for AUDIO/VIDEO: every JDK ships PNG/JPEG/GIF/BMP readers.
-  // So the image half of the multimodal family runs a genuine codec;
-  // the audio/video paths below keep the documented stubs.
+  // REAL codecs — pure JDK, no added dependency. The long-standing
+  // "this container has no codecs" caveat is only true for VIDEO:
+  // every JDK ships PNG/JPEG/GIF/BMP readers (javax.imageio) and
+  // WAV/AIFF PCM parsing (javax.sound.sampled). The video path keeps
+  // its documented stub.
   // ---------------------------------------------------------------
 
   /** Decoded-image feature row. `decoded=false` rows carry zeros: a
@@ -175,6 +177,77 @@ object MultimodalOps {
               javax.imageio.ImageIO.write(out, "png", buf)
               ResizedImage(id, width, height, buf.toByteArray)
             case None => ResizedImage(id, 0, 0, Array.emptyByteArray)
+          }
+        }
+      }
+  }
+
+  /** Decoded-audio feature row — same counted-failure contract as
+    * [[ImageFeature]]. `rms` is sqrt of an exact integer
+    * sum-of-squares over the PCM samples divided by their count;
+    * `peak` is the max absolute sample. */
+  final case class AudioFeature(doc_id: Long, decoded: Boolean,
+      channels: Int, sample_rate: Int, n_frames: Long,
+      duration_ms: Long, rms: Double, peak: Int)
+
+  /** Partition-batched REAL audio decode — `javax.sound.sampled` is
+    * also pure JDK: WAV/AIFF/AU containers with 8- or 16-bit PCM
+    * decode with no added dependency (compressed audio — MP3/AAC —
+    * has no JDK codec and stays out of scope). Feature reduction is
+    * exact integer arithmetic per sample (sum of squares as Long,
+    * max |sample|), one sqrt at the end. Non-audio or non-PCM
+    * payloads are counted `decoded=false`, never thrown — one bad
+    * file among billions must not kill the scan. */
+  def decodeAudio(spark: SparkSession, payloads: DataFrame)
+      : Dataset[AudioFeature] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        it.map { case (id, bytes) =>
+          val fail = AudioFeature(id, decoded = false, 0, 0, 0L, 0L, 0.0, 0)
+          try {
+            val in = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val pcm = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+            if (!pcm || (bits != 8 && bits != 16)) fail
+            else {
+              val data = in.readAllBytes()
+              val ch = fmt.getChannels
+              val bytesPerSample = bits / 8
+              val n = data.length / bytesPerSample
+              var i = 0
+              var sumSq = 0L
+              var peak = 0
+              while (i < n) {
+                val s =
+                  if (bits == 8) {
+                    if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+                      (data(i) & 0xff) - 128
+                    else data(i).toInt
+                  } else {
+                    val off = i * 2
+                    val lo = data(off + (if (fmt.isBigEndian) 1 else 0)) & 0xff
+                    val hi = data(off + (if (fmt.isBigEndian) 0 else 1)).toInt
+                    (hi << 8) | lo
+                  }
+                sumSq += s.toLong * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                i += 1
+              }
+              val frames = n.toLong / ch
+              AudioFeature(id, decoded = true, ch,
+                fmt.getSampleRate.toInt, frames,
+                frames * 1000L / fmt.getSampleRate.toLong,
+                if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), peak)
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => fail
+            case _: java.io.IOException => fail
           }
         }
       }

@@ -142,6 +142,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeAudio: REAL WAV/PCM decode, exact rms/peak, non-audio counted") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // deterministic 16-bit mono PCM: a seeded sawtooth per doc
+    def samples(doc: Int, n: Int): Array[Short] =
+      Array.tabulate(n)(i => (((doc * 7919 + i * 131) % 20001) - 10000).toShort)
+    def wavBytes(s: Array[Short], rate: Float): Array[Byte] = {
+      val raw = new Array[Byte](s.length * 2)
+      s.indices.foreach { i =>
+        raw(i * 2) = (s(i) & 0xff).toByte          // little-endian
+        raw(i * 2 + 1) = ((s(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, s.length.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val docs = (1 to 6).map(i => (i.toLong, samples(i, 4000 + i * 100)))
+    val expected = docs.map { case (id, s) =>
+      val sumSq = s.map(x => x.toLong * x).sum
+      id -> (s.length.toLong, math.sqrt(sumSq.toDouble / s.length),
+        s.map(x => math.abs(x.toInt)).max)
+    }.toMap
+    val payloads = (docs.map { case (id, s) => (id, wavBytes(s, 16000f)) } ++
+      Seq((100L, "definitely not audio".getBytes("UTF-8"))))
+      .toDF("doc_id", "payload")
+    val out = MultimodalOps.decodeAudio(spark, payloads.repartition(3))
+      .collect().map(f => f.doc_id -> f).toMap
+    expected.foreach { case (id, (frames, rms, peak)) =>
+      val f = out(id)
+      assert(f.decoded && f.channels == 1 && f.sample_rate == 16000, s"doc $id")
+      assert(f.n_frames == frames, s"doc $id")
+      assert(f.duration_ms == frames * 1000L / 16000L, s"doc $id")
+      assert(f.rms == rms, s"doc $id: ${f.rms} vs $rms")
+      assert(f.peak == peak, s"doc $id")
+    }
+    assert(!out(100L).decoded && out(100L).n_frames == 0L)
+  }
+
   test("resizeImagesReal: decode→bilinear→PNG round-trip, bounded output, corrupt safe") {
     import spark.implicits._
     val payloads = Seq(
