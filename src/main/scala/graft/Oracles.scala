@@ -2111,5 +2111,53 @@ SELECT user_id,
   CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us,
   CAST(max(e) - min(s) AS BIGINT) AS span_us
 FROM g GROUP BY user_id ORDER BY user_id""",
+
+    // product quantization: per 16-dim subspace, the SAME deterministic
+    // 2-iteration fixed-point Lloyd's as q_ann_ivf_trained (init =
+    // subvectors of vec_id < 8, 25% hash sample, argmin tie to lowest
+    // code), then every vector encoded and the per-sub distances summed
+    // left-to-right
+    "q_pq_codes" -> {
+      import graft.functions.VectorFunctions.l2sqSql
+      import graft.functions.TextFunctions.hashBucket100Sql
+      val fp = "1048576.0"
+      val m = 4; val k = 8; val subDim = 16
+      def subCtes(s: Int): String = {
+        val o = s * subDim
+        val sv = s"list_transform(embedding[${o + 1}:${o + subDim}], " +
+          "x -> CAST(x AS DOUBLE))"
+        val cdims = (0 until subDim).map { d =>
+          s"CAST(sum(CAST(floor(CAST(sv[${d + 1}] AS DOUBLE) * $fp) " +
+            s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
+        }.mkString(",\n    ")
+        def asgn(cent: String, src: String) =
+          s"""SELECT vec_id, sv, code, dist FROM (
+    SELECT e.vec_id, e.sv, c.code, ${l2sqSql("e.sv", "c.centroid")} AS dist,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${l2sqSql("e.sv", "c.centroid")} ASC, c.code) AS rn
+    FROM $src e CROSS JOIN $cent c) a WHERE rn = 1"""
+        s"""s${s}samp AS (
+  SELECT vec_id, $sv AS sv FROM embeddings
+  WHERE ${hashBucket100Sql("vec_id")} < 25),
+s${s}full AS (SELECT vec_id, $sv AS sv FROM embeddings),
+s${s}c0 AS (
+  SELECT CAST(vec_id AS INT) AS code, $sv AS centroid
+  FROM embeddings WHERE vec_id < $k),
+s${s}a1 AS (${asgn(s"s${s}c0", s"s${s}samp")}),
+s${s}c1 AS (SELECT code, [$cdims] AS centroid FROM s${s}a1 GROUP BY code),
+s${s}a2 AS (${asgn(s"s${s}c1", s"s${s}samp")}),
+s${s}c2 AS (SELECT code, [$cdims] AS centroid FROM s${s}a2 GROUP BY code),
+s${s}enc AS (${asgn(s"s${s}c2", s"s${s}full")})"""
+      }
+      s"""WITH ${(0 until m).map(subCtes).mkString(",\n")}
+SELECT e0.vec_id,
+  e0.code AS code_0, e1.code AS code_1, e2.code AS code_2, e3.code AS code_3,
+  e0.dist + e1.dist + e2.dist + e3.dist AS recon_l2sq
+FROM s0enc e0
+JOIN s1enc e1 ON e1.vec_id = e0.vec_id
+JOIN s2enc e2 ON e2.vec_id = e0.vec_id
+JOIN s3enc e3 ON e3.vec_id = e0.vec_id
+ORDER BY e0.vec_id"""
+    },
   )
 }

@@ -118,6 +118,7 @@ object SparkEntry {
     "q_asof_forward" -> EventOps.asofJoinForward _,
     "q_asof_nearest" -> EventOps.asofJoinNearest _,
     "q_idle_gaps" -> ((s: SparkSession, d: String) => EventOps.idleGaps(s, d)),
+    "q_pq_codes" -> ((s: SparkSession, d: String) => VectorOps.pqCodes(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

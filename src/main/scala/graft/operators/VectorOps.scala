@@ -358,6 +358,91 @@ object VectorOps {
     }.reduce(_ unionByName _).orderBy(col("nprobe"))
   }
 
+  /** PRODUCT-QUANTIZATION codebooks — the subvector half of the
+    * IVF-PQ index shape ([[embedQuantize]] is the scalar half): the
+    * 64-dim embedding splits into `m` contiguous subspaces and each
+    * trains its own deterministic fixed-iteration Lloyd's quantizer
+    * with exactly [[kmeansCentroids]]' arithmetic (init = subvectors
+    * of vec_id < k, bit-exact argmin with lowest-code tiebreak,
+    * fixed-point 2²⁰ means, `trainPct` hash-sample, empty cells drop).
+    * Memory math this buys at scale: m·log₂k bits per vector (4
+    * subspaces × 8 codes = 12 bits) versus 64 floats — a ~170×
+    * compression of the index-resident corpus.
+    *
+    * Assignment here is a PURE PROJECTION, not even a broadcast join:
+    * the per-subspace codebook is driver-side model state (m·k·subDim
+    * doubles), embedded as a LITERAL array-of-arrays; each row
+    * evaluates its m·k distances inside whole-stage codegen and takes
+    * the argmin via array_position-on-min (first index == lowest code,
+    * matching the oracle's (dist, code) window order). Zero shuffle
+    * anywhere in train-assign or encode — the shape a 100 TB encode
+    * pass needs.
+    *
+    * NB EAGER like [[kmeansCentroids]]: returns model state
+    * `(code, centroid)` per subspace, runs jobs when called. */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
+      trainPct: Int = 25): Seq[Seq[(Int, Seq[Double])]] = {
+    import graft.functions.TextFunctions.hashBucket100
+    require(m > 0 && Dims % m == 0, s"m must divide $Dims")
+    val subDim = Dims / m
+    val Fp = 1048576.0 // 2^20, same fixed point as kmeansCentroids
+    val train = if (trainPct >= 100) emb
+      else emb.filter(hashBucket100(col("vec_id")) < trainPct)
+    (0 until m).map { s =>
+      val svOf = (c: Column) => slice(c, s * subDim + 1, subDim)
+      val tr = train.select(svOf(col("embedding")).as("sv"))
+      val dims = (0 until subDim).map { d =>
+        (sum(floor(element_at(col("sv"), d + 1).cast("double") * Fp))
+          .cast("double") / Fp / count(lit(1))).as(s"c$d")
+      }
+      def collected(df: DataFrame): Seq[(Int, Seq[Double])] =
+        df.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+          .sortBy(_._1).toSeq
+      val init = collected(emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("code"),
+          transform(svOf(col("embedding")), x => x.cast("double"))
+            .as("centroid")))
+      (1 to iters).foldLeft(init) { (cents, _) =>
+        val cbLit = array(cents.map(c => array(c._2.map(lit): _*)): _*)
+        val codesLit = array(cents.map(c => lit(c._1)): _*)
+        collected(tr
+          .withColumn("_ds", transform(cbLit, c => l2sqHof(col("sv"), c)))
+          .withColumn("code", element_at(codesLit,
+            array_position(col("_ds"), array_min(col("_ds"))).cast("int")))
+          .groupBy(col("code")).agg(dims.head, dims.tail: _*)
+          .select(col("code"),
+            array((0 until subDim).map(d => col(s"c$d")): _*).as("centroid")))
+      }
+    }
+  }
+
+  /** `q_pq_codes`: every embedding PQ-encoded — one code per subspace
+    * plus the exact reconstruction error Σ_s ‖sv_s − centroid(code_s)‖²
+    * (per-sub distances added left-to-right, oracle-mirrored). The
+    * whole encode is one codegen'd projection over the scan: no join,
+    * no shuffle (PlanSpec-pinned). */
+  def pqCodes(spark: SparkSession, sfDir: String, m: Int = 4, k: Int = 8,
+      iters: Int = 2, trainPct: Int = 25): DataFrame = {
+    Engine.configure(spark)
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+    val books = pqCodebooks(emb, m, k, iters, trainPct)
+    val subDim = Dims / m
+    val encoded = (0 until m).foldLeft(
+        emb.select(col("vec_id"), col("embedding"))) { (acc, s) =>
+      val sv = slice(col("embedding"), s * subDim + 1, subDim)
+      val cbLit = array(books(s).map(c => array(c._2.map(lit): _*)): _*)
+      val codesLit = array(books(s).map(c => lit(c._1)): _*)
+      acc.withColumn(s"_ds$s", transform(cbLit, c => l2sqHof(sv, c)))
+        .withColumn(s"d_$s", array_min(col(s"_ds$s")))
+        .withColumn(s"code_$s", element_at(codesLit,
+          array_position(col(s"_ds$s"), col(s"d_$s")).cast("int")))
+    }
+    encoded.select(col("vec_id") +:
+      (0 until m).map(s => col(s"code_$s")) :+
+      (0 until m).map(s => col(s"d_$s")).reduce(_ + _).as("recon_l2sq"): _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Symmetric int8 embedding quantization report — the 4× memory /
     * bandwidth lever an ANN index at 100 TB actually deploys — with
     * per-vector reconstruction error so a curator can decide whether

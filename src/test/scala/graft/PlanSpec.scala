@@ -378,6 +378,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("pqCodes: encode is a pure projection — literal codebooks, no join, no hash exchange") {
+    val plan = planString(VectorOps.pqCodes(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("pct-of-total is the broadcast cross-join shape: no window, reused exchange") {
     // round-2 VERDICT item 8: the empty-over() window form moved the
     // (tiny) aggregated relation to a single partition and spammed

@@ -507,4 +507,40 @@ class TextVectorSpec extends SparkSpec {
     assert(hashed.count() == 2)
     assert(hashed.filter($"count" === 2).count() == 1)
   }
+
+  test("pqCodes: codes from trained books, recon error recomputed exactly, argmin true") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = VectorOps.pqCodebooks(emb)
+    assert(books.size == 4)
+    books.foreach { book =>
+      assert(book.nonEmpty && book.size <= 8)
+      book.foreach { case (code, cent) =>
+        assert(code >= 0 && code < 8 && cent.size == 16)
+        assert(cent.forall(d => !d.isNaN && !d.isInfinite))
+      }
+    }
+    val rows = VectorOps.pqCodes(spark, sfDir).collect()
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val recon = (0 until 4).map { s =>
+        val sv = v.slice(s * 16, (s + 1) * 16)
+        val code = r.getAs[Int](s"code_$s")
+        // the assigned code must exist in the book AND be a true argmin
+        val dists = books(s).map { case (c, cent) =>
+          c -> sv.zip(cent).map { case (x, y) =>
+            (x.toDouble - y) * (x.toDouble - y) }.sum
+        }
+        val dmin = dists.map(_._2).min
+        assert(dists.find(_._2 == dmin).get._1 == code,
+          s"vec ${r.getAs[Long]("vec_id")} sub $s")
+        dmin
+      }.reduce(_ + _)
+      assert(r.getAs[Double]("recon_l2sq") == recon,
+        s"vec ${r.getAs[Long]("vec_id")}")
+    }
+  }
 }
