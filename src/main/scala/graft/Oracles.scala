@@ -2117,26 +2117,76 @@ FROM g GROUP BY user_id ORDER BY user_id""",
     // subvectors of vec_id < 8, 25% hash sample, argmin tie to lowest
     // code), then every vector encoded and the per-sub distances summed
     // left-to-right
-    "q_pq_codes" -> {
+    "q_pq_codes" ->
+      s"""WITH ${(0 until 4).map(pqSubCtes).mkString(",\n")}
+SELECT e0.vec_id,
+  e0.code AS code_0, e1.code AS code_1, e2.code AS code_2, e3.code AS code_3,
+  e0.dist + e1.dist + e2.dist + e3.dist AS recon_l2sq
+FROM s0enc e0
+JOIN s1enc e1 ON e1.vec_id = e0.vec_id
+JOIN s2enc e2 ON e2.vec_id = e0.vec_id
+JOIN s3enc e3 ON e3.vec_id = e0.vec_id
+ORDER BY e0.vec_id""",
+
+    // ADC search over the PQ codes: per (query, sub) a distance table
+    // against the trained centroids; each corpus vector scores as the
+    // left-to-right sum of its codes' table entries
+    "q_ann_pq" -> {
       import graft.functions.VectorFunctions.l2sqSql
-      import graft.functions.TextFunctions.hashBucket100Sql
-      val fp = "1048576.0"
-      val m = 4; val k = 8; val subDim = 16
-      def subCtes(s: Int): String = {
-        val o = s * subDim
-        val sv = s"list_transform(embedding[${o + 1}:${o + subDim}], " +
+      val dts = (0 until 4).map { s =>
+        val o = s * 16
+        val qsv = s"list_transform(embedding[${o + 1}:${o + 16}], " +
           "x -> CAST(x AS DOUBLE))"
-        val cdims = (0 until subDim).map { d =>
-          s"CAST(sum(CAST(floor(CAST(sv[${d + 1}] AS DOUBLE) * $fp) " +
-            s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
-        }.mkString(",\n    ")
-        def asgn(cent: String, src: String) =
-          s"""SELECT vec_id, sv, code, dist FROM (
+        s"""q$s AS (
+  SELECT vec_id AS query_id, $qsv AS qsv FROM embeddings WHERE vec_id < 5),
+dt$s AS (
+  SELECT q.query_id, c.code, ${l2sqSql("q.qsv", "c.centroid")} AS d
+  FROM q$s q CROSS JOIN s${s}c2 c)"""
+      }.mkString(",\n")
+      s"""WITH ${(0 until 4).map(pqSubCtes).mkString(",\n")},
+$dts,
+scored AS (
+  SELECT d0.query_id, e0.vec_id,
+    d0.d + d1.d + d2.d + d3.d AS adc_dist
+  FROM s0enc e0
+  JOIN s1enc e1 ON e1.vec_id = e0.vec_id
+  JOIN s2enc e2 ON e2.vec_id = e0.vec_id
+  JOIN s3enc e3 ON e3.vec_id = e0.vec_id
+  JOIN dt0 d0 ON d0.code = e0.code
+  JOIN dt1 d1 ON d1.code = e1.code AND d1.query_id = d0.query_id
+  JOIN dt2 d2 ON d2.code = e2.code AND d2.query_id = d0.query_id
+  JOIN dt3 d3 ON d3.code = e3.code AND d3.query_id = d0.query_id
+  WHERE e0.vec_id <> d0.query_id)
+SELECT query_id, vec_id, adc_dist, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc_dist ASC, vec_id) AS rnk FROM scored) r
+WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
+  )
+
+  /** The per-subspace PQ training chain shared by q_pq_codes and
+    * q_ann_pq: 25% hash-sample, init = subvectors of vec_id < 8, two
+    * fixed-point Lloyd's iterations, full-corpus encode — mirroring
+    * [[graft.operators.VectorOps.pqCodebooks]] exactly. */
+  private def pqSubCtes(s: Int): String = {
+    import graft.functions.VectorFunctions.l2sqSql
+    import graft.functions.TextFunctions.hashBucket100Sql
+    val fp = "1048576.0"
+    val k = 8; val subDim = 16
+    val o = s * subDim
+    val sv = s"list_transform(embedding[${o + 1}:${o + subDim}], " +
+      "x -> CAST(x AS DOUBLE))"
+    val cdims = (0 until subDim).map { d =>
+      s"CAST(sum(CAST(floor(CAST(sv[${d + 1}] AS DOUBLE) * $fp) " +
+        s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
+    }.mkString(",\n    ")
+    def asgn(cent: String, src: String) =
+      s"""SELECT vec_id, sv, code, dist FROM (
     SELECT e.vec_id, e.sv, c.code, ${l2sqSql("e.sv", "c.centroid")} AS dist,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY ${l2sqSql("e.sv", "c.centroid")} ASC, c.code) AS rn
     FROM $src e CROSS JOIN $cent c) a WHERE rn = 1"""
-        s"""s${s}samp AS (
+    s"""s${s}samp AS (
   SELECT vec_id, $sv AS sv FROM embeddings
   WHERE ${hashBucket100Sql("vec_id")} < 25),
 s${s}full AS (SELECT vec_id, $sv AS sv FROM embeddings),
@@ -2148,16 +2198,5 @@ s${s}c1 AS (SELECT code, [$cdims] AS centroid FROM s${s}a1 GROUP BY code),
 s${s}a2 AS (${asgn(s"s${s}c1", s"s${s}samp")}),
 s${s}c2 AS (SELECT code, [$cdims] AS centroid FROM s${s}a2 GROUP BY code),
 s${s}enc AS (${asgn(s"s${s}c2", s"s${s}full")})"""
-      }
-      s"""WITH ${(0 until m).map(subCtes).mkString(",\n")}
-SELECT e0.vec_id,
-  e0.code AS code_0, e1.code AS code_1, e2.code AS code_2, e3.code AS code_3,
-  e0.dist + e1.dist + e2.dist + e3.dist AS recon_l2sq
-FROM s0enc e0
-JOIN s1enc e1 ON e1.vec_id = e0.vec_id
-JOIN s2enc e2 ON e2.vec_id = e0.vec_id
-JOIN s3enc e3 ON e3.vec_id = e0.vec_id
-ORDER BY e0.vec_id"""
-    },
-  )
+  }
 }

@@ -119,6 +119,7 @@ object SparkEntry {
     "q_asof_nearest" -> EventOps.asofJoinNearest _,
     "q_idle_gaps" -> ((s: SparkSession, d: String) => EventOps.idleGaps(s, d)),
     "q_pq_codes" -> ((s: SparkSession, d: String) => VectorOps.pqCodes(s, d)),
+    "q_ann_pq" -> ((s: SparkSession, d: String) => VectorOps.annPq(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

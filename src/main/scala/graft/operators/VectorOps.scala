@@ -416,6 +416,23 @@ object VectorOps {
     }
   }
 
+  /** The shared PQ encode projection: adds `code_s` (argmin code) and
+    * `d_s` (its distance) per subspace — all from literal codebooks,
+    * no join, no shuffle. */
+  private def pqEncodeCols(df: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]], m: Int): DataFrame = {
+    val subDim = Dims / m
+    (0 until m).foldLeft(df) { (acc, s) =>
+      val sv = slice(col("embedding"), s * subDim + 1, subDim)
+      val cbLit = array(books(s).map(c => array(c._2.map(lit): _*)): _*)
+      val codesLit = array(books(s).map(c => lit(c._1)): _*)
+      acc.withColumn(s"_ds$s", transform(cbLit, c => l2sqHof(sv, c)))
+        .withColumn(s"d_$s", array_min(col(s"_ds$s")))
+        .withColumn(s"code_$s", element_at(codesLit,
+          array_position(col(s"_ds$s"), col(s"d_$s")).cast("int")))
+    }
+  }
+
   /** `q_pq_codes`: every embedding PQ-encoded — one code per subspace
     * plus the exact reconstruction error Σ_s ‖sv_s − centroid(code_s)‖²
     * (per-sub distances added left-to-right, oracle-mirrored). The
@@ -426,21 +443,56 @@ object VectorOps {
     Engine.configure(spark)
     val emb = Engine.spread(Tables.embeddings(spark, sfDir))
     val books = pqCodebooks(emb, m, k, iters, trainPct)
-    val subDim = Dims / m
-    val encoded = (0 until m).foldLeft(
-        emb.select(col("vec_id"), col("embedding"))) { (acc, s) =>
-      val sv = slice(col("embedding"), s * subDim + 1, subDim)
-      val cbLit = array(books(s).map(c => array(c._2.map(lit): _*)): _*)
-      val codesLit = array(books(s).map(c => lit(c._1)): _*)
-      acc.withColumn(s"_ds$s", transform(cbLit, c => l2sqHof(sv, c)))
-        .withColumn(s"d_$s", array_min(col(s"_ds$s")))
-        .withColumn(s"code_$s", element_at(codesLit,
-          array_position(col(s"_ds$s"), col(s"d_$s")).cast("int")))
-    }
-    encoded.select(col("vec_id") +:
-      (0 until m).map(s => col(s"code_$s")) :+
-      (0 until m).map(s => col(s"d_$s")).reduce(_ + _).as("recon_l2sq"): _*)
+    pqEncodeCols(emb.select(col("vec_id"), col("embedding")), books, m)
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"code_$s")) :+
+        (0 until m).map(s => col(s"d_$s")).reduce(_ + _).as("recon_l2sq"): _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** `q_ann_pq`: ANN search over the COMPRESSED codes — asymmetric
+    * distance computation (ADC), the actual payoff of PQ: the query
+    * keeps its full vector, the corpus is just m small ints per row,
+    * and dist(q, v) ≈ Σ_s ‖q_sv − centroid_s(code_s(v))‖². Per scored
+    * row that is ONE subspace distance per s against the centroid the
+    * code indexes — looked up in the literal codebook (`element_at` by
+    * code id), never a join to a centroid table; the only join is the
+    * broadcast of the (few) query rows. At 100 TB the scan side reads
+    * m bytes of codes per vector instead of 256 bytes of floats — the
+    * memory-bandwidth win that makes exhaustive ADC scans feasible.
+    * Top-k per query by (adc_dist, vec_id) — deterministic, oracle-
+    * mirrored; self-matches excluded like the whole ann family. */
+  def annPq(spark: SparkSession, sfDir: String, k: Int = 5, m: Int = 4,
+      kCodes: Int = 8, iters: Int = 2, trainPct: Int = 25): DataFrame = {
+    Engine.configure(spark)
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+    val books = pqCodebooks(emb, m, kCodes, iters, trainPct)
+    val subDim = Dims / m
+    val enc = pqEncodeCols(emb.select(col("vec_id"), col("embedding")),
+        books, m)
+      .select(col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // full codebook indexed BY CODE ID (1-based element_at): codes that
+    // dropped empty during training never appear in `enc`, their zero
+    // placeholder rows are unreachable
+    def cbByCode(s: Int): Column = {
+      val byCode = books(s).toMap
+      array((0 until kCodes).map(c =>
+        array(byCode.getOrElse(c, Seq.fill(subDim)(0.0)).map(lit): _*)): _*)
+    }
+    val adc = (0 until m).map { s =>
+      l2sqHof(slice(col("qv"), s * subDim + 1, subDim),
+        element_at(cbByCode(s), col(s"code_$s") + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    enc.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Symmetric int8 embedding quantization report — the 4× memory /

@@ -543,4 +543,45 @@ class TextVectorSpec extends SparkSpec {
         s"vec ${r.getAs[Long]("vec_id")}")
     }
   }
+
+  test("annPq: ADC distances recompute exactly from codes + books; true top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = VectorOps.pqCodebooks(emb)
+    val codes = VectorOps.pqCodes(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until 4).map(s => r.getAs[Int](s"code_$s"))).toMap
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def adc(q: Array[Float], vid: Long): Double =
+      (0 until 4).map { s =>
+        val qsv = q.slice(s * 16, (s + 1) * 16)
+        val cent = books(s).toMap.apply(codes(vid)(s))
+        qsv.zip(cent).map { case (x, y) =>
+          (x.toDouble - y) * (x.toDouble - y) }.sum
+      }.reduce(_ + _)
+    val rows = VectorOps.annPq(spark, sfDir).collect()
+    assert(rows.length == 25) // 5 queries x k=5
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == (0L until 5L).toSet)
+    byQuery.foreach { case (qid, rs) =>
+      val q = vecs(qid)
+      // reported distances recompute exactly, ranks sort by (dist, id)
+      rs.foreach { r =>
+        assert(r.getAs[Double]("adc_dist") == adc(q, r.getAs[Long]("vec_id")),
+          s"query $qid vec ${r.getAs[Long]("vec_id")}")
+      }
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Double]("adc_dist"), r.getAs[Long]("vec_id")))
+      assert(sorted.sameElements(sorted.sorted), s"query $qid")
+      // and it IS the global top-k over every candidate
+      val kth = sorted.last
+      val ord = implicitly[Ordering[(Double, Long)]]
+      vecs.keys.filter(_ != qid).foreach { vid =>
+        val d = adc(q, vid)
+        assert(ord.gteq((d, vid), kth) || sorted.contains((d, vid)),
+          s"query $qid missed vec $vid")
+      }
+    }
+  }
 }
