@@ -703,6 +703,23 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 ORDER BY 1""",
 
+    // TPC-H Q3 shape: segment-filtered customers x date-filtered
+    // orders x shipdate-filtered lineitem, exact-decimal revenue,
+    // deterministic top-10 (revenue DESC, order key)
+    "q_shipping_priority" -> """SELECT l.l_orderkey, o.o_orderdate,
+  o.o_orderpriority,
+  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10""",
+
     "q_token_stats" -> """SELECT lang,
   count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

@@ -132,4 +132,38 @@ object Checks {
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** `q_shipping_priority`: the TPC-H Q3 shape — the canonical
+    * three-way join the relational surface should plan well at scale:
+    * the filtered customer dimension BROADCASTS onto orders (dim ∝
+    * one segment of customers), that result hash-joins lineitem on
+    * the fact key, and the top-k is TakeOrderedAndProject — never a
+    * global sort of the aggregate. Revenue sums the per-row double
+    * product through the exact Decimal(38,6) accumulator
+    * ([[graft.functions.Exact.dsumWide]]) so the hash compare holds
+    * across partitionings and engines; ties (unlikely doubles) break
+    * on the order key for a deterministic top-10. */
+  def shippingPriority(spark: SparkSession, sfDir: String,
+      segment: String = "BUILDING", cutoff: String = "1996-03-15",
+      k: Int = 10): DataFrame = {
+    Engine.configure(spark)
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val orders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val lines = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(lines, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+  }
 }

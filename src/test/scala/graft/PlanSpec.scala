@@ -378,6 +378,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("shippingPriority: dimension broadcasts, date filters pushed, top-k never global-sorts") {
+    val df = Checks.shippingPriority(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan) // top-10, no full sort
+    assert(plan.contains("BroadcastHashJoin"), plan)      // filtered dim side
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both date predicates reach the parquet scans
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      plan.contains("LessThan(o_orderdate"), plan)
+    assert(plan.contains("GreaterThan(l_shipdate"), plan)
+  }
+
   test("pqCodes: encode is a pure projection — literal codebooks, no join, no hash exchange") {
     val plan = planString(VectorOps.pqCodes(spark, sfDir))
     assert(!plan.contains("Join"), plan)
