@@ -394,6 +394,39 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeOf == Spark's native session_window on the real table") {
+    // semantic cross-check against the engine's own session operator:
+    // session_window(ts, gap) merges an event iff ts < last + gap
+    // (half-open), ours iff ts - last <= gap (closed) — they agree on
+    // every input with no inter-arrival EXACTLY equal to the gap, so
+    // first prove the fixture slice has none, then require identical
+    // sessions: window.start == session_start, window.end ==
+    // session_end + gap, same event counts
+    val ev = Tables.events(spark, sfDir).filter($"user_id" < 50)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+    val gapUs = 1800L * 1000000L
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val exactGapPairs = ev
+      .withColumn("prev", lag(unix_micros($"ts"), 1).over(ord))
+      .filter(unix_micros($"ts") - $"prev" === gapUs).count()
+    assert(exactGapPairs == 0L, "fixture grew an exact-gap tie; pick another slice")
+    val ours = EventOps.sessionizeOf(ev, "user_id", "ts", "event_id",
+        1800L, "value")
+      .select($"user_id", unix_micros($"session_start").as("s"),
+        unix_micros($"session_end").as("e"), $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val native = ev
+      .groupBy($"user_id", session_window($"ts", "1800 seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"w.start").as("s"),
+        (unix_micros($"w.end") - gapUs).as("e"), $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(ours.nonEmpty && ours == native)
+  }
+
   test("sessionize: session count and totals reconcile with the raw table") {
     val raw = Tables.events(spark, sfDir)
     val sessions = EventOps.sessionize(spark, sfDir)
