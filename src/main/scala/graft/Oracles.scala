@@ -147,7 +147,27 @@ SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INT) AS rank FROM (
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
   // lazy: `base` is declared below (initialization order)
-  lazy val all: Map[String, String] = base + ("q_ann_recall" ->
+  lazy val all: Map[String, String] = base + ("q_pq_recall" -> {
+    import graft.functions.VectorFunctions.l2sqSql
+    // ADC recall vs the EXACT-L2 brute-force ground truth (ADC
+    // approximates squared L2, so L2 is the ranking it is judged on)
+    s"""WITH bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY ${l2sqSql("q.qv", "e.embedding")} ASC, e.vec_id) AS rnk
+    FROM (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5) q
+    CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id) x
+  WHERE rnk <= 5),
+pq AS (SELECT query_id, vec_id FROM (${base("q_ann_pq")}))
+SELECT bf.query_id, count(pq.vec_id) AS n_hit,
+  CAST(count(pq.vec_id) AS DOUBLE) / 5.0 AS recall
+FROM bf LEFT JOIN pq
+  ON pq.query_id = bf.query_id AND pq.vec_id = bf.vec_id
+GROUP BY bf.query_id ORDER BY bf.query_id"""
+  }) + ("q_ann_recall" ->
     // index-quality evaluation: recall@5 of the IVF index against the
     // brute-force ground truth, composed from the two oracle pipelines
     s"""WITH bf AS (${"\n"}SELECT * FROM (${base("q_ann_bruteforce")})),

@@ -121,6 +121,7 @@ object SparkEntry {
     "q_pq_codes" -> ((s: SparkSession, d: String) => VectorOps.pqCodes(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => VectorOps.annPq(s, d)),
     "q_shipping_priority" -> ((s: SparkSession, d: String) => Checks.shippingPriority(s, d)),
+    "q_pq_recall" -> ((s: SparkSession, d: String) => VectorOps.pqRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -170,6 +170,43 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** `q_pq_recall`: recall@k of the ADC search ([[annPq]]) against the
+    * EXACT-L2 brute-force ground truth — the PQ quality meter, the
+    * [[annRecall]] analog for the compressed index (ground truth is L2,
+    * not cosine: ADC approximates squared-L2 distance, so that is the
+    * ranking it must be judged against). Prices the 170× compression
+    * in lost neighbors; tune m/k against this number. On the fixture
+    * it reads 0.0–0.4: 12 bits/vector over 64 near-random synthetic
+    * dims is deliberately aggressive, and unclustered data is PQ's
+    * worst case — which is precisely the honest story a quality meter
+    * exists to tell (production embeddings cluster; raise m for more
+    * bits when the meter says so). */
+  def pqRecall(spark: SparkSession, sfDir: String, k: Int = 5)
+      : DataFrame = {
+    import graft.functions.Exact.countIf
+    Engine.configure(spark)
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("vec_id"))
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__d", l2sq(col("qv"), col("embedding")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val pq = annPq(spark, sfDir, k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+    exact.join(pq, Seq("query_id", "vec_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(countIf(col("__hit").isNotNull).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Squared L2 distance — the native codegen'd
     * [[graft.expressions.VectorL2Sq]], whose widen/subtract/square/
     * accumulate-left-to-right order is exactly the DuckDB oracle's
