@@ -715,6 +715,19 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2
 ORDER BY 1, 2""",
 
+    // ROLLUP subtotals over the geo hierarchy; grouping id
+    // disambiguates subtotal NULLs; ordering coalesces names because
+    // Spark sorts NULLS FIRST and DuckDB NULLS LAST
+    "q_geo_cube" -> """SELECT r_name, n_name,
+  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+  count(*) AS n_customers,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY gid, COALESCE(r_name, ''), COALESCE(n_name, '')""",
+
     "q_fact_join" -> """SELECT o_orderpriority,
   count(*) AS n_lines,
   count(DISTINCT l_orderkey) AS n_orders,

@@ -122,6 +122,7 @@ object SparkEntry {
     "q_ann_pq" -> ((s: SparkSession, d: String) => VectorOps.annPq(s, d)),
     "q_shipping_priority" -> ((s: SparkSession, d: String) => Checks.shippingPriority(s, d)),
     "q_pq_recall" -> ((s: SparkSession, d: String) => VectorOps.pqRecall(s, d)),
+    "q_geo_cube" -> Checks.geoCube _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -116,6 +116,32 @@ object Checks {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** `q_geo_cube`: [[geoRollup]]'s hierarchy with ROLLUP subtotals —
+    * per (region, nation), per region, and the grand total in one
+    * grouping-sets aggregate (one pass over the input; Spark plans the
+    * Expand + single hash aggregate this actually wants — row
+    * multiplication ∝ 3 grouping sets is the POINT here, unlike the
+    * multi-distinct Expand the rewrite rule removes). `grouping_id`
+    * disambiguates a real NULL key from a subtotal row; ordering is on
+    * (grouping_id, coalesced names) because Spark sorts NULLS FIRST
+    * and DuckDB NULLS LAST — coalescing to '' removes the engine
+    * disagreement instead of papering over it per query. */
+  def geoCube(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("gid"), coalesce(col("r_name"), lit("")),
+        coalesce(col("n_name"), lit("")))
+  }
+
   /** SURVEY.md §7.1 fact-fact join: lineitem ⋈ orders on the order key.
     * Both sides shuffle-hash/sort-merge on o_orderkey at scale; AQE picks
     * the physical join. Revenue goes through the exact-decimal path. */

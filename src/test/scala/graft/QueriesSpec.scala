@@ -34,6 +34,25 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(pctSum - 100.0) < 0.1)
   }
 
+  test("geoCube: ROLLUP subtotals reconcile level by level") {
+    val rows = operators.Checks.geoCube(spark, sfDir).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 3L)) // detail, region, grand
+    def totals(gid: Long) =
+      byGid(gid).map(_.getAs[Long]("n_customers")).sum
+    // every level covers the same population; the grand row is one row
+    assert(totals(0L) == totals(1L) && totals(1L) == totals(3L))
+    assert(byGid(3L).length == 1)
+    assert(totals(3L) == Tables.customer(spark, sfDir).count())
+    // each region subtotal equals the sum of its detail rows
+    val detailByRegion = byGid(0L).groupBy(_.getAs[String]("r_name"))
+    byGid(1L).foreach { r =>
+      val region = r.getAs[String]("r_name")
+      assert(r.getAs[Long]("n_customers") ==
+        detailByRegion(region).map(_.getAs[Long]("n_customers")).sum, region)
+    }
+  }
+
   test("recent_activity arms are monotonically inclusive") {
     val rows = operators.GoldViews.recentActivity(spark, sfDir)
       .orderBy("period_order").collect()
