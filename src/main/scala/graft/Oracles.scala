@@ -715,6 +715,37 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2
 ORDER BY 1, 2""",
 
+    // pivot = conditional aggregation written longhand (engine-neutral;
+    // DuckDB's PIVOT syntax would also work but this form is exact)
+    "q_segment_pivot" -> """SELECT r_name,
+  count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS "BUILDING",
+  count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS "FURNITURE",
+  count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+  count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS "MACHINERY"
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name""",
+
+    // the unpivoted long form comes straight from GROUP BY over the
+    // full (region x segment) domain — zero cells kept via the
+    // region x segment cross join
+    "q_region_unpivot" -> """WITH segs AS (
+  SELECT unnest(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+    'MACHINERY']) AS segment),
+counts AS (
+  SELECT r_name, c_mktsegment AS segment, count(*) AS n
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, c_mktsegment)
+SELECT r.r_name, s.segment,
+  COALESCE(c.n, 0) AS n_customers
+FROM region r CROSS JOIN segs s
+LEFT JOIN counts c ON c.r_name = r.r_name AND c.segment = s.segment
+ORDER BY r.r_name, s.segment""",
+
     // ROLLUP subtotals over the geo hierarchy; grouping id
     // disambiguates subtotal NULLs; ordering coalesces names because
     // Spark sorts NULLS FIRST and DuckDB NULLS LAST

@@ -123,6 +123,8 @@ object SparkEntry {
     "q_shipping_priority" -> ((s: SparkSession, d: String) => Checks.shippingPriority(s, d)),
     "q_pq_recall" -> ((s: SparkSession, d: String) => VectorOps.pqRecall(s, d)),
     "q_geo_cube" -> Checks.geoCube _,
+    "q_segment_pivot" -> Checks.segmentPivot _,
+    "q_region_unpivot" -> Checks.regionUnpivot _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -142,6 +142,46 @@ object Checks {
         coalesce(col("n_name"), lit("")))
   }
 
+  /** `q_segment_pivot`: customers per region PIVOTed by market
+    * segment into columns — the wide dashboard shape. The segment
+    * domain is passed EXPLICITLY (`pivot(col, values)`): at 100 TB the
+    * implicit form runs a distinct-collect job over the fact table
+    * just to learn the columns, and a domain drift silently reshapes
+    * the output schema; the explicit list is one scan cheaper and
+    * schema-stable. Spark compiles this to the same conditional-
+    * aggregation the oracle writes out longhand. */
+  def segmentPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .pivot("c_mktsegment", segments)
+      .agg(count(lit(1)))
+      .orderBy(col("r_name"))
+  }
+
+  /** `q_region_unpivot`: [[segmentPivot]]'s inverse — the wide frame
+    * melted back to (region, segment, n_customers) long form via
+    * `unpivot` (Spark 3.4+'s melt). Pivot→unpivot round-trips the
+    * original grouped counts, which is exactly what the oracle checks
+    * (its long form comes straight from GROUP BY). Zero-count cells
+    * survive the round trip as 0 rows — unpivot keeps them — so the
+    * shape is lossless. */
+  def regionUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")
+    segmentPivot(spark, sfDir)
+      .unpivot(Array(col("r_name")), segments.map(col).toArray,
+        "segment", "n_customers")
+      .orderBy(col("r_name"), col("segment"))
+  }
+
   /** SURVEY.md §7.1 fact-fact join: lineitem ⋈ orders on the order key.
     * Both sides shuffle-hash/sort-merge on o_orderkey at scale; AQE picks
     * the physical join. Revenue goes through the exact-decimal path. */
