@@ -468,6 +468,18 @@ object VectorOps {
     }
   }
 
+  /** PQ-encode a caller-supplied `(…, embedding)` frame against
+    * already-trained books: codes + per-sub distances, all from
+    * literal codebooks — a STATELESS projection, so it runs unchanged
+    * on a streaming DataFrame (train batch-side, encode the live
+    * stream; StreamingSpec pins streamed == batch codes). */
+  def pqEncode(df: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+      m: Int = 4): DataFrame = {
+    val e = pqEncodeCols(df, books, m)
+    e.select(df.columns.filterNot(_ == "embedding").map(col).toSeq ++
+      (0 until m).map(s => col(s"code_$s")): _*)
+  }
+
   /** The shared PQ encode projection: adds `code_s` (argmin code) and
     * `d_s` (its distance) per subspace — all from literal codebooks,
     * no join, no shuffle. */

@@ -616,6 +616,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pqEncode: the literal-codebook encode runs unchanged on a stream") {
+    import graft.operators.VectorOps
+    val src = tmp("pq_stream")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).limit(200)
+    emb.coalesce(2).write.mode("overwrite").parquet(src)
+    // train batch-side (model state), encode the stream with the same
+    // stateless projection
+    val books = VectorOps.pqCodebooks(Tables.embeddings(spark, sfDir))
+    val batch = VectorOps.pqEncode(spark.read.parquet(src), books)
+      .collect().map(_.toSeq).toSet
+    val schema = spark.read.parquet(src).schema
+    val streamed = VectorOps.pqEncode(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src), books)
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pq_stream").collect().map(_.toSeq).toSet
+      assert(got == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bronzeCsvStream: AvailableNow incremental ingest with metadata") {
     val src = tmp("csv_stream")
     val sink = tmp("bronze_stream")
