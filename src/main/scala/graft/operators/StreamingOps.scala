@@ -526,6 +526,105 @@ object StreamingOps {
     joined.select(outCols: _*)
   }
 
+  /** Event for the stream-stream as-of join: probes and references
+    * union into ONE keyed stream with a marker. */
+  case class AsofEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      event_id: Long, is_probe: Boolean, value: Double)
+  /** Per-key as-of state: references still relevant for future probes
+    * and probes awaiting finality. */
+  case class AsofState(refs: Seq[(Long, Long, Double)], // (ts_us, id, value)
+      probes: Seq[(Long, Long)]) // (ts_us, id)
+  case class AsofOut(event_id: Long, user_id: Long, ts_us: Long,
+      ref_event_id: Option[Long], ref_ts_us: Option[Long],
+      ref_value: Option[Double])
+
+  /** Stream-STREAM left AS-OF join — both probes and references live.
+    * The batch operator's union-marker window cannot stream (a running
+    * last over event time is an unsupported streaming sort), so this
+    * is the stateful form: per key, arriving references buffer;
+    * arriving probes buffer until the WATERMARK passes their event
+    * time — at that instant every reference at-or-before the probe has
+    * provably arrived (a later one would be late and is dropped), so
+    * the match is FINAL: emit the latest reference with `ref.ts <=
+    * probe.ts` (same-ts ties to the larger id — exactly the batch
+    * [[EventOps.asofJoinOf]] contract), or NULL columns if none (left
+    * semantics).
+    *
+    * State is bounded by the SAME argument that finalizes matches:
+    * probes live only until the watermark passes them; references at
+    * or below the watermark collapse to the single LATEST one (any
+    * future probe has ts above the watermark, so only the max of the
+    * older refs can ever win), references above it are within-horizon
+    * by definition. Late rows on either side are dropped explicitly
+    * (flatMapGroupsWithState does NOT pre-filter late input — the
+    * sessionizer's lesson applied here from day one). Event-time
+    * timeouts re-fire a key whose pending probes outlive its input.
+    * Works only as a stream (batch callers want the batch operator —
+    * with no watermark nothing ever finalizes; parity is pinned by
+    * StreamingSpec streamed == batch). */
+  def asofJoinStreamStream(probes: DataFrame, refs: DataFrame,
+      probesDelay: String, refsDelay: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val p = probes.withWatermark("ts", probesDelay)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"),
+        lit(true).as("is_probe"), lit(0.0).as("value"))
+    val r = refs.withWatermark("ts", refsDelay)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"),
+        lit(false).as("is_probe"), col("value").cast("double").as("value"))
+    val out = p.unionByName(r).as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            // admit in-watermark arrivals only (explicit late drop)
+            it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (e.ts_us >= wmUs) {
+                if (e.is_probe) st = st.copy(probes = st.probes :+ ((e.ts_us, e.event_id)))
+                else st = st.copy(refs = st.refs :+ ((e.ts_us, e.event_id, e.value)))
+              }
+            }
+          }
+          // finalize every probe the watermark has passed
+          val (ready, pending) = st.probes.partition(_._1 < wmUs)
+          val emitted = ready.sortBy(identity).map { case (pts, pid) =>
+            val best = st.refs.filter(_._1 <= pts)
+              .sortBy(r => (r._1, r._2)).lastOption
+            AsofOut(pid, key, pts, best.map(_._2), best.map(_._1),
+              best.map(_._3))
+          }
+          // collapse refs below the watermark to the single latest one
+          val (old, fresh) = st.refs.partition(_._1 < wmUs)
+          val keptRefs = (old.sortBy(r => (r._1, r._2)).lastOption.toSeq ++
+            fresh).sortBy(r => (r._1, r._2))
+          st = AsofState(keptRefs, pending)
+          if (st.probes.isEmpty && st.refs.isEmpty) state.remove()
+          else {
+            state.update(st)
+            // wake when the watermark passes the earliest pending probe
+            st.probes.map(_._1).minOption.foreach { nextUs =>
+              val nextMs = nextUs / 1000L + 1L
+              if (nextMs > state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(nextMs)
+            }
+          }
+          emitted.iterator
+      }
+    out.select(col("event_id"), col("user_id"),
+      timestamp_micros(col("ts_us")).as("ts"),
+      col("ref_event_id"),
+      timestamp_micros(col("ref_ts_us")).as("ref_ts"),
+      col("ref_value"))
+  }
+
   /** [[sessionizeEvents]] over a watermarked parquet file stream. */
   def sessionizeStream(spark: SparkSession, srcDir: String,
       schema: StructType, gapSec: Long = 1800L,

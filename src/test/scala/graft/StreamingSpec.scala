@@ -616,6 +616,83 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofJoinStreamStream: matches finalize at the watermark; late ref cannot rewrite") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val streamed = StreamingOps.asofJoinStreamStream(
+      pIn.toDF().toDF("user_id", "ts", "event_id"),
+      rIn.toDF().toDF("user_id", "ts", "event_id", "value"),
+      probesDelay = "30 minutes", refsDelay = "30 minutes")
+    val q = streamed.writeStream.format("memory").queryName("asof_ss")
+      .outputMode("append").start()
+    def rows() = spark.table("asof_ss").collect().map(r =>
+      r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("ref_event_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("ref_value")).map(_.toDouble)))
+      .toMap
+    try {
+      // batch 1: same-ts ref tie (larger id must win), a probe BEFORE
+      // all refs (NULL match), and a watermark pusher on each side
+      rIn.addData(
+        (1L, ts("2024-01-01 10:00:00"), 500L, 5.0),
+        (1L, ts("2024-01-01 10:00:00"), 501L, 7.0),
+        (9L, ts("2024-01-01 20:00:00"), 599L, 1.0))
+      pIn.addData(
+        (1L, ts("2024-01-01 10:30:00"), 100L),
+        (1L, ts("2024-01-01 09:00:00"), 101L),
+        (8L, ts("2024-01-01 20:00:00"), 199L))
+      q.processAllAvailable()
+      // watermark ≈ 19:30: probes 100/101 are FINAL, 199 still pending
+      val afterB1 = rows()
+      assert(afterB1.keySet == Set(100L, 101L), afterB1.toString)
+      assert(afterB1(100L) == ((Some(501L), Some(7.0)))) // tie -> max id
+      assert(afterB1(101L) == ((None, None)))            // left semantics
+      // batch 2: a LATE ref (10:15 — would beat 501 for probe 100) must
+      // be dropped, never a retroactive rewrite; a fresh pair matches;
+      // pushers advance the watermark past probe 199
+      rIn.addData(
+        (1L, ts("2024-01-01 10:15:00"), 502L, 9.0), // late -> dropped
+        (2L, ts("2024-01-01 19:40:00"), 510L, 2.0),
+        (9L, ts("2024-01-01 21:00:00"), 699L, 1.0))
+      pIn.addData(
+        (2L, ts("2024-01-01 19:45:00"), 102L),
+        (8L, ts("2024-01-01 21:00:00"), 299L)) // pusher, stays pending
+      q.processAllAvailable()
+      val fin = rows()
+      assert(fin.keySet == Set(100L, 101L, 199L, 102L), fin.toString)
+      assert(fin(100L) == ((Some(501L), Some(7.0)))) // unchanged by 502
+      assert(fin(199L) == ((None, None)))            // user 8 has no refs
+      assert(fin(102L) == ((Some(510L), Some(2.0))))
+      // == the batch as-of over the NON-LATE rows, restricted to the
+      // finalized probes
+      val batchProbes = Seq(
+        (1L, ts("2024-01-01 10:30:00"), 100L),
+        (1L, ts("2024-01-01 09:00:00"), 101L),
+        (8L, ts("2024-01-01 20:00:00"), 199L),
+        (2L, ts("2024-01-01 19:45:00"), 102L))
+        .toDF("user_id", "ts", "event_id")
+      val batchRefs = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 500L, 5.0),
+        (1L, ts("2024-01-01 10:00:00"), 501L, 7.0),
+        (9L, ts("2024-01-01 20:00:00"), 599L, 1.0),
+        (2L, ts("2024-01-01 19:40:00"), 510L, 2.0),
+        (9L, ts("2024-01-01 21:00:00"), 699L, 1.0))
+        .toDF("user_id", "ts", "event_id", "value")
+      val batch = graft.operators.EventOps.asofJoinOf(batchProbes, batchRefs,
+          "user_id", "ts", "event_id", Seq("value"))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          (Option(r.getAs[java.lang.Long]("ref_event_id")).map(_.toLong),
+            Option(r.getAs[java.lang.Double]("ref_value")).map(_.toDouble)))
+        .toMap
+      assert(batch == fin, s"batch $batch vs streamed $fin")
+    } finally q.stop()
+  }
+
   test("pqEncode: the literal-codebook encode runs unchanged on a stream") {
     import graft.operators.VectorOps
     val src = tmp("pq_stream")
