@@ -715,6 +715,21 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2
 ORDER BY 1, 2""",
 
+    // IVF-PQ residual codes: coarse chain -> residual frame -> per-sub
+    // residual PQ chains -> per-vector cell + codes + exact recon error
+    "q_ivfpq_codes" ->
+      s"""WITH $ivfPqCoarseCtes,
+${(0 until 4).map(pqResidSubCtes).mkString(",\n")}
+SELECT e0.vec_id, a.cell,
+  e0.code AS code_0, e1.code AS code_1, e2.code AS code_2, e3.code AS code_3,
+  e0.dist + e1.dist + e2.dist + e3.dist AS recon_l2sq
+FROM r0enc e0
+JOIN r1enc e1 ON e1.vec_id = e0.vec_id
+JOIN r2enc e2 ON e2.vec_id = e0.vec_id
+JOIN r3enc e3 ON e3.vec_id = e0.vec_id
+JOIN cassign a ON a.vec_id = e0.vec_id
+ORDER BY e0.vec_id""",
+
     // pivot = conditional aggregation written longhand (engine-neutral;
     // DuckDB's PIVOT syntax would also work but this form is exact)
     "q_segment_pivot" -> """SELECT r_name,
@@ -2244,6 +2259,77 @@ SELECT query_id, vec_id, adc_dist, CAST(rnk AS INT) AS rank FROM (
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
   )
+
+  /** The coarse-quantizer chain + residual frame for q_ivfpq_codes:
+    * kmeansCentroids' exact arithmetic (25% sample, init vec_id < 8,
+    * two fixed-point iterations), full-corpus assignment with the
+    * (dist, cell) tie, then residual = CAST-to-double difference
+    * against the assigned centroid. */
+  private def ivfPqCoarseCtes: String = {
+    import graft.functions.VectorFunctions.l2sqSql
+    import graft.functions.TextFunctions.hashBucket100Sql
+    val fp = "1048576.0"
+    val cdims = (0 until 64).map { d =>
+      s"CAST(sum(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * $fp) " +
+        s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
+    }.mkString(",\n    ")
+    def asg(cent: String, src: String) =
+      s"""SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${l2sqSql("e.embedding", "c.centroid")} ASC, c.cell) AS rn
+    FROM $src e CROSS JOIN $cent c) a WHERE rn = 1"""
+    s"""csamp AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ${hashBucket100Sql("vec_id")} < 25),
+cc0 AS (
+  SELECT CAST(vec_id AS INT) AS cell,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < 8),
+ca1 AS (${asg("cc0", "csamp")}),
+cc1 AS (SELECT cell, [$cdims] AS centroid FROM ca1 GROUP BY cell),
+ca2 AS (${asg("cc1", "csamp")}),
+cc2 AS (SELECT cell, [$cdims] AS centroid FROM ca2 GROUP BY cell),
+cassign AS (${asg("cc2", "embeddings")}),
+resid AS (
+  SELECT a.vec_id, a.cell,
+    list_transform(list_zip(a.embedding, c.centroid),
+      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS embedding
+  FROM cassign a JOIN cc2 c ON c.cell = a.cell)"""
+  }
+
+  /** [[pqSubCtes]] over the RESIDUAL frame (elements already double;
+    * r-prefixed CTE names). */
+  private def pqResidSubCtes(s: Int): String = {
+    import graft.functions.VectorFunctions.l2sqSql
+    import graft.functions.TextFunctions.hashBucket100Sql
+    val fp = "1048576.0"
+    val k = 8; val subDim = 16
+    val o = s * subDim
+    val sv = s"embedding[${o + 1}:${o + subDim}]"
+    val cdims = (0 until subDim).map { d =>
+      s"CAST(sum(CAST(floor(CAST(sv[${d + 1}] AS DOUBLE) * $fp) " +
+        s"AS BIGINT)) AS DOUBLE) / $fp / count(*)"
+    }.mkString(",\n    ")
+    def asgn(cent: String, src: String) =
+      s"""SELECT vec_id, sv, code, dist FROM (
+    SELECT e.vec_id, e.sv, c.code, ${l2sqSql("e.sv", "c.centroid")} AS dist,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${l2sqSql("e.sv", "c.centroid")} ASC, c.code) AS rn
+    FROM $src e CROSS JOIN $cent c) a WHERE rn = 1"""
+    s"""r${s}samp AS (
+  SELECT vec_id, $sv AS sv FROM resid
+  WHERE ${hashBucket100Sql("vec_id")} < 25),
+r${s}full AS (SELECT vec_id, $sv AS sv FROM resid),
+r${s}c0 AS (
+  SELECT CAST(vec_id AS INT) AS code, $sv AS centroid
+  FROM resid WHERE vec_id < $k),
+r${s}a1 AS (${asgn(s"r${s}c0", s"r${s}samp")}),
+r${s}c1 AS (SELECT code, [$cdims] AS centroid FROM r${s}a1 GROUP BY code),
+r${s}a2 AS (${asgn(s"r${s}c1", s"r${s}samp")}),
+r${s}c2 AS (SELECT code, [$cdims] AS centroid FROM r${s}a2 GROUP BY code),
+r${s}enc AS (${asgn(s"r${s}c2", s"r${s}full")})"""
+  }
 
   /** The per-subspace PQ training chain shared by q_pq_codes and
     * q_ann_pq: 25% hash-sample, init = subvectors of vec_id < 8, two

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_geo_cube" -> Checks.geoCube _,
     "q_segment_pivot" -> Checks.segmentPivot _,
     "q_region_unpivot" -> Checks.regionUnpivot _,
+    "q_ivfpq_codes" -> ((s: SparkSession, d: String) => VectorOps.ivfPqCodes(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -170,6 +170,53 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** `q_ivfpq_codes`: the IVF-PQ RESIDUAL composition — the faiss-
+    * style index shape: vectors assign to a coarse [[kmeansCentroids]]
+    * cell, and PQ quantizes the RESIDUAL (vector − coarse centroid)
+    * instead of the raw vector. Residuals concentrate around zero, so
+    * the same 12 bits buy materially lower reconstruction error than
+    * raw PQ (spec-pinned: Σ recon strictly below [[pqCodes]]' on the
+    * fixture).
+    *
+    * Everything after training is ONE codegen'd projection: the coarse
+    * centroids are driver model state, so cell assignment is the same
+    * literal-array argmin as the PQ encode (identical (dist, cell)
+    * tie rule as assignCells — no window, no shuffle), the residual is
+    * a zip_with against the centroid looked up BY CELL ID, and the
+    * residual codes come from [[pqCodebooks]] trained on the residual
+    * frame. Zero joins, zero exchanges in the encode (PlanSpec). */
+  def ivfPqCodes(spark: SparkSession, sfDir: String, m: Int = 4,
+      k: Int = 8, kCells: Int = 8, iters: Int = 2,
+      trainPct: Int = 25): DataFrame = {
+    Engine.configure(spark)
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    val cents = kmeansCentroids(emb, kCells, iters, trainPct)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val cbLit = array(cents.map(c => array(c._2.map(lit): _*)): _*)
+    val cellsLit = array(cents.map(c => lit(c._1)): _*)
+    val byCell = cents.toMap
+    val centByCell = array((0 until kCells).map(c =>
+      array(byCell.getOrElse(c, Seq.fill(Dims)(0.0)).map(lit): _*)): _*)
+    def residOf(df: DataFrame): DataFrame = {
+      val ds = transform(cbLit, c => l2sqHof(col("embedding"), c))
+      df.withColumn("cell", element_at(cellsLit,
+          array_position(ds, array_min(ds)).cast("int")))
+        .withColumn("embedding",
+          zip_with(col("embedding"), element_at(centByCell, col("cell") + 1),
+            (x, y) => x.cast("double") - y))
+    }
+    val resid = residOf(emb)
+    val books = pqCodebooks(resid.select(col("vec_id"), col("embedding")),
+      m, k, iters, trainPct)
+    pqEncodeCols(resid, books, m)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(s => col(s"code_$s")) :+
+        (0 until m).map(s => col(s"d_$s")).reduce(_ + _).as("recon_l2sq"): _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** `q_pq_recall`: recall@k of the ADC search ([[annPq]]) against the
     * EXACT-L2 brute-force ground truth — the PQ quality meter, the
     * [[annRecall]] analog for the compressed index (ground truth is L2,

@@ -396,6 +396,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("ivfPqCodes: coarse assign + residual + codes — still no join, no hash exchange") {
+    // the whole encode (cell argmin, residual zip_with, 4 code argmins)
+    // is one codegen'd projection against driver-side model state
+    val plan = planString(VectorOps.ivfPqCodes(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("pct-of-total is the broadcast cross-join shape: no window, reused exchange") {
     // round-2 VERDICT item 8: the empty-over() window form moved the
     // (tiny) aggregated relation to a single partition and spammed

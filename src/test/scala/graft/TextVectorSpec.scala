@@ -544,6 +544,26 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqCodes: residual PQ beats raw PQ on total reconstruction error") {
+    val raw = VectorOps.pqCodes(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("recon_l2sq"))
+      .toMap
+    val ivfpq = VectorOps.ivfPqCodes(spark, sfDir).collect()
+    assert(ivfpq.length == raw.size)
+    // the POINT of the residual composition: same 12 bits, less error
+    val rawTotal = raw.values.sum
+    val residTotal = ivfpq.map(_.getAs[Double]("recon_l2sq")).sum
+    assert(residTotal < rawTotal,
+      s"residual $residTotal !< raw $rawTotal")
+    // structure: cells within the trained coarse domain, codes in range
+    ivfpq.foreach { r =>
+      assert(r.getAs[Int]("cell") >= 0 && r.getAs[Int]("cell") < 8)
+      (0 until 4).foreach(s =>
+        assert(r.getAs[Int](s"code_$s") >= 0 && r.getAs[Int](s"code_$s") < 8))
+      assert(r.getAs[Double]("recon_l2sq") >= 0.0)
+    }
+  }
+
   test("annPq: ADC distances recompute exactly from codes + books; true top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     val books = VectorOps.pqCodebooks(emb)
