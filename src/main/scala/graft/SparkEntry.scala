@@ -126,6 +126,7 @@ object SparkEntry {
     "q_segment_pivot" -> Checks.segmentPivot _,
     "q_region_unpivot" -> Checks.regionUnpivot _,
     "q_ivfpq_codes" -> ((s: SparkSession, d: String) => VectorOps.ivfPqCodes(s, d)),
+    "q_ivfpq_search" -> ((s: SparkSession, d: String) => VectorOps.ivfPqSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

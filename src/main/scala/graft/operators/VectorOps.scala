@@ -185,12 +185,12 @@ object VectorOps {
     * a zip_with against the centroid looked up BY CELL ID, and the
     * residual codes come from [[pqCodebooks]] trained on the residual
     * frame. Zero joins, zero exchanges in the encode (PlanSpec). */
-  def ivfPqCodes(spark: SparkSession, sfDir: String, m: Int = 4,
-      k: Int = 8, kCells: Int = 8, iters: Int = 2,
-      trainPct: Int = 25): DataFrame = {
-    Engine.configure(spark)
-    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("embedding"))
+  /** The shared IVF-PQ model: coarse centroids (driver state), the
+    * per-cell centroid lookup literal, the residual projection, and
+    * the residual PQ books. EAGER like every trainer here. */
+  private def ivfPqModel(emb: DataFrame, m: Int, k: Int, kCells: Int,
+      iters: Int, trainPct: Int): (Seq[(Int, Seq[Double])], Column,
+      DataFrame => DataFrame, Seq[Seq[(Int, Seq[Double])]]) = {
     val cents = kmeansCentroids(emb, kCells, iters, trainPct)
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
@@ -207,14 +207,77 @@ object VectorOps {
           zip_with(col("embedding"), element_at(centByCell, col("cell") + 1),
             (x, y) => x.cast("double") - y))
     }
-    val resid = residOf(emb)
-    val books = pqCodebooks(resid.select(col("vec_id"), col("embedding")),
-      m, k, iters, trainPct)
-    pqEncodeCols(resid, books, m)
+    val books = pqCodebooks(residOf(emb).select(col("vec_id"),
+      col("embedding")), m, k, iters, trainPct)
+    (cents, centByCell, residOf, books)
+  }
+
+  def ivfPqCodes(spark: SparkSession, sfDir: String, m: Int = 4,
+      k: Int = 8, kCells: Int = 8, iters: Int = 2,
+      trainPct: Int = 25): DataFrame = {
+    Engine.configure(spark)
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    val (_, _, residOf, books) = ivfPqModel(emb, m, k, kCells, iters, trainPct)
+    pqEncodeCols(residOf(emb), books, m)
       .select(col("vec_id") +: col("cell") +:
         (0 until m).map(s => col(s"code_$s")) :+
         (0 until m).map(s => col(s"d_$s")).reduce(_ + _).as("recon_l2sq"): _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** `q_ivfpq_search`: the FUSED IVF-PQ ADC search — the complete
+    * faiss-style query path over the residual index: each query probes
+    * its `nprobe` nearest coarse cells (same bit-exact (dist, cell)
+    * ranking as [[annIvfTrained]]), computes its RESIDUAL against each
+    * probed centroid, and scores only the corpus rows ASSIGNED to
+    * those cells by Σ_s ‖qres_sv − residual_centroid(code_s)‖² — the
+    * per-row cost is m literal-codebook lookups, the corpus read is m
+    * codes + a cell id per vector, and the probe prunes the scan to
+    * nprobe/kCells of the corpus: compression AND cell-pruning
+    * composed, which is the entire point of the index. The probe
+    * frame (≤ queries × nprobe rows) broadcasts onto the encoded
+    * corpus; top-k per query by (adc_dist, vec_id). */
+  def ivfPqSearch(spark: SparkSession, sfDir: String, k: Int = 5,
+      m: Int = 4, kCodes: Int = 8, kCells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, trainPct: Int = 25): DataFrame = {
+    Engine.configure(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = Engine.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    val (cents, centByCell, residOf, books) =
+      ivfPqModel(emb, m, kCodes, kCells, iters, trainPct)
+    val subDim = Dims / m
+    val enc = pqEncodeCols(residOf(emb), books, m)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+    val centsDf = cents.toDF("cell", "centroid")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probed = assignCells(queries, centsDf, "qv", "query_id", nprobe)
+      .withColumn("qres",
+        zip_with(col("qv"), element_at(centByCell, col("cell") + 1),
+          (x, y) => x.cast("double") - y))
+      .select(col("query_id"), col("cell"), col("qres"))
+    def bookByCode(s: Int): Column = {
+      val byCode = books(s).toMap
+      array((0 until kCodes).map(c =>
+        array(byCode.getOrElse(c, Seq.fill(subDim)(0.0)).map(lit): _*)): _*)
+    }
+    val adc = (0 until m).map { s =>
+      l2sqHof(slice(col("qres"), s * subDim + 1, subDim),
+        element_at(bookByCode(s), col(s"code_$s") + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    enc.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** `q_pq_recall`: recall@k of the ADC search ([[annPq]]) against the
