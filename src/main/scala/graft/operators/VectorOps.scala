@@ -194,19 +194,14 @@ object VectorOps {
     val cents = kmeansCentroids(emb, kCells, iters, trainPct)
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
-    val cbLit = array(cents.map(c => array(c._2.map(lit): _*)): _*)
-    val cellsLit = array(cents.map(c => lit(c._1)): _*)
     val byCell = cents.toMap
     val centByCell = array((0 until kCells).map(c =>
       array(byCell.getOrElse(c, Seq.fill(Dims)(0.0)).map(lit): _*)): _*)
-    def residOf(df: DataFrame): DataFrame = {
-      val ds = transform(cbLit, c => l2sqHof(col("embedding"), c))
-      df.withColumn("cell", element_at(cellsLit,
-          array_position(ds, array_min(ds)).cast("int")))
+    def residOf(df: DataFrame): DataFrame =
+      df.withColumn("cell", argminCellExpr(cents, col("embedding")))
         .withColumn("embedding",
           zip_with(col("embedding"), element_at(centByCell, col("cell") + 1),
             (x, y) => x.cast("double") - y))
-    }
     val books = pqCodebooks(residOf(emb).select(col("vec_id"),
       col("embedding")), m, k, iters, trainPct)
     (cents, centByCell, residOf, books)
@@ -400,24 +395,59 @@ object VectorOps {
       (sum(floor(element_at(col("embedding"), d + 1).cast("double") * Fp))
         .cast("double") / Fp / count(lit(1))).as(s"c$d")
     }
-    def localize(df: DataFrame): DataFrame = {
-      val rows = df.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      import spark.implicits._
-      rows.toDF("cell", "centroid")
-    }
-    val init = localize(emb.filter(col("vec_id") < kCells)
+    def rowsOf(df: DataFrame): Seq[(Int, Seq[Double])] =
+      df.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+    val init = rowsOf(emb.filter(col("vec_id") < kCells)
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("centroid")))
-    (1 to iters).foldLeft(init) { (cents, _) =>
-      localize(assignCells(train, cents, "embedding", "vec_id", 1)
+    // each iteration's assignment is the literal-codebook argmin
+    // PROJECTION (round-9, the PQ trainer's shape): the centroids are
+    // driver rows between iterations anyway, so joining them back in as
+    // a broadcast relation and ranking per vec_id (the old assignCells
+    // form) paid a per-iteration window + exchange over the training
+    // sample for nothing — argmin-first-index over ascending cell ids
+    // is the identical (dist, cell) tie rule, bit-identical centroids
+    // (the oracle pins it). No shuffle anywhere in training.
+    val trained = (1 to iters).foldLeft(init) { (cents, _) =>
+      rowsOf(train
+        .withColumn("cell", argminCellExpr(cents, col("embedding")))
         .select(col("cell"), col("embedding"))
         .groupBy(col("cell"))
         .agg(dims.head, dims.tail: _*)
         .select(col("cell"),
           array((0 until Dims).map(d => col(s"c$d")): _*).as("centroid")))
     }
+    import spark.implicits._
+    trained.toDF("cell", "centroid")
   }
+
+  /** Argmin over DRIVER-SIDE (id, centroid) entries as a fully
+    * CODEGEN'D projection — no join, no window, no exchange, and no
+    * interpreted HOF lambda either: one native [[l2sq]] per entry
+    * against its literal centroid array (whole-stage codegen, CSE'd),
+    * `least` for the minimum, and a first-match when-chain in
+    * ascending id order — exactly the (dist, id) tie rule of the
+    * window-ranked form. Returns (argmin id, min distance). This is
+    * what makes full-corpus assignment/encode a pure map at 100 TB. */
+  private def argminOver(entries: Seq[(Int, Seq[Double])],
+      vec: Column): (Column, Column) = {
+    require(entries.nonEmpty, "argminOver needs at least one entry")
+    val dists = entries.map { case (id, cent) =>
+      (id, l2sq(vec, array(cent.map(lit): _*)))
+    }
+    val dmin =
+      if (dists.size == 1) dists.head._2
+      else least(dists.map(_._2): _*)
+    val id = dists.tail
+      .foldLeft(when(dists.head._2 === dmin, lit(dists.head._1))) {
+        case (acc, (c, d)) => acc.when(d === dmin, lit(c))
+      }.otherwise(lit(-1)) // unreachable: dmin IS one of the dists
+    (id, dmin)
+  }
+
+  private def argminCellExpr(cents: Seq[(Int, Seq[Double])],
+      vec: Column): Column = argminOver(cents, vec)._1
 
   /** IVF ANN over the TRAINED quantizer ([[kmeansCentroids]]) instead of
     * [[annIvf]]'s label stand-in: assign the corpus to trained cells,
@@ -431,7 +461,13 @@ object VectorOps {
     Engine.configure(spark)
     val emb = Engine.spread(Tables.embeddings(spark, sfDir))
     val cents = kmeansCentroids(emb, kCells, iters, trainPct)
-    val assign = assignCells(emb, cents, "embedding", "vec_id", 1)
+    // full-corpus assignment as the literal-argmin PROJECTION — the
+    // round-9 swap that removes a whole-corpus (vec_id) window exchange
+    // from the index build; centroids are kCells×Dims driver state
+    val centRows = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val assign = emb
+      .withColumn("cell", argminCellExpr(centRows, col("embedding")))
       .select(col("vec_id"), col("embedding"), col("cell"))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -596,6 +632,12 @@ object VectorOps {
   private def pqEncodeCols(df: DataFrame,
       books: Seq[Seq[(Int, Seq[Double])]], m: Int): DataFrame = {
     val subDim = Dims / m
+    // HOF-array form, DELIBERATELY not the unrolled-codegen argmin used
+    // for the coarse cell (round-9 A/B at sf0.1: unrolled chains here —
+    // 4 subspaces x (8 least + 8 when-chain) l2sq terms — took
+    // q_pq_codes 1.5 -> 2.3 s; the staged _ds column evaluates each of
+    // the 8 distances ONCE, and CollapseProject keeps it staged because
+    // transform() is not collapse-cheap)
     (0 until m).foldLeft(df) { (acc, s) =>
       val sv = slice(col("embedding"), s * subDim + 1, subDim)
       val cbLit = array(books(s).map(c => array(c._2.map(lit): _*)): _*)
@@ -604,6 +646,7 @@ object VectorOps {
         .withColumn(s"d_$s", array_min(col(s"_ds$s")))
         .withColumn(s"code_$s", element_at(codesLit,
           array_position(col(s"_ds$s"), col(s"d_$s")).cast("int")))
+        .drop(s"_ds$s")
     }
   }
 
