@@ -402,6 +402,8 @@ object EventOps {
       bucketSec: Long, maxBuckets: Int = 4096): DataFrame = {
     require(bucketSec > 0, "bucketSec must be positive")
     require(maxBuckets > 0, "maxBuckets must be positive")
+    require(bucketSec <= Long.MaxValue / 1000000L,
+      s"bucketSec=$bucketSec overflows the microsecond bucket width")
     val bucketUs = bucketSec * 1000000L
     val nb = expr(s"unix_micros($endCol) div $bucketUs" +
       s" - unix_micros($startCol) div $bucketUs + 1")
@@ -559,6 +561,17 @@ object EventOps {
       rightEnd: String, bucketSec: Long, maxBuckets: Int = 4096): DataFrame = {
     require(bucketSec > 0, "bucketSec must be positive")
     require(maxBuckets > 0, "maxBuckets must be positive")
+    // Sentinel-unreachability proof (round-9 ADVICE asked for the
+    // bucketSec=1 caveat to be pinned): a real bucket is
+    // unix_micros div bUs with bUs = bucketSec·10⁶ ≥ 10⁶, and
+    // |unix_micros| ≤ Long.MaxValue, so every real bucket lies in
+    // [Long.MinValue/10⁶ − 1, Long.MaxValue/10⁶] ≈ ±9.3e12 — six
+    // orders of magnitude away from the sentinels at Long.MinValue
+    // {+0,+1} ≈ −9.2e18, for EVERY bucketSec ≥ 1 including 1. The
+    // only way a sentinel could be reached is bUs overflowing to a
+    // tiny/negative value, which the bound below forbids loudly.
+    require(bucketSec <= Long.MaxValue / 1000000L,
+      s"bucketSec=$bucketSec overflows the microsecond bucket width")
     val bUs = bucketSec * 1000000L
     val sL = Long.MinValue      // longL meets shortR here
     val sR = Long.MinValue + 1L // (shortL + longL) meet longR here

@@ -113,10 +113,14 @@ object MultimodalOps {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // once per partition
         it.map { case (id, bytes) =>
+          // NonFatal, not just IOException: ImageIO plugins throw
+          // RuntimeExceptions (IAE, ArrayIndexOutOfBounds, NegativeArray
+          // Size) on adversarial payloads — the counted-never-thrown
+          // contract must survive those too (round-9 ADVICE)
           val img =
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           img match {
             case Some(im) =>
               val (w, h) = (im.getWidth, im.getHeight)
@@ -161,7 +165,7 @@ object MultimodalOps {
           val img =
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           img match {
             case Some(im) =>
               val out = new java.awt.image.BufferedImage(width, height,
@@ -212,8 +216,15 @@ object MultimodalOps {
               new java.io.ByteArrayInputStream(bytes))
             val fmt = in.getFormat
             val bits = fmt.getSampleSizeInBits
+            // supported: 8-bit PCM (either signedness) and SIGNED
+            // 16-bit PCM. Unsigned 16-bit routes to the counted-failure
+            // row (round-9 ADVICE: the old guard admitted it but the
+            // 16-bit assembly below decodes signed — wrong rms/peak; no
+            // JDK container parser ever produces unsigned 16-bit, so
+            // restricting is the honest contract, not a capability loss)
             val pcm = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
-              fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+              (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED &&
+                bits == 8)
             if (!pcm || (bits != 8 && bits != 16)) fail
             else {
               val data = in.readAllBytes()
@@ -230,6 +241,7 @@ object MultimodalOps {
                       (data(i) & 0xff) - 128
                     else data(i).toInt
                   } else {
+                    // 16-bit here is PCM_SIGNED only (guard above)
                     val off = i * 2
                     val lo = data(off + (if (fmt.isBigEndian) 1 else 0)) & 0xff
                     val hi = data(off + (if (fmt.isBigEndian) 0 else 1)).toInt
@@ -246,8 +258,9 @@ object MultimodalOps {
                 if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), peak)
             }
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => fail
-            case _: java.io.IOException => fail
+            // NonFatal: container parsers can throw RuntimeExceptions on
+            // malformed headers, not only the two checked types
+            case scala.util.control.NonFatal(_) => fail
           }
         }
       }

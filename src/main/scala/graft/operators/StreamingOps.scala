@@ -582,7 +582,16 @@ object StreamingOps {
       .flatMapGroupsWithState[AsofState, AsofOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, it: Iterator[AsofEvent], state: GroupState[AsofState]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // getCurrentWatermarkMs() == 0 means NO watermark established
+          // yet (first batches) — treating that literal 0 as an epoch
+          // watermark would silently drop (and prematurely finalize)
+          // pre-1970 events, diverging from the batch asofJoinOf whose
+          // pre-epoch correctness PropertySpec pins (round-9 ADVICE).
+          // Map "not established" to -inf: nothing is late, nothing
+          // finalizes, nothing collapses until a real watermark exists.
+          val wmUs =
+            if (state.getCurrentWatermarkMs() == 0L) Long.MinValue
+            else state.getCurrentWatermarkMs() * 1000L
           var st = state.getOption.getOrElse(AsofState(Nil, Nil))
           if (!state.hasTimedOut) {
             // admit in-watermark arrivals only (explicit late drop)
