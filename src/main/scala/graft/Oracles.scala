@@ -733,58 +733,27 @@ ORDER BY e0.vec_id""",
     // fused IVF-PQ ADC search: probe nprobe=2 coarse cells per query,
     // residual distance tables per (query, cell, sub) against the
     // residual codebooks, score only vectors assigned to probed cells
-    "q_ivfpq_search" -> {
-      import graft.functions.VectorFunctions.l2sqSql
-      val dts = (0 until 4).map { s =>
-        val o = s * 16
-        s"""dt$s AS (
-  SELECT q.query_id, q.cell, c.code,
-    ${l2sqSql(s"q.qres[${o + 1}:${o + 16}]", "c.centroid")} AS d
-  FROM qres q CROSS JOIN r${s}c2 c)"""
-      }.mkString(",\n")
+    "q_ivfpq_search" -> ivfPqSearchSql,
+
+    // the split lifecycle's QUERY half searches the persisted parquet
+    // model; doubles/ints round-trip parquet bit-exactly, so it is
+    // row-identical to the self-contained search — same oracle
+    "q_ivfpq_query" -> ivfPqSearchSql,
+
+    // the split lifecycle's BUILD half returns the persisted-artifact
+    // manifest; the oracle recomputes each component's cardinality
+    // from the same training chains
+    "q_ivfpq_build" ->
       s"""WITH $ivfPqCoarseCtes,
-${(0 until 4).map(pqResidSubCtes).mkString(",\n")},
-q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id < 5),
-qprobe AS (
-  SELECT query_id, qv, cell FROM (
-    SELECT q.query_id, q.qv, c.cell,
-      row_number() OVER (PARTITION BY q.query_id
-        ORDER BY ${l2sqSql("q.qv", "c.centroid")} ASC, c.cell) AS pr
-    FROM q CROSS JOIN cc2 c) p
-  WHERE pr <= 2),
-qres AS (
-  SELECT p.query_id, p.cell,
-    list_transform(list_zip(p.qv, c.centroid),
-      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qres
-  FROM qprobe p JOIN cc2 c ON c.cell = p.cell),
-$dts,
-encj AS (
-  SELECT e0.vec_id, a.cell,
-    e0.code AS c0, e1.code AS c1, e2.code AS c2, e3.code AS c3
-  FROM r0enc e0
-  JOIN r1enc e1 ON e1.vec_id = e0.vec_id
-  JOIN r2enc e2 ON e2.vec_id = e0.vec_id
-  JOIN r3enc e3 ON e3.vec_id = e0.vec_id
-  JOIN cassign a ON a.vec_id = e0.vec_id),
-scored AS (
-  SELECT d0.query_id, e.vec_id, e.cell,
-    d0.d + d1.d + d2.d + d3.d AS adc_dist
-  FROM encj e
-  JOIN dt0 d0 ON d0.cell = e.cell AND d0.code = e.c0
-  JOIN dt1 d1 ON d1.query_id = d0.query_id AND d1.cell = e.cell
-    AND d1.code = e.c1
-  JOIN dt2 d2 ON d2.query_id = d0.query_id AND d2.cell = e.cell
-    AND d2.code = e.c2
-  JOIN dt3 d3 ON d3.query_id = d0.query_id AND d3.cell = e.cell
-    AND d3.code = e.c3
-  WHERE e.vec_id <> d0.query_id)
-SELECT query_id, vec_id, cell, adc_dist, CAST(rnk AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY adc_dist ASC, vec_id) AS rnk FROM scored) r
-WHERE rnk <= 5 ORDER BY query_id, rnk"""
-    },
+${(0 until 4).map(pqResidSubCtes).mkString(",\n")}
+SELECT component, n_rows FROM (
+  SELECT 'centroids' AS component, count(*) AS n_rows FROM cc2
+  UNION ALL SELECT 'book_0', count(*) FROM r0c2
+  UNION ALL SELECT 'book_1', count(*) FROM r1c2
+  UNION ALL SELECT 'book_2', count(*) FROM r2c2
+  UNION ALL SELECT 'book_3', count(*) FROM r3c2
+  UNION ALL SELECT 'codes', count(*) FROM cassign) t
+ORDER BY component""",
 
     // pivot = conditional aggregation written longhand (engine-neutral;
     // DuckDB's PIVOT syntax would also work but this form is exact)
@@ -2315,6 +2284,62 @@ SELECT query_id, vec_id, adc_dist, CAST(rnk AS INT) AS rank FROM (
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
   )
+
+  /** The fused IVF-PQ ADC search pipeline, shared verbatim by
+    * q_ivfpq_search (self-contained) and q_ivfpq_query (persisted
+    * model — bit-identical by parquet round-trip). */
+  private lazy val ivfPqSearchSql: String = {
+      import graft.functions.VectorFunctions.l2sqSql
+      val dts = (0 until 4).map { s =>
+        val o = s * 16
+        s"""dt$s AS (
+  SELECT q.query_id, q.cell, c.code,
+    ${l2sqSql(s"q.qres[${o + 1}:${o + 16}]", "c.centroid")} AS d
+  FROM qres q CROSS JOIN r${s}c2 c)"""
+      }.mkString(",\n")
+      s"""WITH $ivfPqCoarseCtes,
+${(0 until 4).map(pqResidSubCtes).mkString(",\n")},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 5),
+qprobe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY ${l2sqSql("q.qv", "c.centroid")} ASC, c.cell) AS pr
+    FROM q CROSS JOIN cc2 c) p
+  WHERE pr <= 2),
+qres AS (
+  SELECT p.query_id, p.cell,
+    list_transform(list_zip(p.qv, c.centroid),
+      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qres
+  FROM qprobe p JOIN cc2 c ON c.cell = p.cell),
+$dts,
+encj AS (
+  SELECT e0.vec_id, a.cell,
+    e0.code AS c0, e1.code AS c1, e2.code AS c2, e3.code AS c3
+  FROM r0enc e0
+  JOIN r1enc e1 ON e1.vec_id = e0.vec_id
+  JOIN r2enc e2 ON e2.vec_id = e0.vec_id
+  JOIN r3enc e3 ON e3.vec_id = e0.vec_id
+  JOIN cassign a ON a.vec_id = e0.vec_id),
+scored AS (
+  SELECT d0.query_id, e.vec_id, e.cell,
+    d0.d + d1.d + d2.d + d3.d AS adc_dist
+  FROM encj e
+  JOIN dt0 d0 ON d0.cell = e.cell AND d0.code = e.c0
+  JOIN dt1 d1 ON d1.query_id = d0.query_id AND d1.cell = e.cell
+    AND d1.code = e.c1
+  JOIN dt2 d2 ON d2.query_id = d0.query_id AND d2.cell = e.cell
+    AND d2.code = e.c2
+  JOIN dt3 d3 ON d3.query_id = d0.query_id AND d3.cell = e.cell
+    AND d3.code = e.c3
+  WHERE e.vec_id <> d0.query_id)
+SELECT query_id, vec_id, cell, adc_dist, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc_dist ASC, vec_id) AS rnk FROM scored) r
+WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    }
 
   /** The coarse-quantizer chain + residual frame for q_ivfpq_codes:
     * kmeansCentroids' exact arithmetic (25% sample, init vec_id < 8,

@@ -127,6 +127,10 @@ object SparkEntry {
     "q_region_unpivot" -> Checks.regionUnpivot _,
     "q_ivfpq_codes" -> ((s: SparkSession, d: String) => VectorOps.ivfPqCodes(s, d)),
     "q_ivfpq_search" -> ((s: SparkSession, d: String) => VectorOps.ivfPqSearch(s, d)),
+
+    // round-10 additions (appended — see ListMap note above)
+    "q_ivfpq_build" -> ((s: SparkSession, d: String) => VectorOps.ivfPqBuild(s, d)),
+    "q_ivfpq_query" -> ((s: SparkSession, d: String) => VectorOps.ivfPqQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

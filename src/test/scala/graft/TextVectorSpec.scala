@@ -604,4 +604,33 @@ class TextVectorSpec extends SparkSpec {
       }
     }
   }
+
+  test("ivfPqBuild/ivfPqQuery: persisted index, query rows == self-contained search") {
+    // isolated model dir: the lifecycle under test is write -> read
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_model").toString
+    val manifest = VectorOps.ivfPqBuild(spark, sfDir, Some(dir)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every component persisted, with the cardinalities the model claims
+    assert(manifest.keySet ==
+      Set("centroids", "book_0", "book_1", "book_2", "book_3", "codes"))
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(manifest("codes") == nVecs)
+    assert(manifest("centroids") > 0 && manifest("centroids") <= 8)
+    (0 until 4).foreach(s =>
+      assert(manifest(s"book_$s") > 0 && manifest(s"book_$s") <= 8))
+    // artifacts are really on disk
+    for (c <- Seq("centroids", "books", "codes"))
+      assert(new java.io.File(s"$dir/$c").isDirectory, c)
+    // the default-dir query path (build-if-absent, then persisted reads)
+    // is row-identical to the self-contained search
+    val viaModel = VectorOps.ivfPqQuery(spark, sfDir).collect()
+      .map(_.toSeq)
+    val selfContained = VectorOps.ivfPqSearch(spark, sfDir).collect()
+      .map(_.toSeq)
+    assert(viaModel.toSeq == selfContained.toSeq)
+    // steady state: a second query call reuses the persisted model
+    // (same rows again — nothing retrains or drifts)
+    val again = VectorOps.ivfPqQuery(spark, sfDir).collect().map(_.toSeq)
+    assert(again.toSeq == viaModel.toSeq)
+  }
 }
