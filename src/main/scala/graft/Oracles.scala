@@ -202,6 +202,128 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2, 3, 4""",
 
+    // sketch family (round-10): the sketches are engine-exact by
+    // construction (md5-derived hashes, fixed-point register sums,
+    // power-of-two bucket widths), so these mirrors hash-match
+    "q_claims_summary_approx" -> {
+      import graft.operators.SketchOps.kmvDistinctSql
+      s"""WITH base AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS service_year,
+    CAST(month(l_shipdate) AS INT) AS service_month,
+    l_returnflag,
+    CASE WHEN l_extendedprice = 0 THEN 'ZERO'
+         WHEN l_extendedprice <= 1000 THEN 'LOW'
+         WHEN l_extendedprice <= 10000 THEN 'MEDIUM'
+         WHEN l_extendedprice <= 50000 THEN 'HIGH'
+         ELSE 'VERY_HIGH' END AS amount_category,
+    l_orderkey
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'),
+counts AS (
+  SELECT service_year, service_month, l_returnflag, amount_category,
+    count(*) AS total_claims
+  FROM base GROUP BY 1, 2, 3, 4),
+kmv AS (${kmvDistinctSql("base",
+        Seq("service_year", "service_month", "l_returnflag",
+          "amount_category"), "l_orderkey")})
+SELECT service_year, service_month, l_returnflag, amount_category,
+  total_claims, kmv_est AS unique_orders_kmv
+FROM counts JOIN kmv
+  USING (service_year, service_month, l_returnflag, amount_category)
+ORDER BY 1, 2, 3, 4"""
+    },
+
+    "q_approx_error" -> {
+      import graft.operators.SketchOps.kmvDistinctSql
+      s"""WITH base AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS service_year,
+    CAST(month(l_shipdate) AS INT) AS service_month,
+    l_returnflag,
+    CASE WHEN l_extendedprice = 0 THEN 'ZERO'
+         WHEN l_extendedprice <= 1000 THEN 'LOW'
+         WHEN l_extendedprice <= 10000 THEN 'MEDIUM'
+         WHEN l_extendedprice <= 50000 THEN 'HIGH'
+         ELSE 'VERY_HIGH' END AS amount_category,
+    l_orderkey
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'),
+ex AS (
+  SELECT service_year, service_month, l_returnflag, amount_category,
+    count(DISTINCT l_orderkey) AS unique_orders_exact
+  FROM base GROUP BY 1, 2, 3, 4),
+kmv AS (${kmvDistinctSql("base",
+        Seq("service_year", "service_month", "l_returnflag",
+          "amount_category"), "l_orderkey")})
+SELECT service_year, service_month, l_returnflag, amount_category,
+  unique_orders_exact, kmv_est AS unique_orders_kmv,
+  abs(kmv_est - CAST(unique_orders_exact AS DOUBLE)) /
+    CAST(unique_orders_exact AS DOUBLE) AS kmv_rel_err
+FROM ex JOIN kmv
+  USING (service_year, service_month, l_returnflag, amount_category)
+ORDER BY 1, 2, 3, 4"""
+    },
+
+    "q_hll_distinct" -> {
+      import graft.operators.SketchOps.hllEstimateSql
+      s"""WITH base AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'),
+est AS (${hllEstimateSql("base", Nil, "l_orderkey")}),
+ex AS (SELECT count(DISTINCT l_orderkey) AS unique_orders_exact FROM base)
+SELECT est.n_registers, est.n_zero_registers, est.hll_est,
+  ex.unique_orders_exact,
+  abs(est.hll_est - CAST(ex.unique_orders_exact AS DOUBLE)) /
+    CAST(ex.unique_orders_exact AS DOUBLE) AS hll_rel_err
+FROM est CROSS JOIN ex"""
+    },
+
+    "q_approx_quantiles" -> """WITH st AS (
+  SELECT o_orderpriority, min(o_totalprice) AS gmin,
+    max(o_totalprice) AS gmax, count(*) AS n_rows,
+    (max(o_totalprice) - min(o_totalprice)) / 256 AS width
+  FROM orders GROUP BY 1),
+bkt AS (
+  SELECT o.o_orderpriority,
+    CASE WHEN s.width = 0 THEN 0
+         ELSE CAST(least(255,
+           floor((o.o_totalprice - s.gmin) / s.width)) AS INT) END AS __b,
+    count(*) AS __bn
+  FROM orders o JOIN st s USING (o_orderpriority) GROUP BY 1, 2),
+cumb AS (
+  SELECT b.o_orderpriority, b.__b, s.n_rows,
+    sum(__bn) OVER (PARTITION BY b.o_orderpriority ORDER BY __b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum
+  FROM bkt b JOIN st s USING (o_orderpriority)),
+hist AS (
+  SELECT o_orderpriority,
+    min(CASE WHEN __cum >= ceil(0.5 * CAST(n_rows AS DOUBLE))
+      THEN __b END) AS b50,
+    min(CASE WHEN __cum >= ceil(0.9 * CAST(n_rows AS DOUBLE))
+      THEN __b END) AS b90,
+    min(CASE WHEN __cum >= ceil(0.99 * CAST(n_rows AS DOUBLE))
+      THEN __b END) AS b99
+  FROM cumb GROUP BY 1),
+cumv AS (
+  SELECT v.o_orderpriority, v.o_totalprice, s.n_rows,
+    sum(__vn) OVER (PARTITION BY v.o_orderpriority ORDER BY o_totalprice
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum
+  FROM (SELECT o_orderpriority, o_totalprice, count(*) AS __vn
+        FROM orders GROUP BY 1, 2) v
+  JOIN st s USING (o_orderpriority)),
+ex AS (
+  SELECT o_orderpriority,
+    min(CASE WHEN __cum >= ceil(0.5 * CAST(n_rows AS DOUBLE))
+      THEN o_totalprice END) AS p50_exact,
+    min(CASE WHEN __cum >= ceil(0.9 * CAST(n_rows AS DOUBLE))
+      THEN o_totalprice END) AS p90_exact,
+    min(CASE WHEN __cum >= ceil(0.99 * CAST(n_rows AS DOUBLE))
+      THEN o_totalprice END) AS p99_exact
+  FROM cumv GROUP BY 1)
+SELECT s.o_orderpriority, s.n_rows, s.width AS max_abs_err,
+  s.gmin + CAST(b50 AS DOUBLE) * s.width AS p50_est, p50_exact,
+  s.gmin + CAST(b90 AS DOUBLE) * s.width AS p90_est, p90_exact,
+  s.gmin + CAST(b99 AS DOUBLE) * s.width AS p99_est, p99_exact
+FROM st s JOIN hist USING (o_orderpriority) JOIN ex USING (o_orderpriority)
+ORDER BY 1""",
+
     "q_monthly_trend" -> """SELECT *,
   make_date(service_year, service_month, 1) AS month_date
 FROM (

@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, DqEngine, EventOps, GoldViews, GraphOps, MultimodalOps, StreamingOps, TextOps, VectorOps}
+import graft.operators.{Checks, DqEngine, EventOps, GoldViews, GraphOps, MultimodalOps, SketchOps, StreamingOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -131,6 +131,10 @@ object SparkEntry {
     // round-10 additions (appended — see ListMap note above)
     "q_ivfpq_build" -> ((s: SparkSession, d: String) => VectorOps.ivfPqBuild(s, d)),
     "q_ivfpq_query" -> ((s: SparkSession, d: String) => VectorOps.ivfPqQuery(s, d)),
+    "q_claims_summary_approx" -> SketchOps.claimsSummaryApprox _,
+    "q_approx_error" -> SketchOps.approxError _,
+    "q_hll_distinct" -> SketchOps.hllDistinct _,
+    "q_approx_quantiles" -> SketchOps.approxQuantiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Engine, Tables}
+
+/** Sketch-based approximate distinct/quantile family (round-9 VERDICT
+  * #3): every COUNT(DISTINCT) in the gold views is exact, which a
+  * 100 TB dashboard cannot afford — the distinct shuffle carries every
+  * key. These operators provide the approximate tier WITH an error
+  * contract, in the repo's engine-exact style: the sketches are built
+  * from md5-derived hashes and fixed-point integer register sums, so
+  * the DuckDB oracle reproduces them bit-for-bit (hash-compare, not
+  * tolerance-compare). Spark's builtin `approx_count_distinct` /
+  * `approx_percentile` are the production shortcut for users who don't
+  * need engine-exact results; SketchSpec pins the builtins against the
+  * exact values differentially (they are not oracle-expressible —
+  * DuckDB's HLL/t-digest differ), and pins these deterministic
+  * sketches against their published error bounds.
+  *
+  * Scale shapes (the reason this family exists):
+  *  - KMV: shuffle carries ≤ k rows per group after the local
+  *    window-limit (WindowGroupLimit pushes rank ≤ k into the sort) —
+  *    versus the exact distinct's every-key shuffle.
+  *  - HLL registers: ONE hash aggregate of ≤ m=512 rows per group —
+  *    the map-side combine collapses to register maxima, the classic
+  *    mergeable-sketch property (registers union by max, so this is
+  *    exactly what a 1000-executor partial aggregate ships).
+  *  - Histogram quantile: one (group, bucket) aggregate (≤ 256 rows
+  *    per group shuffled) + a window over bucket counts — versus the
+  *    exact quantile's per-value shuffle; error is bounded by bucket
+  *    width BY CONSTRUCTION, and the report carries that bound.
+  */
+object SketchOps {
+
+  /** k-minimum-values sketch size: rsd ≈ 1/√(k−2) ≈ 12.7% at k=64. */
+  val KmvK = 64
+
+  /** HLL register count m = 2⁹: rsd ≈ 1.04/√512 ≈ 4.6%. */
+  val HllM = 512
+
+  /** Register ranks cap at 40 so Σ 2^(40−rank) is an EXACT long sum —
+    * order-independent, the same fixed-point discipline as every other
+    * double-sensitive aggregate here. Rank 40 needs ~2³⁹ hashes in one
+    * register; the cap is unreachable below ~10¹² distinct values. */
+  val HllRankCap = 40
+
+  /** 60-bit uniform hash from the first 15 hex nibbles of md5 — the
+    * engine-exact idiom of hashBucket100/hashShard widened to sketch
+    * precision. Value in [0, 2⁶⁰). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB mirror of [[hash60]] (nibble arithmetic, exact). */
+  def hash60Sql(e: String): String = (0 until 15)
+    .map(j => s"(instr('0123456789abcdef', substr(md5(CAST($e AS " +
+      s"VARCHAR)), ${j + 1}, 1)) - 1) * ${1L << (4 * (14 - j))}")
+    .mkString("(", "\n      + ", ")")
+
+  // 2^60 as a DOUBLE literal (exactly representable; scientific
+  // notation so both SQL parsers read it as DOUBLE, not DECIMAL)
+  private val Two60 = "1.152921504606846976e18"
+
+  /** KMV distinct estimate per group: keep the k smallest DISTINCT
+    * hashes (distinct → per-group window limit — WindowGroupLimit
+    * turns rank ≤ k into a per-partition top-k, so the group shuffle
+    * carries ≤ k rows per group), then estimate (k−1)/u₍ₖ₎ with
+    * u₍ₖ₎ = (h₍ₖ₎+1)/2⁶⁰; a group holding fewer than k distinct
+    * hashes IS exact and reports its held count. Returns the group
+    * columns + `kmv_est` (double). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Int = KmvK): DataFrame = {
+    val g = groupCols.map(col)
+    val dh = df.select(g :+ hash60(value).as("__h"): _*).distinct()
+    val w = Window.partitionBy(g: _*).orderBy(col("__h"))
+    dh.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("__held"), max(col("__h")).as("__kth"))
+      .withColumn("kmv_est",
+        when(col("__held") < k, col("__held").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((col("__kth").cast("double") + 1.0) / expr(Two60))))
+      .drop("__held", "__kth")
+  }
+
+  /** DuckDB mirror of [[kmvDistinct]] as a SQL fragment: emits
+    * `SELECT <groupCols>, kmv_est FROM ...` over `src`. */
+  def kmvDistinctSql(src: String, groupCols: Seq[String], valueExpr: String,
+      k: Int = KmvK): String = {
+    val g = groupCols.mkString(", ")
+    s"""SELECT $g,
+  CASE WHEN __held < $k THEN CAST(__held AS DOUBLE)
+       ELSE ${(k - 1).toDouble} /
+         ((CAST(__kth AS DOUBLE) + 1.0) / $Two60) END AS kmv_est
+FROM (
+  SELECT $g, count(*) AS __held, max(__h) AS __kth FROM (
+    SELECT $g, __h,
+      row_number() OVER (PARTITION BY $g ORDER BY __h) AS __rk
+    FROM (SELECT DISTINCT $g, ${hash60Sql(valueExpr)} AS __h FROM $src) d
+  ) r WHERE __rk <= $k GROUP BY $g) e"""
+  }
+
+  /** Rank (leading-zero count + 1) of the 51 post-bucket hash bits,
+    * capped at [[HllRankCap]] — a when-chain over the 51 power-of-two
+    * thresholds: pure comparisons, no floating log, bit-exact. */
+  private def hllRank(rest: Column): Column = {
+    val chain = (1 to 51).foldLeft(Option.empty[Column]) { (acc, r) =>
+      val cond = rest >= lit(1L << (51 - r))
+      Some(acc match {
+        case None    => when(cond, lit(r))
+        case Some(c) => c.when(cond, lit(r))
+      })
+    }.get.otherwise(lit(52))
+    least(chain, lit(HllRankCap))
+  }
+
+  private def hllRankSql(rest: String): String = {
+    val whens = (1 to 51)
+      .map(r => s"WHEN $rest >= ${1L << (51 - r)} THEN $r")
+      .mkString("\n      ")
+    s"least(CASE $whens ELSE 52 END, $HllRankCap)"
+  }
+
+  /** The HLL raw-estimate constant α·m²·2⁴⁰, folded to ONE double in
+    * Scala and embedded as the same literal on both engines. */
+  private val HllRawC: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM * HllM * math.pow(2, 40)
+
+  /** HLL register table per group: ≤ m rows of (group, bucket, max
+    * rank). Mergeable by max — the partial-aggregate shape. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column)
+      : DataFrame = {
+    val g = groupCols.map(col)
+    val h = hash60(value)
+    df.select(g ++ Seq((h % HllM).cast("int").as("__bucket"),
+      hllRank(shiftrightunsigned(h, 9)).as("__rank")): _*)
+      .groupBy(g :+ col("__bucket"): _*)
+      .agg(max(col("__rank")).as("__m"))
+  }
+
+  /** Fold registers to the raw HLL estimate per group: zero registers
+    * contribute 2⁴⁰ each to the EXACT long sum Σ 2^(40−M), and the
+    * estimate is one literal-over-sum division. The small-range
+    * (linear-counting) correction is deliberately NOT applied here —
+    * it needs ln(), which is not correctly-rounded-guaranteed across
+    * engines and would break the hash-exact oracle; the report carries
+    * `n_zero_registers` so a consumer (and SketchSpec, in Scala) can
+    * apply it, and the oracle-checked queries use this estimator in
+    * its valid raw regime (n ≳ 2.5m). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String])
+      : DataFrame = {
+    val g = groupCols.map(col)
+    registers.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_registers"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRankCap - __m)"))
+          .as("__s"))
+      .withColumn("n_zero_registers", lit(HllM) - col("n_registers"))
+      .withColumn("hll_est", lit(HllRawC) /
+        (col("__s") + col("n_zero_registers") * lit(1L << HllRankCap))
+          .cast("double"))
+      .drop("__s")
+  }
+
+  /** DuckDB mirror of registers→estimate, `SELECT <g>, n_registers,
+    * n_zero_registers, hll_est FROM ...` over `src`. */
+  def hllEstimateSql(src: String, groupCols: Seq[String],
+      valueExpr: String): String = {
+    val g = groupCols.mkString(", ")
+    val gSel = if (g.isEmpty) "" else s"$g, "
+    val gBy1 = if (g.isEmpty) "" else s"GROUP BY $g"
+    val gBy2 = if (g.isEmpty) "" else s", $g"
+    s"""SELECT $gSel n_registers,
+  $HllM - n_registers AS n_zero_registers,
+  $HllRawC /
+    CAST(__s + ($HllM - n_registers) * ${1L << HllRankCap} AS DOUBLE)
+    AS hll_est
+FROM (
+  SELECT $gSel count(*) AS n_registers,
+    sum(1::BIGINT << ($HllRankCap - __m)) AS __s
+  FROM (
+    SELECT $gSel __bucket, max(__rank) AS __m FROM (
+      SELECT $gSel CAST(__h % $HllM AS INT) AS __bucket,
+        ${hllRankSql(s"(__h >> 9)")} AS __rank
+      FROM (SELECT $gSel ${hash60Sql(valueExpr)} AS __h FROM $src) h0
+    ) h1 GROUP BY __bucket$gBy2
+  ) regs $gBy1) folded"""
+  }
+
+  // -----------------------------------------------------------------
+  // Registered queries
+  // -----------------------------------------------------------------
+
+  /** The claims_summary projection shared with GoldViews (year/month/
+    * returnflag/amount-bucket over post-1996 lineitem). */
+  private def claimsBase(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.spread(Tables.lineitem(spark, sfDir))
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .select(
+        year(col("l_shipdate")).as("service_year"),
+        month(col("l_shipdate")).as("service_month"),
+        col("l_returnflag"),
+        when(col("l_extendedprice") === 0, "ZERO")
+          .when(col("l_extendedprice") <= 1000, "LOW")
+          .when(col("l_extendedprice") <= 10000, "MEDIUM")
+          .when(col("l_extendedprice") <= 50000, "HIGH")
+          .otherwise("VERY_HIGH").as("amount_category"),
+        col("l_orderkey"))
+
+  private val ClaimKeys =
+    Seq("service_year", "service_month", "l_returnflag", "amount_category")
+
+  /** `q_claims_summary_approx`: the claims_summary rollup with its
+    * COUNT(DISTINCT) replaced by the KMV sketch — the approximate tier
+    * of the gold view. Exact row counts ride along (they are a plain
+    * hash aggregate, cheap at any scale); only the distinct — the
+    * expensive part — is sketched. */
+  def claimsSummaryApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val base = claimsBase(spark, sfDir)
+    val counts = base.groupBy(ClaimKeys.map(col): _*)
+      .agg(count(lit(1)).as("total_claims"))
+    val kmv = kmvDistinct(base, ClaimKeys, col("l_orderkey"))
+      .withColumnRenamed("kmv_est", "unique_orders_kmv")
+    counts.join(kmv, ClaimKeys)
+      .orderBy(ClaimKeys.map(col): _*)
+  }
+
+  /** `q_approx_error`: the differential report — per claims_summary
+    * group, the exact distinct next to the KMV estimate and the
+    * relative error, every column deterministic (the honesty meter the
+    * approximate tier ships with; SketchSpec asserts the error bound
+    * over this same frame). */
+  def approxError(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val base = claimsBase(spark, sfDir)
+    val exact = base.groupBy(ClaimKeys.map(col): _*)
+      .agg(countDistinct(col("l_orderkey")).as("unique_orders_exact"))
+    val kmv = kmvDistinct(base, ClaimKeys, col("l_orderkey"))
+      .withColumnRenamed("kmv_est", "unique_orders_kmv")
+    exact.join(kmv, ClaimKeys)
+      .withColumn("kmv_rel_err",
+        abs(col("unique_orders_kmv") -
+          col("unique_orders_exact").cast("double")) /
+          col("unique_orders_exact").cast("double"))
+      .orderBy(ClaimKeys.map(col): _*)
+  }
+
+  /** `q_hll_distinct`: global HLL distinct-orders estimate over the
+    * post-1996 fact slice, with the register-table internals and the
+    * exact count alongside — one row. The raw estimator's valid regime
+    * (n ≳ 2.5m = 1280) holds at every oracle scale (sf0.01 has ~15k
+    * qualifying orders). */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val base = claimsBase(spark, sfDir)
+    val est = hllEstimate(hllRegisters(base, Nil, col("l_orderkey")), Nil)
+    val exact = base.agg(
+      countDistinct(col("l_orderkey")).as("unique_orders_exact"))
+    est.crossJoin(exact)
+      .withColumn("hll_rel_err",
+        abs(col("hll_est") - col("unique_orders_exact").cast("double")) /
+          col("unique_orders_exact").cast("double"))
+  }
+
+  /** Histogram buckets per quantile group. 256 equal-width buckets
+    * bound the quantile error by (max−min)/256 by construction. */
+  val HistB = 256
+
+  /** `q_approx_quantiles`: per order-priority, p50/p90/p99 of
+    * o_totalprice from a 256-bucket equi-width histogram, next to the
+    * exact discrete quantiles and the per-group error bound (the
+    * bucket width). The histogram path shuffles ≤ 256 rows per group
+    * (versus every distinct value for the exact path — which is also
+    * computed here, making this the differential report); estimates
+    * are bucket LOWER BOUNDS, so est ≤ exact < est + width always —
+    * SketchSpec pins that invariant.
+    *
+    * Determinism: width = (max−min)/256 (power-of-two divide, exact),
+    * bucket = floor((x−min)/width) (two IEEE ops), thresholds
+    * ceil(p·n) (one multiply + ceil) — identical on both engines. */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val ords = Engine.spread(Tables.orders(spark, sfDir))
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val stats = ords.groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("gmin"),
+        max(col("o_totalprice")).as("gmax"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("width", (col("gmax") - col("gmin")) / HistB)
+    val bucketed = ords.join(broadcast(stats), "o_orderpriority")
+      .withColumn("__b",
+        when(col("width") === 0.0, lit(0)).otherwise(
+          least(lit(HistB - 1),
+            floor((col("o_totalprice") - col("gmin")) / col("width"))))
+          .cast("int"))
+      .groupBy(col("o_orderpriority"), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+    val wb = Window.partitionBy(col("o_orderpriority")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumB = bucketed.withColumn("__cum", sum(col("__bn")).over(wb))
+      .join(broadcast(stats.select(col("o_orderpriority"), col("n_rows"))),
+        "o_orderpriority")
+    def bAt(p: Double) =
+      min(when(col("__cum") >= ceil(lit(p) * col("n_rows").cast("double")),
+        col("__b")))
+    val hist = cumB.groupBy(col("o_orderpriority"))
+      .agg(bAt(0.5).as("__b50"), bAt(0.9).as("__b90"), bAt(0.99).as("__b99"))
+    // exact discrete quantiles via the identical cumulative construction
+    // over VALUES (the window spec both engines agree on exactly)
+    val wv = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumV = ords.groupBy(col("o_orderpriority"), col("o_totalprice"))
+      .agg(count(lit(1)).as("__vn"))
+      .withColumn("__cum", sum(col("__vn")).over(wv))
+      .join(broadcast(stats.select(col("o_orderpriority"), col("n_rows"))),
+        "o_orderpriority")
+    def vAt(p: Double) =
+      min(when(col("__cum") >= ceil(lit(p) * col("n_rows").cast("double")),
+        col("o_totalprice")))
+    val exact = cumV.groupBy(col("o_orderpriority"))
+      .agg(vAt(0.5).as("p50_exact"), vAt(0.9).as("p90_exact"),
+        vAt(0.99).as("p99_exact"))
+    stats.join(hist, "o_orderpriority").join(exact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("width").as("max_abs_err"),
+        (col("gmin") + col("__b50").cast("double") * col("width"))
+          .as("p50_est"),
+        col("p50_exact"),
+        (col("gmin") + col("__b90").cast("double") * col("width"))
+          .as("p90_est"),
+        col("p90_exact"),
+        (col("gmin") + col("__b99").cast("double") * col("width"))
+          .as("p99_est"),
+        col("p99_exact"))
+      .orderBy(col("o_orderpriority"))
+  }
+}

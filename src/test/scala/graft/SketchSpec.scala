@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SketchOps
+
+/** The sketch family's error contracts: the deterministic engine-exact
+  * sketches (KMV, HLL registers, histogram quantiles) against their
+  * published bounds, and Spark's builtin approximate aggregates
+  * (approx_count_distinct / approx_percentile — NOT oracle-expressible,
+  * so this differential spec is their correctness surface) against the
+  * exact values.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct: exact below k, within 3x rsd above k, deterministic") {
+    // two groups: one tiny (< k: the sketch IS exact), one large
+    val df = (0 until 30).map(i => ("small", i.toLong)) ++
+      (0 until 5000).map(i => ("large", i.toLong))
+    val frame = df.toDF("g", "v")
+    val est = SketchOps.kmvDistinct(frame, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("small") == 30.0) // held < k => exact by construction
+    val rsd = 1.0 / math.sqrt(SketchOps.KmvK - 2)
+    assert(math.abs(est("large") - 5000.0) / 5000.0 <= 3 * rsd,
+      s"kmv ${est("large")} vs 5000, 3*rsd=$rsd")
+    // deterministic: same input, same estimate, any partitioning
+    val again = SketchOps.kmvDistinct(frame.repartition(7), Seq("g"),
+      col("v")).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == est)
+  }
+
+  test("hllEstimate: raw regime within 3x rsd; registers merge by max") {
+    val n = 10000 // >> 2.5m = 1280: the raw estimator's valid regime
+    val frame = (0 until n).map(i => ("g", i.toLong)).toDF("g", "v")
+    val regs = SketchOps.hllRegisters(frame, Seq("g"), col("v"))
+    val est = SketchOps.hllEstimate(regs, Seq("g")).collect().head
+    val rsd = 1.04 / math.sqrt(SketchOps.HllM)
+    val rel = math.abs(est.getAs[Double]("hll_est") - n) / n.toDouble
+    assert(rel <= 3 * rsd, s"hll ${est.getAs[Double]("hll_est")} vs $n")
+    // mergeability: registers from two half-corpus runs, merged by max,
+    // give the IDENTICAL register table — the partial-agg property a
+    // 1000-executor rollup rests on
+    val half1 = SketchOps.hllRegisters(frame.filter(col("v") < n / 2),
+      Seq("g"), col("v"))
+    val half2 = SketchOps.hllRegisters(frame.filter(col("v") >= n / 2),
+      Seq("g"), col("v"))
+    val merged = half1.unionByName(half2)
+      .groupBy(col("g"), col("__bucket")).agg(max(col("__m")).as("__m"))
+    val a = regs.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    val b = merged.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(a == b)
+  }
+
+  test("hll registers: linear-counting correction (consumer-side) fixes small n") {
+    // small cardinality (linear regime): raw overestimates wildly, the
+    // shipped n_zero_registers lets a consumer apply m*ln(m/V0) — this
+    // is WHY the report carries the zero-register count
+    val n = 100
+    val frame = (0 until n).map(i => ("g", i.toLong)).toDF("g", "v")
+    val est = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(frame, Seq("g"), col("v")), Seq("g"))
+      .collect().head
+    val m = SketchOps.HllM.toDouble
+    val z = est.getAs[Long]("n_zero_registers").toDouble
+    val corrected = m * math.log(m / z)
+    assert(math.abs(corrected - n) / n <= 0.15,
+      s"linear-counting $corrected vs $n")
+  }
+
+  test("approxQuantiles: est <= exact < est + width, every group and p") {
+    val rows = SketchOps.approxQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val width = r.getAs[Double]("max_abs_err")
+      for (p <- Seq("p50", "p90", "p99")) {
+        val est = r.getAs[Double](s"${p}_est")
+        val exact = r.getAs[Double](s"${p}_exact")
+        assert(est <= exact && exact < est + width + 1e-9,
+          s"${r.getString(0)} $p: est=$est exact=$exact width=$width")
+      }
+    }
+  }
+
+  test("q_approx_error: kmv errors within 3x rsd wherever the sketch estimates") {
+    val rows = SketchOps.approxError(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val rsd = 1.0 / math.sqrt(SketchOps.KmvK - 2)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("unique_orders_exact")
+      val err = r.getAs[Double]("kmv_rel_err")
+      if (exact < SketchOps.KmvK) assert(err == 0.0, s"row $r")
+      else assert(err <= 3 * rsd, s"row $r")
+    }
+  }
+
+  test("builtin approx_count_distinct / approx_percentile: differential bound") {
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.agg(countDistinct(col("l_orderkey"))).head.getLong(0)
+    val approx = li.agg(approx_count_distinct(col("l_orderkey"), 0.05))
+      .head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 5 * 0.05,
+      s"approx_count_distinct $approx vs $exact")
+    val exactP50 = li.stat.approxQuantile("l_extendedprice",
+      Array(0.5), 0.0).head // relativeError=0 => exact
+    val builtinP50 = li.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)))
+      .head.getDouble(0)
+    assert(math.abs(builtinP50 - exactP50) / exactP50 <= 0.05,
+      s"approx_percentile $builtinP50 vs $exactP50")
+  }
+}
