@@ -364,6 +364,19 @@ GROUP BY s_name
 HAVING count(*) >= 10
 ORDER BY total_billed DESC, provider_name""",
 
+    // the e2e chain's gold rollup: the engine pays real CSV + bronze +
+    // silver sinks and scans; the oracle replays the same lineage as
+    // CTEs — value-equality proves every round-trip is exact
+    "q_pipeline_e2e" -> (ClaimsCte + """
+SELECT service_year, service_month, claim_amount_category,
+  count(*) AS total_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount,
+  count(CASE WHEN data_quality_score < 1.0 THEN 1 END) AS n_flagged
+FROM silver
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""),
+
     "q_dq_dashboard" -> (ClaimsCte + """
 SELECT service_year, service_month,
   count(*) AS total_claims,

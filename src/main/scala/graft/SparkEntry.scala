@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, DqEngine, EventOps, GoldViews, GraphOps, MultimodalOps, SketchOps, StreamingOps, TextOps, VectorOps}
+import graft.operators.{Checks, DqEngine, EventOps, GoldViews, GraphOps, MultimodalOps, Pipeline, SketchOps, StreamingOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -135,6 +135,7 @@ object SparkEntry {
     "q_approx_error" -> SketchOps.approxError _,
     "q_hll_distinct" -> SketchOps.hllDistinct _,
     "q_approx_quantiles" -> SketchOps.approxQuantiles _,
+    "q_pipeline_e2e" -> Pipeline.e2eGold _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -187,6 +187,140 @@ FROM clicks c LEFT ANTI JOIN matched m
 ORDER BY user_id, click_idx, err_idx"""
   }
 
+  /** FORWARD as-of join as one SQL text — the q_asof_forward semantics
+    * (EventOps.asofJoinForward): the union-marker window MIRRORED
+    * (ts DESC, tie DESC; references still sort before probes at equal
+    * ts, so >= semantics hold). Same one-exchange shape. */
+  def asofForwardSql: String =
+    """WITH u AS (
+  SELECT user_id, ts, event_id AS tie, 0 AS is_probe,
+    named_struct('ts', ts, 'event_id', event_id, 'value', value) AS ref,
+    CAST(NULL AS BIGINT) AS probe_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1,
+    CAST(NULL AS STRUCT<ts: TIMESTAMP, event_id: BIGINT, value: DOUBLE>),
+    event_id
+  FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT *, last(ref, true) OVER (PARTITION BY user_id
+      ORDER BY ts DESC, is_probe, tie DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM u
+)
+SELECT probe_id AS event_id, user_id, ts,
+  m.event_id AS ref_event_id, m.ts AS ref_ts, m.value AS ref_value
+FROM w WHERE is_probe = 1 ORDER BY event_id"""
+
+  /** NEAREST as-of join as one SQL text — the q_asof_nearest semantics
+    * (EventOps.asofJoinNearest): BOTH direction windows over the same
+    * union frame (one exchange, two in-partition sorts), smaller
+    * absolute gap wins, equal gaps resolve backward. */
+  def asofNearestSql: String =
+    """WITH u AS (
+  SELECT user_id, ts, event_id AS tie, 0 AS is_probe,
+    named_struct('ts', ts, 'event_id', event_id, 'value', value) AS ref,
+    CAST(NULL AS BIGINT) AS probe_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1,
+    CAST(NULL AS STRUCT<ts: TIMESTAMP, event_id: BIGINT, value: DOUBLE>),
+    event_id
+  FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT *,
+    last(ref, true) OVER (PARTITION BY user_id
+      ORDER BY ts, is_probe, tie
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mb,
+    last(ref, true) OVER (PARTITION BY user_id
+      ORDER BY ts DESC, is_probe, tie DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mf
+  FROM u
+), sel AS (
+  SELECT *, CASE
+    WHEN mb IS NULL THEN mf
+    WHEN mf IS NULL THEN mb
+    WHEN unix_micros(mf.ts) - unix_micros(ts)
+       < unix_micros(ts) - unix_micros(mb.ts) THEN mf
+    ELSE mb END AS m
+  FROM w
+)
+SELECT probe_id AS event_id, user_id, ts,
+  m.event_id AS ref_event_id, m.ts AS ref_ts, m.value AS ref_value
+FROM sel WHERE is_probe = 1 ORDER BY event_id"""
+
+  /** Per-user idle-gap report as one SQL text — the q_idle_gaps
+    * semantics (EventOps.idleGaps): per-(user, type) gap sessions,
+    * merged into covered segments by the running-max sweep, lag gaps
+    * between segments. Every window reuses the per-user exchange; the
+    * gap pass runs on rows ∝ segments. */
+  def idleGapsSql(gapSec: Long = 1800L): String =
+    s"""WITH b AS (
+  SELECT *, CASE WHEN prev IS NULL
+      OR unix_micros(ts) - prev > ${gapSec}000000 THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT user_id, event_type, ts, event_id,
+          lag(unix_micros(ts)) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS prev FROM events)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM b
+), iv AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, event_type, session_idx
+), m AS (
+  SELECT user_id, session_start, session_end,
+    max(unix_micros(session_end)) OVER (PARTITION BY user_id
+      ORDER BY session_start, session_end
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+), sg AS (
+  SELECT *, sum(new_seg) OVER (PARTITION BY user_id
+      ORDER BY session_start, session_end
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM (SELECT *, CASE WHEN prev_max IS NULL
+      OR unix_micros(session_start) > prev_max THEN 1 ELSE 0 END AS new_seg
+    FROM m)
+), per AS (
+  SELECT user_id, seg,
+    min(unix_micros(session_start)) AS s, max(unix_micros(session_end)) AS e
+  FROM sg GROUP BY user_id, seg
+), g AS (
+  SELECT user_id, s, e,
+    s - lag(e) OVER (PARTITION BY user_id ORDER BY s, e) AS gap
+  FROM per)
+SELECT user_id,
+  count_if(gap IS NOT NULL) AS n_gaps,
+  COALESCE(sum(gap), 0L) AS idle_us,
+  COALESCE(max(gap), 0L) AS max_gap_us,
+  max(e) - min(s) AS span_us
+FROM g GROUP BY user_id ORDER BY user_id"""
+
+  /** Cohort retention triangle as one SQL text — the q_retention_matrix
+    * semantics (EventOps.retentionMatrix): distinct (user, day), cohort
+    * by first day, integer week offsets, cohort sizes joined back, one
+    * final double division for the rate. */
+  def retentionMatrixSql: String =
+    """WITH act AS (
+  SELECT DISTINCT user_id, to_date(ts) AS d FROM events
+), first AS (
+  SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM first GROUP BY cohort_day
+), cells AS (
+  SELECT f.cohort_day,
+    CAST(datediff(a.d, f.cohort_day) div 7 AS INT) AS week_offset,
+    count(DISTINCT a.user_id) AS n_users
+  FROM act a JOIN first f ON a.user_id = f.user_id
+  GROUP BY f.cohort_day, CAST(datediff(a.d, f.cohort_day) div 7 AS INT)
+)
+SELECT c.cohort_day, c.week_offset, c.n_users, s.cohort_size,
+  CAST(c.n_users AS DOUBLE) * 100.0 / CAST(s.cohort_size AS DOUBLE)
+    AS retention_pct
+FROM cells c JOIN sizes s ON c.cohort_day = s.cohort_day
+ORDER BY c.cohort_day, c.week_offset"""
+
   private def withEventsView(spark: SparkSession, sfDir: String): Unit = {
     Engine.configure(spark)
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
@@ -206,5 +340,26 @@ ORDER BY user_id, click_idx, err_idx"""
   /** Run [[sessionOverlapSql]] — pinned equal to EventOps.sessionOverlap. */
   def sessionOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     withEventsView(spark, sfDir); spark.sql(sessionOverlapSql())
+  }
+
+  /** Run [[asofForwardSql]] — pinned equal to EventOps.asofJoinForward. */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    withEventsView(spark, sfDir); spark.sql(asofForwardSql)
+  }
+
+  /** Run [[asofNearestSql]] — pinned equal to EventOps.asofJoinNearest. */
+  def asofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    withEventsView(spark, sfDir); spark.sql(asofNearestSql)
+  }
+
+  /** Run [[idleGapsSql]] — pinned equal to EventOps.idleGaps. */
+  def idleGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    withEventsView(spark, sfDir); spark.sql(idleGapsSql())
+  }
+
+  /** Run [[retentionMatrixSql]] — pinned equal to
+    * EventOps.retentionMatrix. */
+  def retentionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    withEventsView(spark, sfDir); spark.sql(retentionMatrixSql)
   }
 }

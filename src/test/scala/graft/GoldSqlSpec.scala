@@ -114,4 +114,36 @@ class GoldSqlSpec extends SparkSpec {
     val (s, d) = (rowsOf(sql), rowsOf(df))
     assert(s.nonEmpty && s == d)
   }
+
+  test("TemporalSql.asofForward == EventOps.asofJoinForward (pure-SQL forward as-of)") {
+    val sql = TemporalSql.asofForward(spark, sfDir)
+    val df = EventOps.asofJoinForward(spark, sfDir)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    val (s, d) = (rowsOf(sql), rowsOf(df))
+    assert(s.nonEmpty && s == d)
+  }
+
+  test("TemporalSql.asofNearest == EventOps.asofJoinNearest (pure-SQL nearest as-of)") {
+    val sql = TemporalSql.asofNearest(spark, sfDir)
+    val df = EventOps.asofJoinNearest(spark, sfDir)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    val (s, d) = (rowsOf(sql), rowsOf(df))
+    assert(s.nonEmpty && s == d)
+  }
+
+  test("TemporalSql.idleGaps == EventOps.idleGaps (pure-SQL segment sweep)") {
+    val sql = TemporalSql.idleGaps(spark, sfDir)
+    val df = EventOps.idleGaps(spark, sfDir)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    val (s, d) = (rowsOf(sql), rowsOf(df))
+    assert(s.nonEmpty && s == d)
+  }
+
+  test("TemporalSql.retentionMatrix == EventOps.retentionMatrix (pure-SQL cohort triangle)") {
+    val sql = TemporalSql.retentionMatrix(spark, sfDir)
+    val df = EventOps.retentionMatrix(spark, sfDir)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    val (s, d) = (rowsOf(sql), rowsOf(df))
+    assert(s.nonEmpty && s == d)
+  }
 }

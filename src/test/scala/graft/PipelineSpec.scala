@@ -120,4 +120,27 @@ class PipelineSpec extends SparkSpec {
     }
     assert(spark.table("gold_recent_activity").count() == 3)
   }
+
+  test("e2eGold: file-backed chain == in-memory cleanse rollup") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Exact.countIf
+    // the CSV -> bronze -> silver file round-trips must be value-exact:
+    // the e2e gold rollup equals the same rollup over the pure
+    // in-memory cleanse (no files anywhere)
+    val viaFiles = operators.Pipeline.e2eGold(spark, sfDir).collect()
+      .map(_.toSeq)
+    val inMem = operators.SilverCleanse
+      .fromOrders(Tables.orders(spark, sfDir))
+      .groupBy(col("service_year"), col("service_month"),
+        col("claim_amount_category"))
+      .agg(count(lit(1)).as("total_claims"),
+        countDistinct(col("member_id")).as("unique_members"),
+        sum(col("claim_amount").cast("decimal(38,4)")).cast("double")
+          .as("total_amount"),
+        countIf(col("data_quality_score") < 1.0).as("n_flagged"))
+      .orderBy(col("service_year"), col("service_month"),
+        col("claim_amount_category"))
+      .collect().map(_.toSeq)
+    assert(viaFiles.nonEmpty && viaFiles.toSeq == inMem.toSeq)
+  }
 }
