@@ -73,6 +73,19 @@ object GraphOps {
     * computations can't observe each other's counts. */
   def connectedComponentsOfWithRounds(edges: DataFrame, src: String,
       dst: String, maxIters: Int = 25): (DataFrame, Int) = {
+    val (labels, rounds, converged) =
+      propagateWithRounds(edges, src, dst, maxIters)
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds")
+    (labels, rounds)
+  }
+
+  /** The propagation loop itself, reporting convergence instead of
+    * throwing — the building block [[connectedComponentsAuto]] needs to
+    * escalate cleanly. On the non-converged path every staged frame is
+    * retired before returning (the partial labels are useless). */
+  private def propagateWithRounds(edges: DataFrame, src: String,
+      dst: String, maxIters: Int): (DataFrame, Int, Boolean) = {
     val spark = edges.sparkSession
     val e = Engine.stage(
       edges.select(col(src).as("src"), col(dst).as("dst"))
@@ -110,10 +123,36 @@ object GraphOps {
       delta = next.filter(col("chg")).select(col("node"), col("comp"))
       rounds += 1
     }
-    require(changed == 0L,
-      s"connectedComponents did not converge in $maxIters rounds")
-    Engine.unstage(e) // labels' blocks remain live for the caller
-    (labels, rounds)
+    Engine.unstage(e)
+    if (changed == 0L) (labels, rounds, true) // labels stay live for caller
+    else {
+      Engine.unstage(stagedLabels) // partial labels are useless — free them
+      (labels, rounds, false)
+    }
+  }
+
+  /** Connected components with AUTOMATIC depth escalation — the
+    * round-10 sf1 scale rehearsal's lesson made code: delta-frontier
+    * min-label propagation converges in diameter-many rounds, which is
+    * a handful on the dense near-dup graphs this family usually sees —
+    * but the 10× fixture produced a component of diameter > 25 and the
+    * loud guard fired mid-bench (exactly what the guard is for). Rather
+    * than asking callers to know their diameter, this runs propagation
+    * for up to `propIters` rounds (cheap, collapses dense cores) and on
+    * non-convergence discards the partial labels and restarts with the
+    * alternating large/small-star formulation, whose O(log n) round
+    * bound is diameter-independent. The escalation wastes the
+    * propagation rounds — acceptable because deep graphs are the rare
+    * case and shallow graphs (the common case) keep propagation's
+    * smaller constant factor. Both algorithms produce the identical
+    * (node, min-reachable-id) contract, so which one answered is
+    * unobservable in the result. */
+  def connectedComponentsAuto(edges: DataFrame, src: String, dst: String,
+      propIters: Int = 12, altIters: Int = 30): DataFrame = {
+    val (labels, _, converged) =
+      propagateWithRounds(edges, src, dst, propIters)
+    if (converged) labels
+    else connectedComponentsAlternating(edges, src, dst, altIters)
   }
 
   /** Connected components by ALTERNATING large-star / small-star
@@ -232,7 +271,10 @@ object GraphOps {
   def dupComponents(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
     val pairs = TextOps.simhashPairs(spark, sfDir)
-    val cc = connectedComponentsOf(pairs, "doc_a", "doc_b")
+    // auto-escalating: propagation for shallow graphs, alternating-star
+    // past propIters rounds (the sf1 rehearsal surfaced a > 25-diameter
+    // component — see connectedComponentsAuto)
+    val cc = connectedComponentsAuto(pairs, "doc_a", "doc_b")
     cc.select(col("node").as("doc_id"), col("comp").as("component"),
       count(lit(1)).over(Window.partitionBy(col("comp"))).as("cluster_n"))
       .orderBy(col("doc_id"))

@@ -111,4 +111,26 @@ class GraphOpsSpec extends SparkSpec {
       assert(ms.forall(_._2._2 == ms.size.toLong))
     }
   }
+
+  test("auto escalation: a chain deeper than propIters converges via alternating") {
+    import spark.implicits._
+    // diameter 80 >> propIters=5: propagation alone would fail loudly,
+    // auto must discard the partial labels and answer via the
+    // alternating formulation with the identical contract
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      GraphOps.connectedComponentsOf(chain, "a", "b", maxIters = 5)
+    }
+    val auto = GraphOps.connectedComponentsAuto(chain, "a", "b",
+      propIters = 5).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(auto.length == 81 && auto.forall(_._2 == 0L))
+    // shallow graphs still answer on the propagation path (converges
+    // within propIters) and match the alternating result exactly
+    val shallow = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val viaAuto = GraphOps.connectedComponentsAuto(shallow, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val viaAlt = GraphOps.connectedComponentsAlternating(shallow, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(viaAuto == viaAlt)
+  }
 }
