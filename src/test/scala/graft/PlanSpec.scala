@@ -419,4 +419,39 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("ReusedExchange"), plan)
     }
   }
+
+  test("kmvDistinct: rank <= k plans a partial WindowGroupLimit below the shuffle") {
+    import graft.operators.SketchOps
+    val plan = planString(SketchOps.claimsSummaryApprox(spark, sfDir))
+    // the sketch's scale contract: the per-group shuffle carries <= k
+    // rows per group because the top-k rank filter pushes into a
+    // partial WindowGroupLimit on the map side
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+  }
+
+  test("hllDistinct: register fold is two keyed hash aggregates, no window, no join") {
+    import graft.operators.SketchOps
+    val plan = planString(SketchOps.hllDistinct(spark, sfDir))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("approxQuantiles: histogram side shuffles bucket counts, stats broadcast back") {
+    import graft.operators.SketchOps
+    val plan = planString(SketchOps.approxQuantiles(spark, sfDir))
+    // per-group stats frames are tiny and must come back as broadcasts,
+    // never a shuffled join against the bucketed rows
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ivfPqQuery: persisted-model search joins codes to a broadcast probe frame") {
+    import graft.operators.VectorOps
+    val plan = planString(VectorOps.ivfPqQuery(spark, sfDir))
+    // the search side reads the persisted codes and joins the (tiny)
+    // probe frame by broadcast on cell — the corpus is never shuffled
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
