@@ -257,13 +257,22 @@ object VectorOps {
   // build-side.
   // -----------------------------------------------------------------
 
+  /** Training-recipe version, part of the persisted-model path: BUMP
+    * THIS whenever any code that shapes the model changes (coarse
+    * k-means arithmetic, residual projection, PQ trainer, encode
+    * layout) — otherwise a query could silently read an index built by
+    * older code and diverge from the self-contained search (and its
+    * oracle). Params alone don't capture code changes. */
+  private val IvfPqModelVersion = "v1"
+
   /** Persisted-model location, keyed by the fixture leaf + every
-    * training parameter, so a param change can never read a stale
-    * index. */
+    * training parameter + [[IvfPqModelVersion]], so neither a param
+    * change nor a training-code change can read a stale index. */
   private[graft] def ivfPqModelDir(sfDir: String, m: Int, k: Int,
       kCells: Int, iters: Int, trainPct: Int): String = {
     val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
-    s"target/ivfpq_model/${leaf}_m${m}k${k}c${kCells}i${iters}p$trainPct"
+    s"target/ivfpq_model/${IvfPqModelVersion}_${leaf}" +
+      s"_m${m}k${k}c${kCells}i${iters}p$trainPct"
   }
 
   /** `q_ivfpq_build`: train the IVF-PQ index and WRITE it — coarse
