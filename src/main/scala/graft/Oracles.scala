@@ -261,6 +261,28 @@ FROM ex JOIN kmv
 ORDER BY 1, 2, 3, 4"""
     },
 
+    // monthly_trend's TWO distincts as independent KMV sketches
+    "q_monthly_trend_approx" -> {
+      import graft.operators.SketchOps.kmvDistinctSql
+      val keys = Seq("service_year", "service_month")
+      s"""WITH base AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS service_year,
+    CAST(month(l_shipdate) AS INT) AS service_month,
+    l_orderkey, l_suppkey
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'),
+counts AS (
+  SELECT service_year, service_month, count(*) AS total_claims
+  FROM base GROUP BY 1, 2),
+ko AS (${kmvDistinctSql("base", keys, "l_orderkey")}),
+ks AS (${kmvDistinctSql("base", keys, "l_suppkey")})
+SELECT service_year, service_month, total_claims,
+  ko.kmv_est AS unique_orders_kmv, ks.kmv_est AS unique_suppliers_kmv
+FROM counts
+JOIN ko USING (service_year, service_month)
+JOIN ks USING (service_year, service_month)
+ORDER BY 1, 2"""
+    },
+
     "q_hll_distinct" -> {
       import graft.operators.SketchOps.hllEstimateSql
       s"""WITH base AS (

@@ -136,6 +136,7 @@ object SparkEntry {
     "q_hll_distinct" -> SketchOps.hllDistinct _,
     "q_approx_quantiles" -> SketchOps.approxQuantiles _,
     "q_pipeline_e2e" -> Pipeline.e2eGold _,
+    "q_monthly_trend_approx" -> SketchOps.monthlyTrendApprox _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -264,6 +264,52 @@ FROM (
           col("unique_orders_exact").cast("double"))
   }
 
+  /** `q_monthly_trend_approx`: the monthly_trend rollup with BOTH of
+    * its COUNT(DISTINCT)s (orders, suppliers) replaced by independent
+    * KMV sketches — the multi-distinct case that motivates sketches
+    * most: the exact form needs the decomposed no-Expand plan
+    * (AggPatterns) and still shuffles every key of both distinct sets;
+    * the sketch form shuffles ≤ k rows per group per sketch. */
+  def monthlyTrendApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val base = Engine.spread(Tables.lineitem(spark, sfDir))
+      .filter(col("l_shipdate") >=
+        lit("1996-01-01 00:00:00").cast("timestamp"))
+      .select(year(col("l_shipdate")).as("service_year"),
+        month(col("l_shipdate")).as("service_month"),
+        col("l_orderkey"), col("l_suppkey"))
+    val keys = Seq("service_year", "service_month")
+    val counts = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("total_claims"))
+    val kmvOrders = kmvDistinct(base, keys, col("l_orderkey"))
+      .withColumnRenamed("kmv_est", "unique_orders_kmv")
+    val kmvSupp = kmvDistinct(base, keys, col("l_suppkey"))
+      .withColumnRenamed("kmv_est", "unique_suppliers_kmv")
+    counts.join(kmvOrders, keys).join(kmvSupp, keys)
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** HLL register table for distinct users per 1-hour tumbling window —
+    * written once as a DataFrame transform, so it runs UNCHANGED on a
+    * batch frame or a watermarked stream (the unified-model pattern of
+    * [[StreamingOps.eventWindows]]). The registers ARE the production
+    * artifact: mergeable by max (spec-pinned), so executors/micro-
+    * batches each emit partial registers and any reader folds them into
+    * an estimate ([[hllEstimate]]) at read time — distinct-count state
+    * per window is ≤ m=512 ints regardless of user cardinality, which
+    * is what makes streaming distinct counting bounded-state. */
+  def userWindowHllRegisters(events: DataFrame): DataFrame = {
+    val h = hash60(col("user_id"))
+    events
+      .select(window(col("ts"), "1 hour").as("w"),
+        (h % HllM).cast("int").as("__bucket"),
+        hllRank(shiftrightunsigned(h, 9)).as("__rank"))
+      .groupBy(col("w"), col("__bucket"))
+      .agg(max(col("__rank")).as("__m"))
+      .select(col("w.start").as("window_start"), col("__bucket"),
+        col("__m"))
+  }
+
   /** Histogram buckets per quantile group. 256 equal-width buckets
     * bound the quantile error by (max−min)/256 by construction. */
   val HistB = 256

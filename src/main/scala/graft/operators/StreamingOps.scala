@@ -50,6 +50,21 @@ object StreamingOps {
     eventWindows(stream.withWatermark("ts", "1 hour"))
   }
 
+  /** Streaming distinct-users-per-window as HLL REGISTERS — the
+    * bounded-state form of streaming COUNT(DISTINCT): exact distinct
+    * on a stream needs every key in state, the register table needs
+    * ≤ m=512 ints per window no matter how many users arrive. The
+    * registers are mergeable by max across micro-batches (the same
+    * property the watermark-finalized `max` aggregate relies on), and
+    * a reader folds them with [[SketchOps.hllEstimate]] at read time.
+    * StreamingSpec pins streamed registers == batch registers. */
+  def userHllRegistersStream(spark: SparkSession, srcDir: String,
+      schema: StructType, watermark: String = "1 hour"): DataFrame = {
+    Engine.configure(spark)
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    SketchOps.userWindowHllRegisters(stream.withWatermark("ts", watermark))
+  }
+
   /** Streaming exact-dedup with CUSTOM STATE via flatMapGroupsWithState
     * (the `KeyValueGroupedDataset` stateful path of the builder brief):
     * the first row per key is emitted, every later duplicate is dropped,

@@ -111,4 +111,29 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(builtinP50 - exactP50) / exactP50 <= 0.05,
       s"approx_percentile $builtinP50 vs $exactP50")
   }
+
+  test("q_monthly_trend_approx: both sketches within bound against exact") {
+    import graft.operators.SketchOps
+    val rsd = 1.0 / math.sqrt(SketchOps.KmvK - 2)
+    val exact = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .groupBy(year(col("l_shipdate")).as("service_year"),
+        month(col("l_shipdate")).as("service_month"))
+      .agg(countDistinct(col("l_orderkey")).as("eo"),
+        countDistinct(col("l_suppkey")).as("es"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val rows = SketchOps.monthlyTrendApprox(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length == exact.size)
+    rows.foreach { r =>
+      val (eo, es) = exact((r.getInt(0), r.getInt(1)))
+      val ko = r.getAs[Double]("unique_orders_kmv")
+      val ks = r.getAs[Double]("unique_suppliers_kmv")
+      if (eo < SketchOps.KmvK) assert(ko == eo.toDouble, s"row $r")
+      else assert(math.abs(ko - eo) / eo <= 3 * rsd, s"row $r")
+      if (es < SketchOps.KmvK) assert(ks == es.toDouble, s"row $r")
+      else assert(math.abs(ks - es) / es <= 3 * rsd, s"row $r")
+    }
+  }
 }

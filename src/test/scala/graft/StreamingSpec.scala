@@ -744,4 +744,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.contains("ingestion_timestamp") &&
       out.columns.contains("batch_id") && out.columns.contains("source_file"))
   }
+
+  test("userHllRegistersStream: streamed registers == batch; bounded state") {
+    import graft.operators.SketchOps
+    val src = tmp("hll_src")
+    Tables.events(spark, sfDir).limit(600)
+      .write.mode("overwrite").parquet(src)
+    val batch = SketchOps.userWindowHllRegisters(spark.read.parquet(src))
+      .collect().map(_.toSeq).toSet
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingOps.userHllRegistersStream(spark, src, schema)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hll_regs").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the bounded-state contract: <= m registers per window
+    val perWindow = spark.table("hll_regs").groupBy(col("window_start"))
+      .count().collect().map(_.getLong(1))
+    assert(perWindow.forall(_ <= SketchOps.HllM))
+  }
 }
