@@ -1167,6 +1167,95 @@ ORDER BY r.lang, r.rank""",
 
     // per-language top-20 token vocabulary, deterministic tie-break on
     // the token string
+    // KMV set algebra: per event-type pair, union/intersection distinct-
+    // user estimates from the k-min sketches next to the exact counts
+    "q_user_overlap_kmv" -> {
+      import graft.operators.SketchOps.hash60Sql
+      val k = graft.operators.SketchOps.KmvK
+      val two60 = "1.152921504606846976e18"
+      val est = (held: String, kth: String) =>
+        s"CASE WHEN $held < $k THEN CAST($held AS DOUBLE) ELSE " +
+          s"${(k - 1).toDouble} / ((CAST($kth AS DOUBLE) + 1.0) / $two60) END"
+      val pairs = Seq("click", "purchase", "view").combinations(2).toSeq
+      val arms = pairs.zipWithIndex.map { case (Seq(a, b), i) =>
+        (s"""u$i AS (
+  SELECT __h,
+    CASE WHEN sa.__ina IS NOT NULL THEN 1 ELSE 0 END AS ina,
+    CASE WHEN sb.__inb IS NOT NULL THEN 1 ELSE 0 END AS inb
+  FROM (SELECT __h, 1 AS __ina FROM sk WHERE event_type = '$a') sa
+  FULL OUTER JOIN (SELECT __h, 1 AS __inb FROM sk
+    WHERE event_type = '$b') sb USING (__h)),
+k$i AS (SELECT * FROM (
+  SELECT *, row_number() OVER (ORDER BY __h) AS rk FROM u$i) z
+  WHERE rk <= $k),
+g$i AS (SELECT count(*) AS held, max(__h) AS kth,
+  sum(ina * inb) AS nboth FROM k$i),
+ex$i AS (
+  SELECT count(*) AS exact_union,
+    count(CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+      THEN 1 END) AS exact_inter
+  FROM (SELECT DISTINCT user_id FROM events WHERE event_type = '$a') a
+  FULL OUTER JOIN (SELECT DISTINCT user_id FROM events
+    WHERE event_type = '$b') b ON a.user_id = b.user_id)""",
+          s"""SELECT '$a' AS type_a, '$b' AS type_b, ex.exact_union,
+  ${est("g.held", "g.kth")} AS union_kmv,
+  ex.exact_inter,
+  CASE WHEN g.held < $k THEN CAST(g.nboth AS DOUBLE)
+       ELSE CAST(g.nboth AS DOUBLE) / ${k.toDouble} *
+         (${(k - 1).toDouble} / ((CAST(g.kth AS DOUBLE) + 1.0) / $two60))
+  END AS inter_kmv
+FROM g$i g CROSS JOIN ex$i ex""")
+      }
+      s"""WITH dh AS (
+  SELECT DISTINCT event_type, ${hash60Sql("user_id")} AS __h
+  FROM events WHERE event_type IN ('click', 'purchase', 'view')),
+sk AS (SELECT event_type, __h FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY __h)
+    AS rk FROM dh) z WHERE rk <= $k),
+${arms.map(_._1).mkString(",\n")}
+SELECT * FROM (
+${arms.map(_._2).mkString("\nUNION ALL\n")}
+) out ORDER BY type_a, type_b"""
+    },
+
+    // Count-Min heavy hitters: d x w counter table from row-salted md5
+    // hashes; per-language top-10 exact tokens with their min-of-d
+    // estimates (cm_est >= exact always)
+    "q_cm_heavy_hitters" -> {
+      import graft.operators.SketchOps.{cmColSql, CmD}
+      val sketchArms = (0 until CmD).map(j =>
+        s"  SELECT lang, $j AS cm_row, ${cmColSql(j, "token")} AS cm_col" +
+          " FROM tok").mkString("\n  UNION ALL\n")
+      val coordArms = (0 until CmD).map(j =>
+        s"  SELECT lang, token, exact_n, $j AS cm_row, " +
+          s"${cmColSql(j, "token")} AS cm_col FROM top")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+sketch AS (
+  SELECT lang, cm_row, cm_col, count(*) AS cm_count FROM (
+$sketchArms
+  ) a GROUP BY lang, cm_row, cm_col),
+exact AS (
+  SELECT lang, token, count(*) AS exact_n FROM tok GROUP BY lang, token),
+top AS (
+  SELECT lang, token, exact_n FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+      ORDER BY exact_n DESC, token) AS rnk FROM exact) r
+  WHERE rnk <= 10),
+coords AS (
+$coordArms
+)
+SELECT c.lang, c.token, c.exact_n, min(s.cm_count) AS cm_est,
+  min(s.cm_count) - c.exact_n AS overestimate
+FROM coords c
+JOIN sketch s ON s.lang = c.lang AND s.cm_row = c.cm_row
+  AND s.cm_col = c.cm_col
+GROUP BY c.lang, c.token, c.exact_n
+ORDER BY c.lang, c.exact_n DESC, c.token"""
+    },
+
     "q_vocab_topk" -> """WITH tok AS (
   SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
   FROM documents),

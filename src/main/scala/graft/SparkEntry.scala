@@ -137,6 +137,8 @@ object SparkEntry {
     "q_approx_quantiles" -> SketchOps.approxQuantiles _,
     "q_pipeline_e2e" -> Pipeline.e2eGold _,
     "q_monthly_trend_approx" -> SketchOps.monthlyTrendApprox _,
+    "q_cm_heavy_hitters" -> ((s: SparkSession, d: String) => SketchOps.cmHeavyHitters(s, d)),
+    "q_user_overlap_kmv" -> ((s: SparkSession, d: String) => SketchOps.userOverlapKmv(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

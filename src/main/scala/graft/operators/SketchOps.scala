@@ -310,6 +310,134 @@ FROM (
         col("__m"))
   }
 
+  /** `q_user_overlap_kmv`: KMV SET ALGEBRA — the property that makes
+    * k-minimum-values the sketch of choice for audience-overlap
+    * questions: the k smallest hashes of A ∪ B are computable from the
+    * two per-set sketches alone (merge, re-rank, cut at k), giving a
+    * union estimate; the fraction of that union sketch present in
+    * BOTH input sketches estimates the Jaccard, and inter ≈ J · union.
+    * Per event-type pair this reports the sketch estimates NEXT TO the
+    * exact distinct/overlap counts (cheap at fixture scale, the
+    * 100 TB pipeline keeps only the k-hash sketches per segment).
+    * When the merged sketch holds < k hashes both input sketches were
+    * complete sets, so union and intersection are EXACT by
+    * construction — same degeneracy rule as [[kmvDistinct]]. */
+  def userOverlapKmv(spark: SparkSession, sfDir: String,
+      types: Seq[String] = Seq("click", "purchase", "view"),
+      k: Int = KmvK): DataFrame = {
+    Engine.configure(spark)
+    val ev = Engine.spread(Tables.events(spark, sfDir))
+      .filter(col("event_type").isin(types: _*))
+      .select(col("event_type"), hash60(col("user_id")).as("__h"))
+      .distinct()
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("__h"))
+    val sketches = ev.withColumn("__rk", row_number().over(wt))
+      .filter(col("__rk") <= k).drop("__rk")
+    val pairs = types.combinations(2).toSeq.map { case Seq(a, b) =>
+      val sa = sketches.filter(col("event_type") === a).select(col("__h"))
+      val sb = sketches.filter(col("event_type") === b).select(col("__h"))
+      val wu = Window.orderBy(col("__h"))
+      // merged k-sketch of A ∪ B + membership flags against each input
+      val union = sa.withColumn("__ina", lit(1))
+        .join(sb.withColumn("__inb", lit(1)), Seq("__h"), "full_outer")
+        .na.fill(0, Seq("__ina", "__inb"))
+        .withColumn("__rk", row_number().over(wu))
+        .filter(col("__rk") <= k)
+      // exact ground truth from the full distinct user sets
+      val ua = Engine.spread(Tables.events(spark, sfDir))
+        .filter(col("event_type") === a)
+        .select(col("user_id")).distinct().withColumn("__a", lit(1))
+      val ub = Engine.spread(Tables.events(spark, sfDir))
+        .filter(col("event_type") === b)
+        .select(col("user_id")).distinct().withColumn("__b", lit(1))
+      val exact = ua.join(ub, Seq("user_id"), "full_outer")
+        .agg(count(lit(1)).as("exact_union"),
+          graft.functions.Exact.countIf(
+            col("__a").isNotNull && col("__b").isNotNull)
+            .as("exact_inter"))
+      union.agg(count(lit(1)).as("__held"), max(col("__h")).as("__kth"),
+          sum(col("__ina") * col("__inb")).as("__nboth"))
+        .select(
+          lit(a).as("type_a"), lit(b).as("type_b"),
+          when(col("__held") < k, col("__held").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              ((col("__kth").cast("double") + 1.0) / expr(Two60)))
+            .as("union_kmv"),
+          when(col("__held") < k, col("__nboth").cast("double"))
+            .otherwise(col("__nboth").cast("double") / lit(k.toDouble) *
+              (lit((k - 1).toDouble) /
+                ((col("__kth").cast("double") + 1.0) / expr(Two60))))
+            .as("inter_kmv"))
+        .crossJoin(exact)
+    }
+    pairs.reduce(_ unionByName _)
+      .select(col("type_a"), col("type_b"), col("exact_union"),
+        col("union_kmv"), col("exact_inter"), col("inter_kmv"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Count-Min depth (independent hash rows) and width (counters per
+    * row): the sketch is d×w counters per group — 2048 longs —
+    * REGARDLESS of vocabulary size, mergeable by SUM. Overestimate-
+    * only error (CM never undercounts), expected ≤ (e/w)·N per
+    * lookup. */
+  val CmD = 4
+  val CmW = 512
+
+  /** Row-j Count-Min column for a token: the shared 60-bit md5 hash
+    * over a row-salted key — engine-exact like every hash here. */
+  private def cmCol(j: Int, token: Column): Column =
+    (hash60(concat(lit(s"$j:"), token)) % CmW).cast("int")
+
+  private[graft] def cmColSql(j: Int, tokenExpr: String): String =
+    s"CAST(${hash60Sql(s"'$j:' || $tokenExpr")} % $CmW AS INT)"
+
+  /** Count-Min counter table per group over a (possibly repeating)
+    * token column: (group…, cm_row, cm_col, cm_count). One explode ×d
+    * + one keyed hash aggregate; the aggregate output is ≤ d·w rows
+    * per group however large the vocabulary — the bounded-size
+    * frequency summary a 100 TB token stream can actually keep.
+    * Mergeable by summing cm_count (spec-pinned). */
+  def cmSketch(df: DataFrame, groupCols: Seq[String], token: Column)
+      : DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ posexplode(array((0 until CmD).map(j =>
+        cmCol(j, token)): _*)).as(Seq("cm_row", "cm_col")): _*)
+      .groupBy(g ++ Seq(col("cm_row"), col("cm_col")): _*)
+      .agg(count(lit(1)).as("cm_count"))
+  }
+
+  /** `q_cm_heavy_hitters`: per-language top-10 tokens with their
+    * Count-Min estimates next to the exact counts — the differential
+    * report for the sketch's contract: cm_est ≥ exact ALWAYS (min of
+    * d counters, each an overcount), overestimate bounded by
+    * colliding mass. The exact pass rides along here as ground truth;
+    * at 100 TB a pipeline keeps ONLY the d×w sketch and estimates any
+    * token's frequency from 4 counter lookups. */
+  def cmHeavyHitters(spark: SparkSession, sfDir: String, topK: Int = 10)
+      : DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Engine.configure(spark)
+    val tok = Engine.spread(Tables.documents(spark, sfDir))
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val sketch = cmSketch(tok, Seq("lang"), col("token"))
+    val exact = tok.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("exact_n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("exact_n").desc, col("token"))
+    val top = exact.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK).drop("__rn")
+    val coords = top.select(col("lang"), col("token"), col("exact_n"),
+      posexplode(array((0 until CmD).map(j =>
+        cmCol(j, col("token"))): _*)).as(Seq("cm_row", "cm_col")))
+    coords.join(sketch, Seq("lang", "cm_row", "cm_col"))
+      .groupBy(col("lang"), col("token"), col("exact_n"))
+      .agg(min(col("cm_count")).as("cm_est"))
+      .select(col("lang"), col("token"), col("exact_n"), col("cm_est"),
+        (col("cm_est") - col("exact_n")).as("overestimate"))
+      .orderBy(col("lang"), col("exact_n").desc, col("token"))
+  }
+
   /** Histogram buckets per quantile group. 256 equal-width buckets
     * bound the quantile error by (max−min)/256 by construction. */
   val HistB = 256

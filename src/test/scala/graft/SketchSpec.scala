@@ -136,4 +136,57 @@ class SketchSpec extends SparkSpec {
       else assert(math.abs(ks - es) / es <= 3 * rsd, s"row $r")
     }
   }
+
+  test("cmSketch: never underestimates, bounded size, mergeable by sum") {
+    val rows = SketchOps.cmHeavyHitters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the CM contract: min-of-d counters is always an overcount
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact_n"), s"row $r")
+      assert(r.getAs[Long]("overestimate") >= 0L, s"row $r")
+    }
+    // bounded size: <= d*w counter rows per language however large the
+    // vocabulary
+    import graft.functions.TextFunctions.tokens
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val sketch = SketchOps.cmSketch(tok, Seq("lang"), col("token"))
+    val perLang = sketch.groupBy(col("lang")).count().collect()
+    assert(perLang.forall(_.getLong(1) <= SketchOps.CmD * SketchOps.CmW))
+    // mergeability: half-corpus sketches summed == whole-corpus sketch
+    val h1 = SketchOps.cmSketch(tok.filter(col("lang") <= "en"),
+      Seq("lang"), col("token"))
+    val h2 = SketchOps.cmSketch(tok.filter(col("lang") > "en"),
+      Seq("lang"), col("token"))
+    val merged = h1.unionByName(h2)
+      .groupBy(col("lang"), col("cm_row"), col("cm_col"))
+      .agg(sum(col("cm_count")).as("cm_count"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == sketch.collect().map(_.toSeq).toSet)
+  }
+
+  test("userOverlapKmv: set-algebra estimates within bound; exact when degenerate") {
+    val rows = SketchOps.userOverlapKmv(spark, sfDir).collect()
+    assert(rows.length == 3) // 3 type pairs
+    val k = SketchOps.KmvK
+    val rsd = 1.0 / math.sqrt(k - 2)
+    rows.foreach { r =>
+      val eu = r.getAs[Long]("exact_union").toDouble
+      val ei = r.getAs[Long]("exact_inter").toDouble
+      val ku = r.getAs[Double]("union_kmv")
+      val ki = r.getAs[Double]("inter_kmv")
+      if (eu < k) { // degenerate: complete sketches => exact by rule
+        assert(ku == eu && ki == ei, s"row $r")
+      } else {
+        assert(math.abs(ku - eu) / eu <= 3 * rsd, s"union row $r")
+        // intersection compounds the Jaccard ratio's ~1/sqrt(k) error
+        // with the union estimate's — generous envelope, still a real
+        // contract
+        assert(math.abs(ki - ei) <= 0.5 * eu, s"inter row $r")
+      }
+    }
+    // deterministic across runs
+    val again = SketchOps.userOverlapKmv(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
