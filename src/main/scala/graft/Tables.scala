@@ -61,4 +61,11 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Raw path of a table (for metadata-level fingerprinting — see
+    * [[graft.operators.ModelStore.corpusFingerprint]]). */
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+  def embeddingsPath(sfDir: String): String = path(sfDir, "embeddings")
+  def lineitemPath(sfDir: String): String = path(sfDir, "lineitem")
+  def documentsPath(sfDir: String): String = path(sfDir, "documents")
 }

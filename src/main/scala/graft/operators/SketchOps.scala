@@ -72,7 +72,13 @@ object SketchOps {
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
       k: Int = KmvK): DataFrame = {
     val g = groupCols.map(col)
-    val dh = df.select(g :+ hash60(value).as("__h"): _*).distinct()
+    // NULLs are excluded BEFORE hashing: COUNT(DISTINCT) — the quantity
+    // these sketches approximate — ignores NULL, and an unfiltered null
+    // would hash to a null __h whose sort position differs across
+    // engines (Spark windows sort NULLS FIRST, DuckDB NULLS LAST),
+    // breaking the hash-exact oracle (round-10 ADVICE).
+    val dh = df.filter(value.isNotNull)
+      .select(g :+ hash60(value).as("__h"): _*).distinct()
     val w = Window.partitionBy(g: _*).orderBy(col("__h"))
     dh.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
@@ -98,7 +104,8 @@ FROM (
   SELECT $g, count(*) AS __held, max(__h) AS __kth FROM (
     SELECT $g, __h,
       row_number() OVER (PARTITION BY $g ORDER BY __h) AS __rk
-    FROM (SELECT DISTINCT $g, ${hash60Sql(valueExpr)} AS __h FROM $src) d
+    FROM (SELECT DISTINCT $g, ${hash60Sql(valueExpr)} AS __h FROM $src
+          WHERE $valueExpr IS NOT NULL) d
   ) r WHERE __rk <= $k GROUP BY $g) e"""
   }
 
@@ -134,7 +141,11 @@ FROM (
       : DataFrame = {
     val g = groupCols.map(col)
     val h = hash60(value)
-    df.select(g ++ Seq((h % HllM).cast("int").as("__bucket"),
+    // same NULL discipline as [[kmvDistinct]]: COUNT(DISTINCT) ignores
+    // NULL, so the sketch must too (a null value would otherwise land
+    // one phantom register via null-propagated bucket/rank arithmetic)
+    df.filter(value.isNotNull)
+      .select(g ++ Seq((h % HllM).cast("int").as("__bucket"),
       hllRank(shiftrightunsigned(h, 9)).as("__rank")): _*)
       .groupBy(g :+ col("__bucket"): _*)
       .agg(max(col("__rank")).as("__m"))
@@ -183,7 +194,8 @@ FROM (
     SELECT $gSel __bucket, max(__rank) AS __m FROM (
       SELECT $gSel CAST(__h % $HllM AS INT) AS __bucket,
         ${hllRankSql(s"(__h >> 9)")} AS __rank
-      FROM (SELECT $gSel ${hash60Sql(valueExpr)} AS __h FROM $src) h0
+      FROM (SELECT $gSel ${hash60Sql(valueExpr)} AS __h FROM $src
+            WHERE $valueExpr IS NOT NULL) h0
     ) h1 GROUP BY __bucket$gBy2
   ) regs $gBy1) folded"""
   }
@@ -326,13 +338,34 @@ FROM (
       types: Seq[String] = Seq("click", "purchase", "view"),
       k: Int = KmvK): DataFrame = {
     Engine.configure(spark)
-    val ev = Engine.spread(Tables.events(spark, sfDir))
+    // ONE scan of events for everything (round-10 VERDICT efficiency
+    // note: the old exact arm re-scanned events twice per pair — six
+    // full scans for three pairs). The staged collapse-keys frame —
+    // distinct (event_type, user_id), the size class the staging
+    // doctrine allows — feeds BOTH the sketch construction and the
+    // exact ground truth; every later reference reads its blocks.
+    val du = Engine.stage(Engine.spread(Tables.events(spark, sfDir))
       .filter(col("event_type").isin(types: _*))
+      .select(col("event_type"), col("user_id")).distinct())
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("__h"))
+    // distinct (type, user) → distinct (type, hash) after collision
+    // collapse; ≤ k·|types| rows survive the rank cut. Staged too: the
+    // pair loop references it 2× per pair.
+    val sketches = Engine.stage(du
       .select(col("event_type"), hash60(col("user_id")).as("__h"))
       .distinct()
-    val wt = Window.partitionBy(col("event_type")).orderBy(col("__h"))
-    val sketches = ev.withColumn("__rk", row_number().over(wt))
-      .filter(col("__rk") <= k).drop("__rk")
+      .withColumn("__rk", row_number().over(wt))
+      .filter(col("__rk") <= k).drop("__rk"))
+    // per-user membership flags → each pair's exact union/intersection
+    // is one tiny aggregate over this frame (no further events scan)
+    val flags = Engine.stage(du.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === types.head, 1).otherwise(0))
+        .as(s"__t0"),
+      types.tail.zipWithIndex.map { case (t, i) =>
+        max(when(col("event_type") === t, 1).otherwise(0))
+          .as(s"__t${i + 1}")
+      }: _*))
+    val idx = types.zipWithIndex.toMap
     val pairs = types.combinations(2).toSeq.map { case Seq(a, b) =>
       val sa = sketches.filter(col("event_type") === a).select(col("__h"))
       val sb = sketches.filter(col("event_type") === b).select(col("__h"))
@@ -343,18 +376,13 @@ FROM (
         .na.fill(0, Seq("__ina", "__inb"))
         .withColumn("__rk", row_number().over(wu))
         .filter(col("__rk") <= k)
-      // exact ground truth from the full distinct user sets
-      val ua = Engine.spread(Tables.events(spark, sfDir))
-        .filter(col("event_type") === a)
-        .select(col("user_id")).distinct().withColumn("__a", lit(1))
-      val ub = Engine.spread(Tables.events(spark, sfDir))
-        .filter(col("event_type") === b)
-        .select(col("user_id")).distinct().withColumn("__b", lit(1))
-      val exact = ua.join(ub, Seq("user_id"), "full_outer")
-        .agg(count(lit(1)).as("exact_union"),
-          graft.functions.Exact.countIf(
-            col("__a").isNotNull && col("__b").isNotNull)
-            .as("exact_inter"))
+      // exact ground truth from the shared per-user flags frame
+      val (fa, fb) = (col(s"__t${idx(a)}"), col(s"__t${idx(b)}"))
+      val exact = flags.agg(
+        graft.functions.Exact.countIf(fa === 1 || fb === 1)
+          .as("exact_union"),
+        graft.functions.Exact.countIf(fa === 1 && fb === 1)
+          .as("exact_inter"))
       union.agg(count(lit(1)).as("__held"), max(col("__h")).as("__kth"),
           sum(col("__ina") * col("__inb")).as("__nboth"))
         .select(

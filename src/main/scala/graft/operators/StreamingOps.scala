@@ -598,12 +598,18 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, it: Iterator[AsofEvent], state: GroupState[AsofState]) =>
           // getCurrentWatermarkMs() == 0 means NO watermark established
-          // yet (first batches) — treating that literal 0 as an epoch
-          // watermark would silently drop (and prematurely finalize)
-          // pre-1970 events, diverging from the batch asofJoinOf whose
-          // pre-epoch correctness PropertySpec pins (round-9 ADVICE).
-          // Map "not established" to -inf: nothing is late, nothing
-          // finalizes, nothing collapses until a real watermark exists.
+          // yet (first batches). Map "not established" to -inf so our
+          // OWN bookkeeping never treats raw 0 as an epoch watermark:
+          // nothing finalizes, nothing collapses until a real watermark
+          // exists. NOTE the streaming form's domain is event time >=
+          // epoch regardless: under EventTimeTimeout, Spark's
+          // FlatMapGroupsWithStateExec drops input rows older than the
+          // current watermark BEFORE the user function runs, and the
+          // initial watermark is raw 0 — so pre-1970 rows never reach
+          // this function (measured: numRowsDroppedByWatermark fires on
+          // a pre-epoch batch; StreamingSpec pins it). Pre-epoch
+          // history is batch [[EventOps.asofJoinOf]] territory, whose
+          // pre-epoch correctness PropertySpec pins.
           val wmUs =
             if (state.getCurrentWatermarkMs() == 0L) Long.MinValue
             else state.getCurrentWatermarkMs() * 1000L
@@ -633,11 +639,23 @@ object StreamingOps {
           if (st.probes.isEmpty && st.refs.isEmpty) state.remove()
           else {
             state.update(st)
-            // wake when the watermark passes the earliest pending probe
+            // wake when the watermark passes the earliest pending
+            // probe. Clamped to one ms past the raw current watermark:
+            // setTimeoutTimestamp rejects anything at or below it, and
+            // the old `if (nextMs > raw)` guard would register NO
+            // timeout for a probe whose wake time is not above the raw
+            // watermark — leaving a quiet key's probe unfinalized
+            // forever (round-10 ADVICE). Today every row reaching this
+            // function has ts >= the batch's watermark (Spark's
+            // stateful late filter, see above), so pending probes
+            // already satisfy nextMs > raw except exactly at the
+            // epoch/initial-watermark boundary (ts == 0 under raw 0);
+            // the clamp closes that boundary and keeps the invariant
+            // structural rather than incidental.
             st.probes.map(_._1).minOption.foreach { nextUs =>
               val nextMs = nextUs / 1000L + 1L
-              if (nextMs > state.getCurrentWatermarkMs())
-                state.setTimeoutTimestamp(nextMs)
+              state.setTimeoutTimestamp(
+                math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
             }
           }
           emitted.iterator

@@ -265,13 +265,20 @@ object VectorOps {
     * oracle). Params alone don't capture code changes. */
   private val IvfPqModelVersion = "v1"
 
-  /** Persisted-model location, keyed by the fixture leaf + every
-    * training parameter + [[IvfPqModelVersion]], so neither a param
-    * change nor a training-code change can read a stale index. */
-  private[graft] def ivfPqModelDir(sfDir: String, m: Int, k: Int,
-      kCells: Int, iters: Int, trainPct: Int): String = {
+  /** Persisted-model location, keyed by the fixture leaf + a CORPUS
+    * FINGERPRINT + every training parameter + [[IvfPqModelVersion]], so
+    * neither a param change, a training-code change, a same-leaf
+    * different-path dataset (/a/sf1 vs /b/sf1), nor an in-place edit of
+    * the fixture files can read a stale index (round-10 ADVICE). The
+    * fingerprint is [[graft.operators.ModelStore.corpusFingerprint]]
+    * over the embeddings files — metadata-only (path + per-file
+    * name/length/mtime), no data scan at lookup time. */
+  private[graft] def ivfPqModelDir(spark: SparkSession, sfDir: String,
+      m: Int, k: Int, kCells: Int, iters: Int, trainPct: Int): String = {
     val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
-    s"target/ivfpq_model/${IvfPqModelVersion}_${leaf}" +
+    val fp = ModelStore.corpusFingerprint(spark,
+      Tables.embeddingsPath(sfDir))
+    s"target/ivfpq_model/${IvfPqModelVersion}_${leaf}_$fp" +
       s"_m${m}k${k}c${kCells}i${iters}p$trainPct"
   }
 
@@ -292,7 +299,7 @@ object VectorOps {
     val spark0 = spark
     import spark0.implicits._
     val dir = modelDir.getOrElse(
-      ivfPqModelDir(sfDir, m, k, kCells, iters, trainPct))
+      ivfPqModelDir(spark, sfDir, m, k, kCells, iters, trainPct))
     val emb = Engine.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"))
     val (cents, _, residOf, books) = ivfPqModel(emb, m, k, kCells, iters,
@@ -332,7 +339,7 @@ object VectorOps {
       m: Int = 4, kCodes: Int = 8, kCells: Int = 8, iters: Int = 2,
       nprobe: Int = 2, trainPct: Int = 25): DataFrame = {
     Engine.configure(spark)
-    val dir = ivfPqModelDir(sfDir, m, kCodes, kCells, iters, trainPct)
+    val dir = ivfPqModelDir(spark, sfDir, m, kCodes, kCells, iters, trainPct)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker))

@@ -693,6 +693,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofJoinStreamStream: pre-epoch input is dropped by Spark's stateful late filter (streaming domain is ts >= epoch)") {
+    // Round-10 ADVICE investigation, pinned: under EventTimeTimeout,
+    // FlatMapGroupsWithStateExec filters input rows older than the
+    // current watermark BEFORE the user function runs, and the initial
+    // watermark is raw 0 — so a pre-epoch probe can never be admitted
+    // to state in the first place (the ADVICE's never-finalized
+    // scenario cannot reach the function). This test pins that Spark-
+    // level contract (numRowsDroppedByWatermark fires, state stays
+    // empty, output stays empty — no hang, no partial emit) so a Spark
+    // upgrade that changes the late-filter semantics is caught; the
+    // wake-registration clamp in the operator keeps the timeout
+    // invariant structural either way. Pre-epoch history is batch
+    // asofJoinOf territory (PropertySpec pins its pre-epoch
+    // correctness).
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val streamed = StreamingOps.asofJoinStreamStream(
+      pIn.toDF().toDF("user_id", "ts", "event_id"),
+      rIn.toDF().toDF("user_id", "ts", "event_id", "value"),
+      probesDelay = "30 minutes", refsDelay = "30 minutes")
+    val q = streamed.writeStream.format("memory").queryName("asof_ss_preepoch")
+      .outputMode("append").start()
+    try {
+      // ONLY pre-epoch events: the watermark tracker never goes below
+      // its initial raw 0, so these are late on arrival
+      rIn.addData((1L, ts("1969-12-30 00:00:00"), 500L, 5.0))
+      pIn.addData((1L, ts("1969-12-31 00:00:00"), 100L))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(dropped >= 1, s"expected the late filter to fire, dropped=$dropped")
+      assert(stateRows == 0, s"pre-epoch rows must not reach state: $stateRows")
+      // a modern watermark later: the quiet key has nothing buffered,
+      // so the tail stays silent (consistent with the drop) — and the
+      // modern pair behaves normally
+      pIn.addData((8L, ts("2024-01-01 12:00:00"), 199L))
+      rIn.addData((9L, ts("2024-01-01 12:00:00"), 599L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_ss_preepoch").isEmpty)
+    } finally q.stop()
+  }
+
   test("pqEncode: the literal-codebook encode runs unchanged on a stream") {
     import graft.operators.VectorOps
     val src = tmp("pq_stream")
