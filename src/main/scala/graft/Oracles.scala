@@ -2529,6 +2529,22 @@ SELECT query_id, vec_id, adc_dist, CAST(rnk AS INT) AS rank FROM (
     ORDER BY adc_dist ASC, vec_id) AS rnk FROM scored) r
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
+
+    // incremental partition-aware gold publish: the engine ingests two
+    // batches (pre-1997 / 1997+) and publishes gold incrementally —
+    // second pass recomputes ONLY changed partitions via a pruned scan
+    // + dynamic partition overwrite; the oracle is the FULL recompute
+    // over all claims, so value-equality IS the bit-identity contract
+    // that makes incremental publish trustworthy
+    "q_incremental_gold" -> (ClaimsCte + """
+SELECT service_year, service_month, claim_amount_category,
+  count(*) AS total_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount,
+  count(CASE WHEN data_quality_score < 1.0 THEN 1 END) AS n_flagged
+FROM silver
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""),
   )
 
   /** The fused IVF-PQ ADC search pipeline, shared verbatim by

@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, DqEngine, EventOps, GoldViews, GraphOps, MultimodalOps, Pipeline, SketchOps, StreamingOps, TextOps, VectorOps}
+import graft.operators.{Checks, DqEngine, EventOps, GoldViews, GraphOps, IncrementalGold, MultimodalOps, Pipeline, SketchOps, StreamingOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -139,6 +139,9 @@ object SparkEntry {
     "q_monthly_trend_approx" -> SketchOps.monthlyTrendApprox _,
     "q_cm_heavy_hitters" -> ((s: SparkSession, d: String) => SketchOps.cmHeavyHitters(s, d)),
     "q_user_overlap_kmv" -> ((s: SparkSession, d: String) => SketchOps.userOverlapKmv(s, d)),
+
+    // round-11 additions (appended — see ListMap note above)
+    "q_incremental_gold" -> IncrementalGold.incrementalGoldE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Engine, Tables}
+import graft.functions.Exact._
+
+/** Incremental, partition-aware gold recompute (round-10 VERDICT #1).
+  *
+  * The reference re-publishes every gold view over the FULL silver table
+  * on a 4-hour cadence (dags/gold_publish_views.py:22,39-48) — fine at
+  * 10 M rows, a non-starter at 100 TB where each publish would re-scan
+  * the entire lake. This operator keeps the reference's cadence
+  * semantics but recomputes ONLY the (service_year, service_month)
+  * partitions that received new batches since the last publish:
+  *
+  *  1. CHANGE DETECTION — distinct partitions among rows with
+  *     `batch_id > lastPublished`. The filter pushes to the parquet
+  *     scan, where footer min/max stats on batch_id skip every file of
+  *     an already-published batch (appends create new files, so old
+  *     files' batch_id ranges are entirely below the watermark); a
+  *     catalog with snapshot metadata (Iceberg/Delta — the reference's
+  *     real storage layer) answers the same question from metadata
+  *     alone, and this method is the API seam where that swap lands.
+  *     The result is driver model state: bounded by partitions touched
+  *     per cadence (a day's appends touch a handful of months), never
+  *     by table size.
+  *  2. PARTITION-PRUNED RECOMPUTE — re-aggregate the FULL content of
+  *     just those partitions. Recomputing the whole partition (not
+  *     "aggregate the delta and merge") is what keeps non-decomposable
+  *     aggregates exact: COUNT(DISTINCT member_id) over partition rows
+  *     cannot be patched from a delta without keeping per-member state.
+  *     The slice predicate references only partition columns, so
+  *     Catalyst classifies it as a PartitionFilter — pruning happens at
+  *     file-listing time and zero off-slice data files are opened
+  *     (IncrementalGoldSpec pins `inputFiles` to the changed
+  *     partitions).
+  *  3. DYNAMIC PARTITION OVERWRITE — the recomputed groups replace
+  *     exactly the gold partitions present in the new result
+  *     (`partitionOverwriteMode=dynamic`); untouched gold partitions'
+  *     files are not rewritten (spec-pinned byte-identical), so publish
+  *     cost is proportional to CHANGE, not to history.
+  *
+  * Net: a publish that used to be O(table) becomes O(changed
+  * partitions), and the result is bit-identical to the full recompute —
+  * the CORRECTNESS gate (q_incremental_gold) checks the final gold
+  * table against a DuckDB full recompute over the same claims.
+  */
+object IncrementalGold {
+
+  /** Gold/silver physical partitioning, the layout both systems share
+    * (claims_to_iceberg.py:110 PARTITIONED BY (service_year,
+    * service_month)). */
+  val PartCols: Seq[String] = Seq("service_year", "service_month")
+
+  /** The gold rollup (claims_summary shape, partition-ALIGNED: every
+    * group key set contains the partition columns, so per-partition
+    * recompute is exact for every aggregate including the distinct). */
+  def goldOf(silver: DataFrame): DataFrame =
+    silver.groupBy(col("service_year"), col("service_month"),
+        col("claim_amount_category"))
+      .agg(count(lit(1)).as("total_claims"),
+        countDistinct(col("member_id")).as("unique_members"),
+        dsum(col("claim_amount")).as("total_amount"),
+        countIf(col("data_quality_score") < 1.0).as("n_flagged"))
+
+  /** Partitions holding any row with `batch_id > sinceBatch`, plus the
+    * max batch_id observed (the next publish watermark). One
+    * filter-pushed aggregate; output is driver model state bounded by
+    * partitions-touched-per-cadence. */
+  def changedPartitions(silver: DataFrame, sinceBatch: String)
+      : (Seq[(Option[Int], Option[Int])], Option[String]) = {
+    val rows = silver.filter(col("batch_id") > sinceBatch)
+      .groupBy(col("service_year"), col("service_month"))
+      .agg(max(col("batch_id")).as("max_batch"))
+      .collect()
+    val parts = rows.map(r => (
+      Option(r.getAs[Integer]("service_year")).map(_.intValue),
+      Option(r.getAs[Integer]("service_month")).map(_.intValue))).toSeq
+    val maxBatch =
+      rows.map(_.getAs[String]("max_batch")).filter(_ != null)
+        .maxOption
+    (parts, maxBatch)
+  }
+
+  /** Null-safe membership predicate over the partition columns ONLY —
+    * Catalyst therefore classifies the whole disjunction as a
+    * PartitionFilter and prunes at file-listing time (the
+    * __HIVE_DEFAULT_PARTITION__ null partition, where date-unparseable
+    * claims land, needs `<=>`, not `isin`). */
+  def partitionPredicate(parts: Seq[(Option[Int], Option[Int])]): Column =
+    parts.map { case (y, m) =>
+      (col("service_year") <=> y.map(lit(_)).getOrElse(lit(null).cast("int"))) &&
+        (col("service_month") <=> m.map(lit(_)).getOrElse(lit(null).cast("int")))
+    }.reduce(_ || _)
+
+  /** The changed-partition slice of silver (scan shows PartitionFilters;
+    * spec-pinned to open zero off-slice files). */
+  def partitionSlice(silver: DataFrame,
+      parts: Seq[(Option[Int], Option[Int])]): DataFrame =
+    silver.filter(partitionPredicate(parts))
+
+  // ------------------------------------------------------------------
+  // Publish watermark state (goldDir/_publish_state). A production
+  // deployment would keep this in the catalog next to the table; the
+  // file stand-in has the same contract: one monotonically increasing
+  // batch watermark per gold table.
+  // ------------------------------------------------------------------
+
+  private def statePath(goldDir: String) =
+    new Path(s"$goldDir/_publish_state/last_batch.txt")
+
+  def lastPublished(spark: SparkSession, goldDir: String): Option[String] = {
+    val p = statePath(goldDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  def recordPublished(spark: SparkSession, goldDir: String,
+      batch: String): Unit = {
+    val p = statePath(goldDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(batch.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** One publish pass: detect changed partitions since the watermark
+    * (explicit `sinceBatch` overrides the persisted state; absent both
+    * → full publish), recompute their gold groups from the pruned
+    * slice, dynamic-overwrite ONLY those gold partitions, advance the
+    * watermark. Returns the republished partitions (empty = no-op
+    * publish, gold untouched). */
+  def publishIncremental(spark: SparkSession, silverDir: String,
+      goldDir: String, sinceBatch: Option[String] = None)
+      : Seq[(Option[Int], Option[Int])] = {
+    val since = sinceBatch.orElse(lastPublished(spark, goldDir)).getOrElse("")
+    val silver = spark.read.parquet(silverDir)
+    val (parts, maxBatch) = changedPartitions(silver, since)
+    if (parts.isEmpty) return Nil
+    goldOf(partitionSlice(silver, parts))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartCols: _*)
+      .parquet(goldDir)
+    maxBatch.foreach(b => recordPublished(spark, goldDir, b))
+    parts
+  }
+
+  /** `q_incremental_gold`: the reference's publish cadence made
+    * scale-safe, as one oracle-checked query. Builds a TWO-BATCH silver
+    * fixture from `orders` (batch 1 = orders before 1997, batch 2 = the
+    * 1997+ tail — the arriving-data shape: new months land in new
+    * partitions, date-unparseable claims land in the null partition on
+    * both sides), then FULL-publishes batch 1 and INCREMENTALLY
+    * publishes batch 2 — the second pass recomputes only the 1997+ and
+    * null partitions (IncrementalGoldSpec pins the pruned scan and that
+    * pre-1997 gold files are byte-identical across the pass). The
+    * returned frame is the final gold table, which the DuckDB oracle
+    * checks against a FULL recompute over all claims — the
+    * bit-identity contract that makes incremental publish trustworthy.
+    */
+  def incrementalGoldE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/incr_gold/$leaf"
+    val root = new Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val silverDir = s"$base/silver"
+    val goldDir = s"$base/gold"
+    runTwoBatchFixture(spark, sfDir, silverDir, goldDir)
+    spark.read.parquet(goldDir)
+      .select(col("service_year"), col("service_month"),
+        col("claim_amount_category"), col("total_claims"),
+        col("unique_members"), col("total_amount"), col("n_flagged"))
+      .orderBy(col("service_year"), col("service_month"),
+        col("claim_amount_category"))
+  }
+
+  /** The shared two-batch ingest+publish chain (query + spec). Batch
+    * split is on o_orderdate (pre-injection), so batch 2's parseable
+    * claims land only in 1997+ partitions — day/month-swapped parses
+    * (the MM/dd vs dd/MM ambiguity the cleanse inherits from the
+    * reference) preserve the YEAR, so the split is partition-clean. */
+  private[graft] def runTwoBatchFixture(spark: SparkSession, sfDir: String,
+      silverDir: String, goldDir: String,
+      afterBatch1: () => Unit = () => ()): Unit = {
+    val orders = Tables.orders(spark, sfDir)
+    val cut = lit("1997-01-01").cast("date")
+    def silverBatch(o: DataFrame, clockS: String): DataFrame =
+      SilverCleanse.withBatchMetadata(
+        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(o)),
+          passthrough = Nil),
+        to_timestamp(lit(clockS)))
+    Bronze.writeSilver(
+      silverBatch(orders.filter(col("o_orderdate") < cut),
+        "2024-01-01 00:00:00"), silverDir)
+    publishIncremental(spark, silverDir, goldDir)
+    afterBatch1()
+    Bronze.writeSilver(
+      silverBatch(orders.filter(col("o_orderdate") >= cut),
+        "2024-01-02 00:00:00"), silverDir)
+    publishIncremental(spark, silverDir, goldDir)
+  }
+}
