@@ -67,6 +67,19 @@ object Oracles {
   SELECT * FROM enriched WHERE data_quality_score >= 0.5
 )"""
 
+  /** [[ClaimsCte]] parameterized for a SECOND batch through the same
+    * cleanse chain: every CTE name suffixed (so it can sit next to the
+    * unsuffixed chain in one WITH clause) and the source swapped from
+    * `orders` to an arbitrary orders-shaped subquery. Used by the
+    * upsert oracle, whose batch-2 claims are restated/shifted orders. */
+  def claimsChainCtes(sfx: String, src: String): String =
+    ClaimsCte.stripPrefix("WITH ")
+      .replace("raw_claims", s"raw_claims$sfx")
+      .replace("cleansed", s"cleansed$sfx")
+      .replace("enriched", s"enriched$sfx")
+      .replace("silver", s"silver$sfx")
+      .replace("FROM orders", s"FROM ($src)")
+
   /** Shared CTE chain computing 48-bit simhash per doc (mirror of
     * TextFunctions nibble arithmetic — see q_dedup_simhash/q_simhash_pairs). */
   val SimhashCte: String = {
@@ -2528,6 +2541,33 @@ SELECT query_id, vec_id, adc_dist, CAST(rnk AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY adc_dist ASC, vec_id) AS rnk FROM scored) r
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
+
+    // SCD1 upsert: base claims (batch 1) merged with restated amounts +
+    // new claims (batch 2, 1998+ periods only), latest batch wins per
+    // claim_id, ties to base (idempotent replay); the oracle replays
+    // both batches through the SAME cleanse chain and windows per key —
+    // row-level value equality over the final table
+    "q_upsert_claims" -> {
+      val corrSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice + 500 AS o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1998-01-01' AND o_orderkey % 10 = 0"
+      val insSrc = "SELECT o_orderkey + 100000000 AS o_orderkey, " +
+        "o_custkey, o_orderpriority, o_totalprice, o_orderdate " +
+        "FROM orders " +
+        "WHERE o_orderdate >= DATE '1998-01-01' AND o_orderkey % 17 = 0"
+      s"""$ClaimsCte,
+${claimsChainCtes("_u", s"$corrSrc UNION ALL $insSrc")},
+allv AS (
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240101_000000' AS batch_id, 1 AS src FROM silver
+  UNION ALL
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240102_000000' AS batch_id, 0 AS src FROM silver_u)
+SELECT claim_id, batch_id, claim_amount, service_year, service_month
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
+WHERE rn = 1 ORDER BY claim_id"""
     },
 
     // incremental partition-aware gold publish: the engine ingests two
