@@ -2543,6 +2543,30 @@ SELECT query_id, vec_id, adc_dist, CAST(rnk AS INT) AS rank FROM (
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
 
+    // per-query runtime metrics: the engine executes a fixed
+    // partition-pruned probe under a QueryExecutionListener and reports
+    // what its plan metrics SAY it did; the oracle recomputes each value
+    // from the claims data itself, so a pruning regression (scan reads
+    // all partitions) or a metric-reporting regression both mismatch
+    "q_exec_metrics" -> (ClaimsCte + """,
+tot AS (SELECT count(*) AS n FROM
+  (SELECT DISTINCT service_year, service_month FROM silver) p),
+yr AS (SELECT CAST(count(*) AS BIGINT) AS rows_read,
+  CAST(count(DISTINCT service_month) AS BIGINT) AS months
+  FROM silver WHERE service_year = 1998)
+SELECT metric, value FROM (
+  SELECT 'groups_out' AS metric, months AS value FROM yr
+  UNION ALL
+  SELECT 'partitions_pruned', CAST(tot.n AS BIGINT) - yr.months
+    FROM tot, yr
+  UNION ALL
+  SELECT 'partitions_scanned', months FROM yr
+  UNION ALL
+  SELECT 'partitions_total', CAST(n AS BIGINT) FROM tot
+  UNION ALL
+  SELECT 'rows_read', rows_read FROM yr
+) m ORDER BY metric"""),
+
     // SCD1 upsert: base claims (batch 1) merged with restated amounts +
     // new claims (batch 2, 1998+ periods only), latest batch wins per
     // claim_id, ties to base (idempotent replay); the oracle replays

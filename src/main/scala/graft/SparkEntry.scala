@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, DqEngine, EventOps, GoldViews, GraphOps, IncrementalGold, MultimodalOps, Pipeline, SketchOps, StreamingOps, TextOps, Upsert, VectorOps}
+import graft.operators.{Checks, DqEngine, EventOps, ExecMetrics, GoldViews, GraphOps, IncrementalGold, MultimodalOps, Pipeline, SketchOps, StreamingOps, TextOps, Upsert, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -143,6 +143,7 @@ object SparkEntry {
     // round-11 additions (appended — see ListMap note above)
     "q_incremental_gold" -> IncrementalGold.incrementalGoldE2e _,
     "q_upsert_claims" -> Upsert.upsertClaimsE2e _,
+    "q_exec_metrics" -> ExecMetrics.execMetricsProbe _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,195 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import graft.{Engine, Tables}
+
+/** Per-query runtime metrics (round-10 VERDICT #2 — the Prometheus
+  * analog). The reference exports engine metrics to Prometheus/Grafana
+  * (deploy/prometheus/prometheus.yml:19-84); a user migrating from it
+  * loses those dashboards unless the engine exposes machine-readable
+  * per-query execution metrics. This operator is that surface:
+  *
+  *  - [[captureExecutions]] — a `QueryExecutionListener`-backed
+  *    collector: register, run the action, drain the captured
+  *    `QueryExecution`s (the listener bus delivers asynchronously, so
+  *    the drain polls with a bounded wait). This is the same hook a
+  *    Prometheus exporter would sit on — one listener, every query,
+  *    no per-query instrumentation.
+  *  - [[metricRows]] — the full (node, metric, value) table from an
+  *    execution's FINAL adaptive plan: scan rows/files/partitions,
+  *    shuffle records/bytes, spill, peak memory — whatever each
+  *    operator published. Values like bytes/time are run-dependent;
+  *    this surface is for dashboards, not oracles.
+  *  - [[execMetricsProbe]] (`q_exec_metrics`) — the DETERMINISTIC
+  *    summary over a fixed probe query (a partition-pruned scan +
+  *    aggregate over the claims silver): rows read, partitions
+  *    scanned/total/pruned, groups out. Every value is reproducible
+  *    from the data alone, so the DuckDB oracle recomputes them from
+  *    first principles — proving the metrics REPORT what the engine
+  *    actually did (partition pruning is visible as
+  *    partitions_scanned < partitions_total, pinned in
+  *    ExecMetricsSpec too).
+  */
+object ExecMetrics {
+
+  final case class Captured(funcName: String, qe: QueryExecution,
+      durationNs: Long)
+
+  /** Run `action` under a registered QueryExecutionListener; return
+    * every execution it reported. `expect` bounds the wait: the drain
+    * returns as soon as that many executions arrived (or the timeout
+    * elapsed — listener delivery is async on the listener bus). */
+  def captureExecutions(spark: SparkSession, action: () => Unit,
+      expect: Int = 1, timeoutMs: Long = 60000L): Seq[Captured] = {
+    val got = new ConcurrentLinkedQueue[Captured]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        got.add(Captured(funcName, qe, durationNs))
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      action()
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (got.size() < expect && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    } finally spark.listenerManager.unregister(listener)
+    scala.jdk.CollectionConverters.IteratorHasAsScala(got.iterator())
+      .asScala.toSeq
+  }
+
+  /** Pre-order walk of the FINAL executed plan, descending through the
+    * adaptive wrappers `collect` treats as leaves (QueryStageExec,
+    * AdaptiveSparkPlanExec, ReusedExchangeExec). */
+  def walkFinalPlan(root: SparkPlan): Seq[SparkPlan] = {
+    val kids = root match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case p                        => p.children
+    }
+    root +: kids.flatMap(walkFinalPlan)
+  }
+
+  /** Every (node, metric, value) the execution's final plan published —
+    * the dashboard feed. Node ids keep walk order so repeated operators
+    * stay distinguishable. */
+  def metricRows(spark: SparkSession, qe: QueryExecution): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = walkFinalPlan(qe.executedPlan).zipWithIndex.flatMap {
+      case (node, i) =>
+        node.metrics.toSeq.map { case (key, m) =>
+          (i, node.nodeName, key, m.value)
+        }
+    }
+    rows.toDF("node_id", "node", "metric", "value")
+  }
+
+  /** Count partition directories of a two-level partitioned table by
+    * FILE LISTING alone (no data read) — the "total" side of the
+    * pruning ratio. */
+  def listedPartitionCount(spark: SparkSession, tableDir: String): Long = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("service_year="))
+      .map(p => fs.listStatus(p).count(s => s.isDirectory &&
+        s.getPath.getName.startsWith("service_month=")))
+      .map(_.toLong).sum
+  }
+
+  /** The deterministic per-query metric summary for one executed
+    * probe: scans' output rows and partition counts, listing-level
+    * total partitions, and the final aggregate's output rows — all
+    * reproducible from the data, which is what makes the oracle able
+    * to check that the METRICS tell the truth. */
+  private def deterministicSummary(spark: SparkSession, qe: QueryExecution,
+      tableDir: String): Seq[(String, Long)] = {
+    val nodes = walkFinalPlan(qe.executedPlan)
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    require(scans.nonEmpty, "probe plan has no file scan")
+    def scanSum(key: String): Long =
+      scans.flatMap(_.metrics.get(key).map(_.value)).sum
+    val rowsRead = scanSum("numOutputRows")
+    val partsScanned = scanSum("numPartitions")
+    val partsTotal = listedPartitionCount(spark, tableDir)
+    // first Final-mode HashAggregate in pre-order = the query's final
+    // aggregate (root-most)
+    val groupsOut = nodes.collectFirst {
+      case h: HashAggregateExec
+          if h.aggregateExpressions.forall(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Final) =>
+        h.metrics("numOutputRows").value
+    }.getOrElse(0L)
+    Seq(
+      "groups_out" -> groupsOut,
+      "partitions_pruned" -> (partsTotal - partsScanned),
+      "partitions_scanned" -> partsScanned,
+      "partitions_total" -> partsTotal,
+      "rows_read" -> rowsRead)
+  }
+
+  /** Build (overwrite) the silver claims fixture used by the probe —
+    * the same deterministic cleanse chain as the pipeline fixtures. */
+  private[graft] def buildSilver(spark: SparkSession, sfDir: String,
+      tableDir: String): Unit = {
+    SilverCleanse.withBatchMetadata(
+        SilverCleanse.clean(
+          RawClaims.fromOrders(Engine.spread(Tables.orders(spark, sfDir))),
+          passthrough = Nil),
+        to_timestamp(lit("2024-01-01 00:00:00")))
+      .write.mode("overwrite")
+      .partitionBy("service_year", "service_month")
+      .parquet(tableDir)
+  }
+
+  /** The fixed probe: a partition-pruned year slice aggregated by
+    * month — one partition filter (prunes at listing time), one
+    * shuffle (the groupBy), nothing else, so every reported metric has
+    * a first-principles value. */
+  private[graft] def probeOf(spark: SparkSession, tableDir: String)
+      : DataFrame =
+    spark.read.parquet(tableDir)
+      .filter(col("service_year") === 1998)
+      .groupBy(col("service_month"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.dsum(col("claim_amount")).as("amount"))
+
+  /** `q_exec_metrics`: execute the probe under the listener and emit
+    * the deterministic metric summary as (metric, value) rows. The
+    * DuckDB oracle recomputes each value from the claims data itself —
+    * rows_read = rows in the 1998 partitions, partitions_scanned = its
+    * month count, partitions_total = all (year, month) combinations
+    * incl. the null partition, groups_out = the aggregate's group
+    * count — so a pruning regression (scan reads all partitions) or a
+    * metric-reporting regression both show up as a value mismatch. */
+  def execMetricsProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val tableDir = s"target/exec_metrics/$leaf/silver"
+    buildSilver(spark, sfDir, tableDir)
+    val probe = probeOf(spark, tableDir)
+    val captured = captureExecutions(spark,
+      () => probe.write.format("noop").mode("overwrite").save())
+    val qe = captured.lastOption.getOrElse(
+      throw new IllegalStateException("listener captured no execution"))
+    deterministicSummary(spark, qe.qe, tableDir)
+      .toDF("metric", "value")
+      .orderBy(col("metric"))
+  }
+}
