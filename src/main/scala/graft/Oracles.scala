@@ -2543,6 +2543,86 @@ SELECT query_id, vec_id, adc_dist, CAST(rnk AS INT) AS rank FROM (
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
 
+    // persisted sketch lifecycle, build side: manifest row counts of
+    // the written register/counter tables, recomputed from raw by the
+    // oracle (distinct occupied (year,month,bucket) / (lang,row,col))
+    "q_sketch_build" -> {
+      import graft.operators.SketchOps.{cmColSql, hash60Sql, hllRankSql, CmD, HllM}
+      val sketchArms = (0 until CmD).map(j =>
+        s"  SELECT lang, $j AS cm_row, ${cmColSql(j, "token")} AS cm_col" +
+          " FROM tok").mkString("\n  UNION ALL\n")
+      s"""WITH base AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS service_year,
+    CAST(month(l_shipdate) AS INT) AS service_month, l_orderkey
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'),
+regs AS (
+  SELECT service_year, service_month, __bucket, max(__rank) AS __m FROM (
+    SELECT service_year, service_month,
+      CAST(__h % $HllM AS INT) AS __bucket,
+      ${hllRankSql("(__h >> 9)")} AS __rank
+    FROM (SELECT service_year, service_month,
+            ${hash60Sql("l_orderkey")} AS __h FROM base
+          WHERE l_orderkey IS NOT NULL) h0
+  ) h1 GROUP BY service_year, service_month, __bucket),
+tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+sketch AS (
+  SELECT lang, cm_row, cm_col, count(*) AS cm_count FROM (
+$sketchArms
+  ) a GROUP BY lang, cm_row, cm_col)
+SELECT component, n_rows FROM (
+  SELECT 'cm_tokens_lang' AS component, CAST(count(*) AS BIGINT) AS n_rows
+  FROM sketch
+  UNION ALL
+  SELECT 'hll_orders_monthly', CAST(count(*) AS BIGINT) FROM regs
+) m ORDER BY component"""
+    },
+
+    // persisted sketch lifecycle, query side: per-year estimates served
+    // from the persisted MONTHLY registers merged by max; the oracle
+    // computes the same estimates from raw — equality proves merge +
+    // parquet round-trip are lossless
+    "q_sketch_query" -> {
+      import graft.operators.SketchOps.hllEstimateSql
+      s"""WITH base AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS service_year, l_orderkey
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+${hllEstimateSql("base", Seq("service_year"), "l_orderkey")}
+ORDER BY service_year"""
+    },
+
+    // persisted sketch lifecycle, probe side: fixed-token Count-Min
+    // lookups against every language, from the persisted counters only;
+    // oracle recomputes the counters from the raw corpus
+    "q_sketch_probe" -> {
+      import graft.operators.SketchOps.{cmColSql, CmD}
+      val probeTokens = Seq("data", "de", "the")
+      val sketchArms = (0 until CmD).map(j =>
+        s"  SELECT lang, $j AS cm_row, ${cmColSql(j, "token")} AS cm_col" +
+          " FROM tok").mkString("\n  UNION ALL\n")
+      val coordArms = (0 until CmD).map(j =>
+        s"  SELECT lang, token, $j AS cm_row, " +
+          s"${cmColSql(j, "token")} AS cm_col FROM langs CROSS JOIN probes")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+sketch AS (
+  SELECT lang, cm_row, cm_col, count(*) AS cm_count FROM (
+$sketchArms
+  ) a GROUP BY lang, cm_row, cm_col),
+langs AS (SELECT DISTINCT lang FROM tok),
+probes AS (SELECT unnest([${probeTokens.map("'" + _ + "'").mkString(", ")}]) AS token),
+coords AS (
+$coordArms
+)
+SELECT c.lang, c.token, min(COALESCE(s.cm_count, 0)) AS cm_est
+FROM coords c LEFT JOIN sketch s
+  ON c.lang = s.lang AND c.cm_row = s.cm_row AND c.cm_col = s.cm_col
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
     // per-query runtime metrics: the engine executes a fixed
     // partition-pruned probe under a QueryExecutionListener and reports
     // what its plan metrics SAY it did; the oracle recomputes each value

@@ -144,6 +144,9 @@ object SparkEntry {
     "q_incremental_gold" -> IncrementalGold.incrementalGoldE2e _,
     "q_upsert_claims" -> Upsert.upsertClaimsE2e _,
     "q_exec_metrics" -> ExecMetrics.execMetricsProbe _,
+    "q_sketch_build" -> ((s: SparkSession, d: String) => SketchOps.sketchBuild(s, d)),
+    "q_sketch_query" -> SketchOps.sketchQuery _,
+    "q_sketch_probe" -> ((s: SparkSession, d: String) => SketchOps.sketchProbe(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -123,7 +123,7 @@ FROM (
     least(chain, lit(HllRankCap))
   }
 
-  private def hllRankSql(rest: String): String = {
+  private[graft] def hllRankSql(rest: String): String = {
     val whens = (1 to 51)
       .map(r => s"WHEN $rest >= ${1L << (51 - r)} THEN $r")
       .mkString("\n      ")
@@ -464,6 +464,114 @@ FROM (
       .select(col("lang"), col("token"), col("exact_n"), col("cm_est"),
         (col("cm_est") - col("exact_n")).as("overestimate"))
       .orderBy(col("lang"), col("exact_n").desc, col("token"))
+  }
+
+  // -----------------------------------------------------------------
+  // Persisted sketch lifecycle (round-10 VERDICT #3) — the IVF-PQ
+  // build/query split applied to the sketch tier: registers/counters
+  // are MERGEABLE by design (max / sum), so a 100 TB dashboard builds
+  // per-(year, month) sketch tables once per cadence and serves every
+  // distinct-count / frequency question from the persisted sketches
+  // alone — no raw scan on the query side. Same versioned-model-dir
+  // discipline as VectorOps.ivfPqModelDir: code version + params +
+  // corpus fingerprints in the path, so neither a code, param, nor
+  // data change can serve a stale sketch.
+  // -----------------------------------------------------------------
+
+  /** Bump when register/counter-shaping code changes. */
+  private val SketchModelVersion = "v1"
+
+  private[graft] def sketchModelDir(spark: SparkSession, sfDir: String)
+      : String = {
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val fpL = ModelStore.corpusFingerprint(spark,
+      graft.Tables.lineitemPath(sfDir))
+    val fpD = ModelStore.corpusFingerprint(spark,
+      graft.Tables.documentsPath(sfDir))
+    s"target/sketch_model/${SketchModelVersion}_${leaf}_${fpL}_${fpD}" +
+      s"_m${HllM}r${HllRankCap}d${CmD}w$CmW"
+  }
+
+  /** `q_sketch_build`: build and PERSIST the sketch tier — monthly HLL
+    * register tables for distinct orders (mergeable by max) and
+    * per-language Count-Min token counters (mergeable by sum) — to
+    * parquet under the versioned model dir, returning a manifest
+    * (component, n_rows) read back from the written files. Build cost
+    * is one pass over each source; every later query pays only the
+    * sketch-table read (q_sketch_query / q_sketch_probe — bench shows
+    * query-side ≪ build-side). */
+  def sketchBuild(spark: SparkSession, sfDir: String,
+      modelDir: Option[String] = None): DataFrame = {
+    Engine.configure(spark)
+    val dir = modelDir.getOrElse(sketchModelDir(spark, sfDir))
+    hllRegisters(claimsBase(spark, sfDir),
+        Seq("service_year", "service_month"), col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/hll_orders_monthly")
+    import graft.functions.TextFunctions.tokens
+    val tok = Engine.spread(Tables.documents(spark, sfDir))
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    cmSketch(tok, Seq("lang"), col("token"))
+      .write.mode("overwrite").parquet(s"$dir/cm_tokens_lang")
+    Seq("cm_tokens_lang", "hll_orders_monthly").map { c =>
+      spark.read.parquet(s"$dir/$c")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(c).as("component"), col("n_rows"))
+    }.reduce(_ unionByName _).orderBy(col("component"))
+  }
+
+  /** Ensure the persisted sketch model exists (steady state: a cheap
+    * _SUCCESS check). */
+  private def ensureSketchModel(spark: SparkSession, sfDir: String)
+      : String = {
+    val dir = sketchModelDir(spark, sfDir)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/cm_tokens_lang/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      sketchBuild(spark, sfDir, Some(dir)).collect()
+    dir
+  }
+
+  /** `q_sketch_query`: serve per-YEAR distinct-order estimates from the
+    * PERSISTED monthly registers alone — merge month→year by register
+    * max (the mergeable-sketch property, exercised on disk-round-
+    * tripped state), fold to estimates; NO raw lineitem scan in the
+    * plan (spec-pinned). The DuckDB oracle computes the same estimates
+    * FROM RAW — hash-equality proves merge + persistence are lossless,
+    * the contract that lets a dashboard keep only sketches. */
+  def sketchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val dir = ensureSketchModel(spark, sfDir)
+    val regs = spark.read.parquet(s"$dir/hll_orders_monthly")
+    val yearRegs = regs.groupBy(col("service_year"), col("__bucket"))
+      .agg(max(col("__m")).as("__m"))
+    hllEstimate(yearRegs, Seq("service_year"))
+      .orderBy(col("service_year"))
+  }
+
+  /** `q_sketch_probe`: point-lookup token-frequency estimates from the
+    * PERSISTED Count-Min counters alone — a fixed probe-token list
+    * against every language in the sketch, min over the d counter
+    * lookups, missing counters are exact zeros. The oracle recomputes
+    * the counters from the raw corpus; equality proves the persisted
+    * counter table answers exactly like the from-raw sketch. */
+  def sketchProbe(spark: SparkSession, sfDir: String,
+      probeTokens: Seq[String] = Seq("data", "de", "the")): DataFrame = {
+    Engine.configure(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = ensureSketchModel(spark, sfDir)
+    val counters = spark.read.parquet(s"$dir/cm_tokens_lang")
+    val langs = counters.select(col("lang")).distinct()
+    val coords = langs.crossJoin(probeTokens.toDF("token"))
+      .select(col("lang"), col("token"),
+        posexplode(array((0 until CmD).map(j =>
+          cmCol(j, col("token"))): _*)).as(Seq("cm_row", "cm_col")))
+    coords.join(counters, Seq("lang", "cm_row", "cm_col"), "left_outer")
+      .na.fill(0L, Seq("cm_count"))
+      .groupBy(col("lang"), col("token"))
+      .agg(min(col("cm_count")).as("cm_est"))
+      .orderBy(col("lang"), col("token"))
   }
 
   /** Histogram buckets per quantile group. 256 equal-width buckets

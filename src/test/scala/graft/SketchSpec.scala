@@ -189,4 +189,52 @@ class SketchSpec extends SparkSpec {
     val again = SketchOps.userOverlapKmv(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("userOverlapKmv: one events scan feeds sketches AND exact arm (staged collapse frames only)") {
+    Engine.clearStaged(spark, blocking = true)
+    SketchOps.userOverlapKmv(spark, sfDir).collect()
+    // the staging doctrine hook: the frames staged are the distinct
+    // (type,user) collapse, the <= k*types sketch, and the per-user
+    // flags — no corpus ride-along columns
+    val staged = Engine.stagedSchemas(spark)
+    assert(staged.nonEmpty)
+    assert(staged.forall(_.fields.forall(f =>
+      !f.dataType.typeName.contains("array"))), staged.toString)
+    Engine.clearStaged(spark, blocking = true)
+  }
+
+  test("sketch lifecycle: query side reads persisted sketches only (no raw scan), estimates == from-raw") {
+    // build (idempotent: versioned model dir), then query
+    SketchOps.sketchBuild(spark, sfDir).collect()
+    val viaModel = SketchOps.sketchQuery(spark, sfDir)
+    // steady-state plan must not touch lineitem — the whole point of
+    // the persisted tier
+    val plan = viaModel.queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem"), plan)
+    // month->year register merge over the parquet round-trip equals the
+    // from-raw year-level estimate
+    val fromRaw = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(
+        graft.Tables.lineitem(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("l_shipdate") >=
+            org.apache.spark.sql.functions.lit("1996-01-01 00:00:00")
+              .cast("timestamp"))
+          .select(org.apache.spark.sql.functions.year(
+            org.apache.spark.sql.functions.col("l_shipdate"))
+            .as("service_year"),
+            org.apache.spark.sql.functions.col("l_orderkey")),
+        Seq("service_year"),
+        org.apache.spark.sql.functions.col("l_orderkey")),
+      Seq("service_year"))
+      .orderBy("service_year")
+    assert(viaModel.collect().map(_.toSeq).toSeq ==
+      fromRaw.collect().map(_.toSeq).toSeq)
+    // probe side: deterministic, persisted-only, never negative
+    val probes = SketchOps.sketchProbe(spark, sfDir).collect()
+    assert(probes.nonEmpty)
+    assert(probes.forall(_.getAs[Long]("cm_est") >= 0L))
+    val planP = SketchOps.sketchProbe(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!planP.contains("documents"), planP)
+  }
 }
