@@ -2647,6 +2647,32 @@ SELECT metric, value FROM (
   SELECT 'rows_read', rows_read FROM yr
 ) m ORDER BY metric"""),
 
+    // incremental publish, monthly_trend view: full recompute oracle —
+    // equality proves the incremental pass kept EVERY view consistent
+    "q_incremental_trend" -> (ClaimsCte + """
+SELECT service_year, service_month,
+  count(*) AS total_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+    AS avg_amount,
+  min(claim_amount) AS min_amount,
+  max(claim_amount) AS max_amount
+FROM silver GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // incremental publish, dq_dashboard view: full recompute oracle
+    "q_incremental_dq" -> (ClaimsCte + """
+SELECT service_year, service_month,
+  count(*) AS total_claims,
+  count(CASE WHEN data_quality_score = 1.0 THEN 1 END) AS perfect_quality,
+  count(CASE WHEN data_quality_score = 0.7 THEN 1 END) AS zero_amount_claims,
+  count(CASE WHEN data_quality_score = 0.5 THEN 1 END) AS missing_date_claims,
+  CAST(sum(CAST(data_quality_score AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+    AS avg_quality_score,
+  count(CASE WHEN provider_name = 'UNKNOWN' THEN 1 END)
+    AS unknown_provider_claims
+FROM silver GROUP BY 1, 2 ORDER BY 1, 2"""),
+
     // SCD1 upsert: base claims (batch 1) merged with restated amounts +
     // new claims (batch 2, 1998+ periods only), latest batch wins per
     // claim_id, ties to base (idempotent replay); the oracle replays

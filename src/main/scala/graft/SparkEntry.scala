@@ -147,6 +147,8 @@ object SparkEntry {
     "q_sketch_build" -> ((s: SparkSession, d: String) => SketchOps.sketchBuild(s, d)),
     "q_sketch_query" -> SketchOps.sketchQuery _,
     "q_sketch_probe" -> ((s: SparkSession, d: String) => SketchOps.sketchProbe(s, d)),
+    "q_incremental_trend" -> IncrementalGold.incrementalTrend _,
+    "q_incremental_dq" -> IncrementalGold.incrementalDq _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -97,6 +97,32 @@ object ExecMetrics {
     rows.toDF("node_id", "node", "metric", "value")
   }
 
+  /** Render a captured execution's metric feed in Prometheus text
+    * exposition format — the reference ships Prometheus/Grafana
+    * dashboards (deploy/prometheus/prometheus.yml), and this is the
+    * string a scrape endpoint would serve, so a migrating user can
+    * point their existing stack at the engine. One gauge per (node,
+    * metric), labeled with the query name, node name and walk-order
+    * node id (repeated operators stay distinguishable). Metric names
+    * sanitized to the Prometheus grammar. */
+  def prometheusText(query: String, qe: QueryExecution): String = {
+    def sanitize(s: String): String =
+      s.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+        .replaceAll("[^a-zA-Z0-9_]", "_").replaceAll("_+", "_")
+        .toLowerCase.stripPrefix("_").stripSuffix("_")
+    val sb = new StringBuilder
+    walkFinalPlan(qe.executedPlan).zipWithIndex.foreach {
+      case (node, i) =>
+        node.metrics.toSeq.sortBy(_._1).foreach { case (key, m) =>
+          val name = s"graft_${sanitize(key)}"
+          sb.append(s"""$name{query="${sanitize(query)}",""" +
+            s"""node="${sanitize(node.nodeName)}",node_id="$i"} """ +
+            s"${m.value}\n")
+        }
+    }
+    sb.toString
+  }
+
   /** Count partition directories of a two-level partitioned table by
     * FILE LISTING alone (no data read) — the "total" side of the
     * pruning ratio. */

@@ -65,6 +65,39 @@ object IncrementalGold {
         dsum(col("claim_amount")).as("total_amount"),
         countIf(col("data_quality_score") < 1.0).as("n_flagged"))
 
+  /** monthly_trend-shaped rollup over the claims silver (the second of
+    * the three cadence-published views the reference re-derives in
+    * full — dags/gold_publish_views.py). Partition-aligned like
+    * [[goldOf]]. */
+  def trendOf(silver: DataFrame): DataFrame =
+    silver.groupBy(col("service_year"), col("service_month"))
+      .agg(count(lit(1)).as("total_claims"),
+        countDistinct(col("member_id")).as("unique_members"),
+        dsum(col("claim_amount")).as("total_amount"),
+        davg(col("claim_amount")).as("avg_amount"),
+        min(col("claim_amount")).as("min_amount"),
+        max(col("claim_amount")).as("max_amount"))
+
+  /** data_quality_dashboard-shaped rollup (third cadence view — same
+    * score-band conditional counts as GoldViews.dqDashboard). */
+  def dqOf(silver: DataFrame): DataFrame =
+    silver.groupBy(col("service_year"), col("service_month"))
+      .agg(count(lit(1)).as("total_claims"),
+        countIf(col("data_quality_score") === 1.0).as("perfect_quality"),
+        countIf(col("data_quality_score") === 0.7).as("zero_amount_claims"),
+        countIf(col("data_quality_score") === 0.5)
+          .as("missing_date_claims"),
+        davg(col("data_quality_score")).as("avg_quality_score"),
+        countIf(col("provider_name") === "UNKNOWN")
+          .as("unknown_provider_claims"))
+
+  /** The three published gold tables: subdir → partition-aligned
+    * rollup. */
+  val GoldViews: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "claims_summary" -> (goldOf _),
+    "monthly_trend" -> (trendOf _),
+    "dq_dashboard" -> (dqOf _))
+
   /** Partitions holding any row with `batch_id > sinceBatch`, plus the
     * max batch_id observed (the next publish watermark). One
     * filter-pushed aggregate; output is driver model state bounded by
@@ -132,10 +165,14 @@ object IncrementalGold {
 
   /** One publish pass: detect changed partitions since the watermark
     * (explicit `sinceBatch` overrides the persisted state; absent both
-    * → full publish), recompute their gold groups from the pruned
-    * slice, dynamic-overwrite ONLY those gold partitions, advance the
-    * watermark. Returns the republished partitions (empty = no-op
-    * publish, gold untouched). */
+    * → full publish), recompute ALL THREE gold views' groups from the
+    * pruned slice (each view lands under `goldDir/<view>`; the slice's
+    * pruned scan re-runs per view — separate write jobs cannot share a
+    * stage, and re-reading the changed partitions three times is the
+    * scale-safe trade against materializing them), dynamic-overwrite
+    * ONLY the changed gold partitions, advance the watermark. Returns
+    * the republished partitions (empty = no-op publish, gold
+    * untouched). */
   def publishIncremental(spark: SparkSession, silverDir: String,
       goldDir: String, sinceBatch: Option[String] = None)
       : Seq[(Option[Int], Option[Int])] = {
@@ -143,11 +180,14 @@ object IncrementalGold {
     val silver = spark.read.parquet(silverDir)
     val (parts, maxBatch) = changedPartitions(silver, since)
     if (parts.isEmpty) return Nil
-    goldOf(partitionSlice(silver, parts))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PartCols: _*)
-      .parquet(goldDir)
+    val slice = partitionSlice(silver, parts)
+    GoldViews.foreach { case (view, rollup) =>
+      rollup(slice)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PartCols: _*)
+        .parquet(s"$goldDir/$view")
+    }
     maxBatch.foreach(b => recordPublished(spark, goldDir, b))
     parts
   }
@@ -167,20 +207,74 @@ object IncrementalGold {
     */
   def incrementalGoldE2e(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
-    val base = s"target/incr_gold/$leaf"
+    val base = fixtureBase(spark, sfDir)
     val root = new Path(base)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
-    val silverDir = s"$base/silver"
-    val goldDir = s"$base/gold"
-    runTwoBatchFixture(spark, sfDir, silverDir, goldDir)
-    spark.read.parquet(goldDir)
+    runTwoBatchFixture(spark, sfDir, s"$base/silver", s"$base/gold")
+    spark.read.parquet(s"$base/gold/claims_summary")
       .select(col("service_year"), col("service_month"),
         col("claim_amount_category"), col("total_claims"),
         col("unique_members"), col("total_amount"), col("n_flagged"))
       .orderBy(col("service_year"), col("service_month"),
         col("claim_amount_category"))
+  }
+
+  /** Fixture location, ModelStore-disciplined: version + leaf + orders
+    * fingerprint, so the lifecycle-split read queries below can never
+    * serve gold built from other/changed data. */
+  private val FixtureVersion = "v2"
+  private[graft] def fixtureBase(spark: SparkSession, sfDir: String)
+      : String = {
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val fp = ModelStore.corpusFingerprint(spark,
+      Tables.path(sfDir, "orders"))
+    s"target/incr_gold/${FixtureVersion}_${leaf}_$fp"
+  }
+
+  /** Ensure the two-batch fixture's published gold exists (watermark at
+    * batch 2); rebuild from scratch otherwise. The read-side queries
+    * (`q_incremental_trend`, `q_incremental_dq`) use this — the same
+    * build/query lifecycle split as the IVF-PQ and sketch models: the
+    * full chain runs once (q_incremental_gold pays it every run; these
+    * two pay parquet-read only in steady state). */
+  private def ensureFixture(spark: SparkSession, sfDir: String): String = {
+    val base = fixtureBase(spark, sfDir)
+    if (!lastPublished(spark, s"$base/gold")
+        .contains("20240102_000000")) {
+      val root = new Path(base)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      runTwoBatchFixture(spark, sfDir, s"$base/silver", s"$base/gold")
+    }
+    base
+  }
+
+  /** `q_incremental_trend`: the monthly_trend view as INCREMENTALLY
+    * published by the two-batch chain — the oracle recomputes it in
+    * full from all claims, so equality proves the incremental publish
+    * kept every view consistent, not just claims_summary. */
+  def incrementalTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val base = ensureFixture(spark, sfDir)
+    spark.read.parquet(s"$base/gold/monthly_trend")
+      .select(col("service_year"), col("service_month"),
+        col("total_claims"), col("unique_members"), col("total_amount"),
+        col("avg_amount"), col("min_amount"), col("max_amount"))
+      .orderBy(col("service_year"), col("service_month"))
+  }
+
+  /** `q_incremental_dq`: the dq_dashboard view from the same
+    * incremental publish. */
+  def incrementalDq(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val base = ensureFixture(spark, sfDir)
+    spark.read.parquet(s"$base/gold/dq_dashboard")
+      .select(col("service_year"), col("service_month"),
+        col("total_claims"), col("perfect_quality"),
+        col("zero_amount_claims"), col("missing_date_claims"),
+        col("avg_quality_score"), col("unknown_provider_claims"))
+      .orderBy(col("service_year"), col("service_month"))
   }
 
   /** The shared two-batch ingest+publish chain (query + spec). Batch

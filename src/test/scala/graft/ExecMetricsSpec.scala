@@ -59,5 +59,13 @@ class ExecMetricsSpec extends SparkSpec {
     // the groupBy's exchange published shuffle write metrics
     assert(feed.exists { case (_, m, v) =>
       m.toLowerCase.contains("shuffle") && v > 0 }, feed.mkString("\n"))
+    // the Prometheus rendering is grammar-valid and carries the same
+    // observables
+    val prom = ExecMetrics.prometheusText("probe", caught.last.qe)
+    val line = """graft_[a-z0-9_]+\{query="[a-z0-9_]+",node="[a-z0-9_]+",node_id="\d+"\} -?\d+""".r
+    val lines = prom.linesIterator.toSeq
+    assert(lines.nonEmpty)
+    lines.foreach(l => assert(line.matches(l), l))
+    assert(lines.exists(_.startsWith("graft_num_files")), prom.take(500))
   }
 }

@@ -112,16 +112,18 @@ class IncrementalGoldSpec extends SparkSpec {
 
   test("incremental publish result is bit-identical to the full recompute") {
     fixture
-    val incr = spark.read.parquet(goldDir)
-      .select("service_year", "service_month", "claim_amount_category",
-        "total_claims", "unique_members", "total_amount", "n_flagged")
-      .collect().map(_.toSeq).toSet
-    val full = IncrementalGold.goldOf(spark.read.parquet(silverDir))
-      .select("service_year", "service_month", "claim_amount_category",
-        "total_claims", "unique_members", "total_amount", "n_flagged")
-      .collect().map(_.toSeq).toSet
-    assert(incr == full)
-    assert(incr.nonEmpty)
+    val silver = spark.read.parquet(silverDir)
+    // all three published views must equal their full recomputes
+    IncrementalGold.GoldViews.foreach { case (view, rollup) =>
+      val incr = spark.read.parquet(s"$goldDir/$view")
+        .collect().map(r => r.getValuesMap[Any](r.schema.fieldNames))
+        .map(_.toSeq.sortBy(_._1)).toSet
+      val full = rollup(silver)
+        .collect().map(r => r.getValuesMap[Any](r.schema.fieldNames))
+        .map(_.toSeq.sortBy(_._1)).toSet
+      assert(incr == full, view)
+      assert(incr.nonEmpty, view)
+    }
   }
 
   test("no-op publish: no new batches -> no partitions republished, files untouched") {
