@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.{Engine, Tables}
 import graft.functions.Exact._
 
@@ -180,6 +181,19 @@ object IncrementalGold {
     val silver = spark.read.parquet(silverDir)
     val (parts, maxBatch) = changedPartitions(silver, since)
     if (parts.isEmpty) return Nil
+    republish(spark, silver, parts, goldDir)
+    maxBatch.foreach(b => recordPublished(spark, goldDir, b))
+    parts
+  }
+
+  /** Pruned full-partition recompute + dynamic overwrite of all three
+    * cadence views for the given changed partitions — the publish body
+    * shared by the batch watermark path and the streaming change-feed
+    * path. Always reads the CURRENT silver slice from disk, so a
+    * replayed invocation (foreachBatch failure-replay) republishes the
+    * same partitions to the same content — idempotent by construction. */
+  private[graft] def republish(spark: SparkSession, silver: DataFrame,
+      parts: Seq[(Option[Int], Option[Int])], goldDir: String): Unit = {
     val slice = partitionSlice(silver, parts)
     GoldViews.foreach { case (view, rollup) =>
       rollup(slice)
@@ -188,8 +202,57 @@ object IncrementalGold {
         .partitionBy(PartCols: _*)
         .parquet(s"$goldDir/$view")
     }
-    maxBatch.foreach(b => recordPublished(spark, goldDir, b))
+  }
+
+  /** One micro-batch of the streaming publisher: the arriving silver
+    * rows ARE the change feed, so changed partitions come from the
+    * micro-batch alone — no detection scan at all. This is the 100 TB
+    * win over [[publishIncremental]]'s batch_id-watermark detection:
+    * the batch path still LISTS every silver file (footer stats skip
+    * the reads, not the listing); here the file-stream checkpoint hands
+    * us exactly the new files and the feed aggregate is bounded by the
+    * micro-batch, never by table size. Recompute + overwrite are the
+    * shared [[republish]] body (pruned slice, dynamic overwrite), so
+    * the published bytes are identical to what the batch cadence would
+    * produce. */
+  def publishFromChangeFeed(spark: SparkSession, feed: DataFrame,
+      silverDir: String, goldDir: String): Seq[(Option[Int], Option[Int])] = {
+    val rows = feed.groupBy(col("service_year"), col("service_month"))
+      .agg(max(col("batch_id")).as("max_batch"))
+      .collect()
+    if (rows.isEmpty) return Nil
+    val parts = rows.map(r => (
+      Option(r.getAs[Integer]("service_year")).map(_.intValue),
+      Option(r.getAs[Integer]("service_month")).map(_.intValue))).toSeq
+    republish(spark, spark.read.parquet(silverDir), parts, goldDir)
+    rows.map(_.getAs[String]("max_batch")).filter(_ != null).maxOption
+      .foreach(b => recordPublished(spark, goldDir, b))
     parts
+  }
+
+  /** Streaming incremental publish: the reference's 4-hour cadence DAG
+    * collapsed into one continuous pipeline. A parquet file stream over
+    * the silver directory feeds [[publishFromChangeFeed]] via
+    * foreachBatch; Trigger.AvailableNow drains everything new since the
+    * checkpoint and terminates, so the same call serves both "run the
+    * cadence now" (the DAG shape) and "leave it running" (swap the
+    * trigger). Restart-safe: the checkpoint replays at-least-once and
+    * the publish body is idempotent (full-partition recompute from
+    * current disk state), so gold converges to exactly the batch
+    * publish's content — spec-pinned streamed == batch. */
+  def publishGoldStream(spark: SparkSession, silverDir: String,
+      goldDir: String, checkpoint: String): Unit = {
+    Engine.configure(spark)
+    val schema = spark.read.parquet(silverDir).schema
+    val q = spark.readStream.schema(schema).parquet(silverDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        publishFromChangeFeed(spark, mb, silverDir, goldDir); ()
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** `q_incremental_gold`: the reference's publish cadence made
@@ -212,12 +275,39 @@ object IncrementalGold {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
     runTwoBatchFixture(spark, sfDir, s"$base/silver", s"$base/gold")
-    spark.read.parquet(s"$base/gold/claims_summary")
+    claimsSummaryOf(spark, s"$base/gold")
+  }
+
+  /** The published claims_summary in oracle order (shared final select
+    * of the batch and streaming publish queries). */
+  private def claimsSummaryOf(spark: SparkSession, goldDir: String)
+      : DataFrame =
+    spark.read.parquet(s"$goldDir/claims_summary")
       .select(col("service_year"), col("service_month"),
         col("claim_amount_category"), col("total_claims"),
         col("unique_members"), col("total_amount"), col("n_flagged"))
       .orderBy(col("service_year"), col("service_month"),
         col("claim_amount_category"))
+
+  /** `q_stream_publish`: the two-batch chain with the STREAMING
+    * publisher driving every publish — silver appends drain through the
+    * file-stream checkpoint (second pass sees only batch 2's files; the
+    * change feed is the micro-batch, zero detection scans) into the
+    * same pruned recompute + dynamic overwrite. The oracle is the FULL
+    * DuckDB recompute over all claims — identical to
+    * q_incremental_gold's contract, so equality proves the continuous
+    * pipeline publishes the exact cadence-published gold. */
+  def streamPublishE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/stream_gold/$leaf"
+    val root = new Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    runTwoBatchFixture(spark, sfDir, s"$base/silver", s"$base/gold",
+      publish = (sd, gd) =>
+        publishGoldStream(spark, sd, gd, s"$base/checkpoint"))
+    claimsSummaryOf(spark, s"$base/gold")
   }
 
   /** Fixture location, ModelStore-disciplined: version + leaf + orders
@@ -284,7 +374,12 @@ object IncrementalGold {
     * reference) preserve the YEAR, so the split is partition-clean. */
   private[graft] def runTwoBatchFixture(spark: SparkSession, sfDir: String,
       silverDir: String, goldDir: String,
-      afterBatch1: () => Unit = () => ()): Unit = {
+      afterBatch1: () => Unit = () => (),
+      publish: (String, String) => Unit =
+        null): Unit = {
+    val doPublish: (String, String) => Unit =
+      if (publish != null) publish
+      else (sd, gd) => { publishIncremental(spark, sd, gd); () }
     val orders = Tables.orders(spark, sfDir)
     val cut = lit("1997-01-01").cast("date")
     def silverBatch(o: DataFrame, clockS: String): DataFrame =
@@ -295,11 +390,11 @@ object IncrementalGold {
     Bronze.writeSilver(
       silverBatch(orders.filter(col("o_orderdate") < cut),
         "2024-01-01 00:00:00"), silverDir)
-    publishIncremental(spark, silverDir, goldDir)
+    doPublish(silverDir, goldDir)
     afterBatch1()
     Bronze.writeSilver(
       silverBatch(orders.filter(col("o_orderdate") >= cut),
         "2024-01-02 00:00:00"), silverDir)
-    publishIncremental(spark, silverDir, goldDir)
+    doPublish(silverDir, goldDir)
   }
 }

@@ -133,4 +133,72 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(again.isEmpty)
     assert(dataFiles(goldDir) == before)
   }
+
+  // ------------------------------------------------------------------
+  // Streaming publisher (round 11): the same two-batch chain with every
+  // publish driven by the file-stream change feed (foreachBatch).
+  // ------------------------------------------------------------------
+
+  private val sBase = "target/test_stream_gold"
+  private val sSilver = s"$sBase/silver"
+  private val sGold = s"$sBase/gold"
+
+  private def wipe(dir: String): Unit = {
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+    }
+    val root = new File(dir)
+    if (root.exists()) del(root)
+  }
+
+  private lazy val streamFixture: (Map[String, Long], Map[String, Long]) = {
+    wipe(sBase)
+    var afterB1: Map[String, Long] = Map.empty
+    IncrementalGold.runTwoBatchFixture(spark, sfDir, sSilver, sGold,
+      afterBatch1 = () => afterB1 = dataFiles(sGold),
+      publish = (sd, gd) =>
+        IncrementalGold.publishGoldStream(spark, sd, gd,
+          s"$sBase/checkpoint"))
+    (afterB1, dataFiles(sGold))
+  }
+
+  test("streaming publish: gold is bit-identical to the batch cadence publish") {
+    fixture; streamFixture // materialize both chains
+    IncrementalGold.GoldViews.foreach { case (view, _) =>
+      def rows(dir: String) = spark.read.parquet(s"$dir/$view")
+        .collect().map(r => r.getValuesMap[Any](r.schema.fieldNames))
+        .map(_.toSeq.sortBy(_._1)).toSet
+      val streamed = rows(sGold)
+      assert(streamed.nonEmpty, view)
+      assert(streamed == rows(goldDir), view)
+    }
+  }
+
+  test("streaming publish: second micro-batch rewrites only changed partitions") {
+    val (afterB1, afterB2) = streamFixture
+    assert(afterB1.nonEmpty && afterB2.nonEmpty)
+    val unchanged = afterB1.keys.filter { p =>
+      !(p.contains("service_year=1997") || p.contains("service_year=1998") ||
+        p.contains("service_year=__HIVE_DEFAULT_PARTITION__"))
+    }.toSeq
+    assert(unchanged.nonEmpty)
+    unchanged.foreach { p =>
+      assert(afterB2.get(p).contains(afterB1(p)),
+        s"untouched gold file rewritten by the stream: $p")
+    }
+    assert(afterB2.keys.exists(_.contains("service_year=1997")))
+  }
+
+  test("streaming publish: drained checkpoint -> rerun is a no-op on gold") {
+    streamFixture
+    val before = dataFiles(sGold)
+    // no new silver files: AvailableNow finds nothing past the
+    // checkpoint, no micro-batch fires, gold untouched
+    IncrementalGold.publishGoldStream(spark, sSilver, sGold,
+      s"$sBase/checkpoint")
+    assert(dataFiles(sGold) == before)
+    // watermark state still at batch 2
+    assert(IncrementalGold.lastPublished(spark, sGold)
+      .contains("20240102_000000"))
+  }
 }
