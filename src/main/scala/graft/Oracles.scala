@@ -2715,6 +2715,48 @@ SELECT service_year, service_month, claim_amount_category,
 FROM silver
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""),
+
+    // SCD1 upsert with PARTITION-MOVING corrections: batch 2 restates
+    // the service date +40 days for every 10th order of the 1997-07+
+    // window (the claim changes its (service_year, service_month)
+    // home); the engine locates moved-from partitions via the Bloom
+    // key->partition sidecar and deletes the old versions, the oracle
+    // replays both batches through the cleanse chain and windows per
+    // key — equality proves no key survives in its old partition and
+    // none was lost
+    "q_upsert_moving" -> {
+      val movedSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, CAST(o_orderdate + INTERVAL 40 DAY AS DATE) " +
+        "AS o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-07-01' AND o_orderkey % 10 = 0"
+      s"""$ClaimsCte,
+${claimsChainCtes("_m", movedSrc)},
+allv AS (
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240101_000000' AS batch_id, 1 AS src FROM silver
+  UNION ALL
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240102_000000' AS batch_id, 0 AS src FROM silver_m)
+SELECT claim_id, batch_id, claim_amount, service_year, service_month
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
+WHERE rn = 1 ORDER BY claim_id"""
+    },
+
+    // streaming incremental publish: same full-recompute contract as
+    // q_incremental_gold — the engine drives every publish through the
+    // file-stream change feed (foreachBatch), the oracle recomputes
+    // gold in full, so equality proves the continuous pipeline and the
+    // batch cadence publish identical bytes
+    "q_stream_publish" -> (ClaimsCte + """
+SELECT service_year, service_month, claim_amount_category,
+  count(*) AS total_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount,
+  count(CASE WHEN data_quality_score < 1.0 THEN 1 END) AS n_flagged
+FROM silver
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""),
   )
 
   /** The fused IVF-PQ ADC search pipeline, shared verbatim by

@@ -149,6 +149,8 @@ object SparkEntry {
     "q_sketch_probe" -> ((s: SparkSession, d: String) => SketchOps.sketchProbe(s, d)),
     "q_incremental_trend" -> IncrementalGold.incrementalTrend _,
     "q_incremental_dq" -> IncrementalGold.incrementalDq _,
+    "q_stream_publish" -> IncrementalGold.streamPublishE2e _,
+    "q_upsert_moving" -> Upsert.upsertMovingE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -89,6 +89,169 @@ object Upsert {
     parts
   }
 
+  // ------------------------------------------------------------------
+  // Key→partition index (round 11): removes scd1's partition-stability
+  // precondition. A per-partition sidecar — key min/max plus a compact
+  // Bloom filter — locates the partitions that MIGHT hold an update
+  // key's prior version, so a correction that MOVES a claim across
+  // service periods is resolved by reading only (a) the updates' target
+  // partitions, (b) the Bloom-candidate partitions, never the full
+  // table. The Bloom is over-approximate by construction (no false
+  // negatives — a moved-from partition is always a candidate; spec-
+  // pinned), and candidates are verified with a semi-join over the
+  // PRUNED candidate slice before any rewrite, so false positives cost
+  // one pruned read, never a spurious partition rewrite.
+  // ------------------------------------------------------------------
+
+  /** Bloom geometry: mBits bits as mBits/64 longs per partition,
+    * kSeeds positions per key. 2048 words = 16 KiB/partition — catalog-
+    * scale sidecar state even at thousands of partitions. */
+  private[graft] val KeySeeds = 3
+  private[graft] val DefaultMBits = 1 << 17
+
+  /** The kSeeds bit positions of a key: pmod(xxhash64(seed, key), m).
+    * Seed rides as a leading hashed column, giving independent hash
+    * families from the one builtin. */
+  private def bitPositions(key: org.apache.spark.sql.Column, mBits: Int) =
+    (0 until KeySeeds).map(s => pmod(xxhash64(lit(s), key), lit(mBits.toLong)))
+
+  /** Build the sidecar index for `tableDir` at `indexDir`: per
+    * (service_year, service_month) a minmax row (key range + row count)
+    * and the Bloom word rows (word_idx, mask). Both sidecars are
+    * partition-aligned parquet, so incremental maintenance after an
+    * upsert is the SAME dynamic-partition-overwrite move the gold
+    * publish uses. One scan of the table (or of a pruned slice when
+    * `onlyParts` is given). */
+  def keyIndexBuild(spark: SparkSession, tableDir: String, indexDir: String,
+      key: String = "claim_id", mBits: Int = DefaultMBits,
+      onlyParts: Option[Seq[(Option[Int], Option[Int])]] = None): Unit = {
+    val full = spark.read.parquet(tableDir)
+    val df = onlyParts match {
+      case Some(ps) if ps.nonEmpty =>
+        IncrementalGold.partitionSlice(full, ps)
+      case Some(_) => return
+      case None => full
+    }
+    val partCols = IncrementalGold.PartCols.map(col)
+    val writeMode = (w: org.apache.spark.sql.DataFrameWriter[_]) =>
+      w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    writeMode(df.groupBy(partCols: _*)
+      .agg(min(col(key)).as("min_key"), max(col(key)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.partitionBy(IncrementalGold.PartCols: _*))
+      .parquet(s"$indexDir/minmax")
+    val words = df
+      .select(partCols :+
+        explode(array(bitPositions(col(key), mBits): _*)).as("pos"): _*)
+      .withColumn("word_idx", (col("pos") / 64).cast("int"))
+      .withColumn("mask", expr("shiftleft(1L, cast(pos % 64 AS int))"))
+      .groupBy(partCols :+ col("word_idx"): _*)
+      .agg(expr("bit_or(mask)").as("mask"))
+    writeMode(words.write.partitionBy(IncrementalGold.PartCols: _*))
+      .parquet(s"$indexDir/bloom")
+  }
+
+  /** Partitions that MIGHT hold any of `keys` (one column named by
+    * `key`), from the sidecar alone: Bloom membership (all kSeeds bits
+    * set) AND key within the partition's min/max range. Join size is
+    * |keys|·kSeeds × index words — bounded by updates and catalog
+    * state, never by the table. */
+  def candidateParts(spark: SparkSession, indexDir: String, keys: DataFrame,
+      key: String = "claim_id", mBits: Int = DefaultMBits): DataFrame = {
+    val bloom = spark.read.parquet(s"$indexDir/bloom")
+    val minmax = spark.read.parquet(s"$indexDir/minmax")
+    val probes = keys.select(col(key).as("__k")).distinct()
+      .select(col("__k"),
+        explode(array(bitPositions(col("__k"), mBits): _*)).as("pos"))
+      .distinct() // two seeds may land on one position
+      .withColumn("word_idx", (col("pos") / 64).cast("int"))
+      .withColumn("mask", expr("shiftleft(1L, cast(pos % 64 AS int))"))
+    val nPos = probes.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n_pos"))
+    val bloomAliased = bloom.select(
+      col("service_year"), col("service_month"),
+      col("word_idx"), col("mask").as("__w_mask"))
+    val hit = probes.join(broadcast(bloomAliased), Seq("word_idx"))
+      .filter(col("__w_mask").bitwiseAND(col("mask")) === col("mask"))
+      .groupBy(col("__k"), col("service_year"), col("service_month"))
+      .agg(count(lit(1)).as("__n_hit"))
+      .join(nPos, Seq("__k"))
+      .filter(col("__n_hit") === col("__n_pos"))
+    hit.join(broadcast(minmax.withColumnRenamed("service_year", "__iy")
+        .withColumnRenamed("service_month", "__im")),
+        col("service_year") <=> col("__iy") &&
+          col("service_month") <=> col("__im"))
+      .filter(col("__k") >= col("min_key") && col("__k") <= col("max_key"))
+      .select(col("__k").as(key), col("service_year"), col("service_month"))
+  }
+
+  /** SCD1 upsert WITHOUT the partition-stability precondition: a
+    * correction may move a claim to a different service period. The
+    * moved-from partitions are located via [[candidateParts]] (index
+    * probe, no table scan), verified by a semi-join over the pruned
+    * candidate slice (false positives rewrite nothing), merged
+    * latest-wins, committed by the same staged directory swap — a
+    * partition left EMPTY by the merge (every row moved out) is
+    * deleted. The sidecar index is then re-derived for exactly the
+    * affected partitions (dynamic overwrite), so the next probe sees
+    * the moved keys in their new homes. Returns the affected
+    * partitions. */
+  def scd1Moving(spark: SparkSession, tableDir: String, indexDir: String,
+      updates: DataFrame, key: String = "claim_id",
+      version: String = "batch_id", mBits: Int = DefaultMBits)
+      : Seq[(Option[Int], Option[Int])] = {
+    def toParts(rows: Array[org.apache.spark.sql.Row])
+        : Seq[(Option[Int], Option[Int])] = rows.map(r => (
+      Option(r.getAs[Integer]("service_year")).map(_.intValue),
+      Option(r.getAs[Integer]("service_month")).map(_.intValue))).toSeq
+    val targets = toParts(updates
+      .select(col("service_year"), col("service_month")).distinct()
+      .collect())
+    if (targets.isEmpty) return Nil
+    val cands = toParts(candidateParts(spark, indexDir,
+        updates.select(col(key)), key, mBits)
+      .select(col("service_year"), col("service_month")).distinct()
+      .collect())
+    val base = spark.read.parquet(tableDir)
+    // verify candidates: which pruned-slice partitions actually hold an
+    // update key (Bloom false positives drop out here, before any write)
+    val verified =
+      if (cands.isEmpty) Nil
+      else toParts(IncrementalGold.partitionSlice(base, cands)
+        .join(updates.select(col(key)).distinct(), Seq(key), "leftsemi")
+        .select(col("service_year"), col("service_month")).distinct()
+        .collect())
+    val parts = (targets ++ verified).distinct
+    val slice = IncrementalGold.partitionSlice(base, parts)
+    val merged = slice.withColumn("__src", lit(1))
+      .unionByName(updates.withColumn("__src", lit(0)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(version).desc, col("__src").desc)
+    val latest = merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__src")
+    val stagingDir = s"${tableDir.replaceAll("[/\\\\]+$", "")}__upsert_staging"
+    val staging = new Path(stagingDir)
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    latest.write.mode("overwrite")
+      .partitionBy(IncrementalGold.PartCols: _*).parquet(stagingDir)
+    parts.foreach { p =>
+      val rel = partitionRelPath(p)
+      val src = new Path(s"$stagingDir/$rel")
+      val dst = new Path(s"$tableDir/$rel")
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.mkdirs(dst.getParent)
+        fs.rename(src, dst)
+      } else if (fs.exists(dst)) {
+        fs.delete(dst, true) // every row moved out: partition is gone
+      }
+    }
+    fs.delete(staging, true)
+    keyIndexBuild(spark, tableDir, indexDir, key, mBits, Some(parts))
+    parts
+  }
+
   /** `q_upsert_claims`: the MERGE the reference lists as roadmap, as an
     * oracle-checked query. Fixture: batch 1 = the full claims silver;
     * batch 2 = CORRECTIONS (amount restated +500 for every 10th order
@@ -137,6 +300,54 @@ object Upsert {
     val updates = chain(corrections.unionByName(inserts),
       "2024-01-02 00:00:00")
     scd1(spark, tableDir, updates)
+    updates
+  }
+
+  /** `q_upsert_moving`: SCD1 with PARTITION-MOVING corrections — the
+    * case [[scd1]] documents as out of scope and the key→partition
+    * index makes tractable. Fixture: batch 1 = the full claims silver
+    * (index built alongside); batch 2 RESTATES the service date +40
+    * days for every 10th order of the 1997-07+ window, so each
+    * corrected claim leaves its old (service_year, service_month)
+    * partition for a later one. [[scd1Moving]] locates the moved-from
+    * partitions via the Bloom sidecar, merges latest-wins, and deletes
+    * the old versions — the DuckDB oracle replays both batches through
+    * the cleanse CTEs and windows per key, so row-level equality proves
+    * no key survives in its old home and none was lost. */
+  def upsertMovingE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/upsert_moving/$leaf"
+    val root = new Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    runMovingFixture(spark, sfDir, s"$base/silver", s"$base/keyindex")
+    spark.read.parquet(s"$base/silver")
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"))
+      .orderBy(col("claim_id"))
+  }
+
+  /** The shared base-ingest + moving-upsert chain (query + spec). */
+  private[graft] def runMovingFixture(spark: SparkSession, sfDir: String,
+      tableDir: String, indexDir: String,
+      afterBase: () => Unit = () => ()): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    def chain(src: DataFrame, clock: String): DataFrame =
+      SilverCleanse.withBatchMetadata(
+        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(src)),
+          passthrough = Nil),
+        to_timestamp(lit(clock)))
+    Bronze.writeSilver(chain(orders, "2024-01-01 00:00:00"), tableDir)
+    keyIndexBuild(spark, tableDir, indexDir)
+    afterBase()
+    val k = col("o_orderkey")
+    val moved = orders
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("date") &&
+        k % 10 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 40))
+    val updates = chain(moved, "2024-01-02 00:00:00")
+    scd1Moving(spark, tableDir, indexDir, updates)
     updates
   }
 }

@@ -94,4 +94,120 @@ class UpsertSpec extends SparkSpec {
         "service_month").collect().map(_.toSeq).toSet
     assert(after == before)
   }
+
+  // ------------------------------------------------------------------
+  // Partition-MOVING upsert via the key→partition Bloom sidecar
+  // ------------------------------------------------------------------
+
+  private val mBase = "target/test_upsert_moving"
+  private val mTable = s"$mBase/silver"
+  private val mIndex = s"$mBase/keyindex"
+
+  private def wipe(dir: String): Unit = {
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+    }
+    val root = new File(dir)
+    if (root.exists()) del(root)
+  }
+
+  private lazy val movingFixture
+      : (Map[String, Long], Map[String, Long],
+         org.apache.spark.sql.DataFrame) = {
+    wipe(mBase)
+    var beforeUpsert: Map[String, Long] = Map.empty
+    val updates = Upsert.runMovingFixture(spark, sfDir, mTable, mIndex,
+      afterBase = () => beforeUpsert = dataFiles(mTable))
+    (beforeUpsert, dataFiles(mTable), updates)
+  }
+
+  test("moving upsert: partitions outside the moved window byte-identical") {
+    val (before, after, _) = movingFixture
+    assert(before.nonEmpty && after.nonEmpty)
+    // moves originate in 1997-07+ orders; the cleanse's MM/dd-vs-dd/MM
+    // ambiguity can swap month and day (never the year), so moved-from
+    // homes span ALL 1997–1998 month partitions — but 1992–1996 must be
+    // untouched at the file level
+    val untouched = before.keys.filter { p =>
+      (1992 to 1996).exists(y => p.contains(s"service_year=$y"))
+    }.toSeq
+    assert(untouched.nonEmpty)
+    untouched.foreach { p =>
+      assert(after.get(p).contains(before(p)), s"untouched rewritten: $p")
+    }
+  }
+
+  test("moving upsert: no key duplicated, every update landed, old homes purged") {
+    val (_, _, updates) = movingFixture
+    val t = spark.read.parquet(mTable)
+    assert(t.groupBy("claim_id").count().filter(col("count") > 1).isEmpty)
+    // every update row is present with batch 2 in its NEW partition
+    val b2 = t.filter(col("batch_id") === "20240102_000000")
+    assert(b2.count() == updates.count())
+    val expected = updates
+      .select("claim_id", "claim_amount", "service_year", "service_month")
+      .collect().map(_.toSeq).toSet
+    val got = b2
+      .select("claim_id", "claim_amount", "service_year", "service_month")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("bloom probe: a key's actual partition is always among its candidates") {
+    movingFixture
+    val t = spark.read.parquet(mTable)
+    // sample both untouched base keys and moved (batch 2) keys
+    val sample = t.filter(col("service_year").isNotNull)
+      .select("claim_id", "service_year", "service_month", "batch_id")
+      .orderBy(col("claim_id")).limit(150)
+      .unionByName(t.filter(col("service_year").isNotNull &&
+          col("batch_id") === "20240102_000000")
+        .select("claim_id", "service_year", "service_month", "batch_id")
+        .orderBy(col("claim_id")).limit(150))
+      .cache()
+    assert(sample.limit(1).count() == 1)
+    val cands = Upsert.candidateParts(spark, mIndex,
+      sample.select("claim_id"))
+    val missed = sample
+      .join(cands, Seq("claim_id", "service_year", "service_month"),
+        "left_anti")
+    assert(missed.isEmpty,
+      missed.collect().take(5).mkString("\n"))
+    sample.unpersist()
+  }
+
+  test("moving upsert replay is a values-level no-op (idempotent)") {
+    val (_, _, updates) = movingFixture
+    def snap() = spark.read.parquet(mTable)
+      .select("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month").collect().map(_.toSeq).toSet
+    val before = snap()
+    Upsert.scd1Moving(spark, mTable, mIndex, updates)
+    assert(snap() == before)
+  }
+
+  test("a partition emptied by moves is deleted from the table") {
+    import spark.implicits._
+    val dir = "target/test_upsert_empty"
+    wipe(dir)
+    val table = s"$dir/t"
+    val index = s"$dir/idx"
+    Seq(("K1", "b1", 10.0, 2000, 1), ("K2", "b1", 20.0, 2000, 1),
+        ("K3", "b1", 30.0, 2000, 2))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+      .write.partitionBy("service_year", "service_month").parquet(table)
+    Upsert.keyIndexBuild(spark, table, index)
+    val updates = Seq(("K1", "b2", 10.0, 2000, 3),
+        ("K2", "b2", 20.0, 2000, 3))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    Upsert.scd1Moving(spark, table, index, updates)
+    assert(!new File(s"$table/service_year=2000/service_month=1").exists(),
+      "emptied partition directory must be deleted")
+    val rows = spark.read.parquet(table)
+      .select("claim_id", "service_month").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows == Set(("K1", 3), ("K2", 3), ("K3", 2)))
+  }
 }
