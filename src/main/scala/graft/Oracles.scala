@@ -2716,6 +2716,32 @@ FROM silver
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""),
 
+    // metrics history log: three probe captures appended to the
+    // date-partitioned parquet log, summary series served from the log
+    // alone — the oracle recomputes each deterministic metric from the
+    // claims data, requires exactly 3 captures and min == max (the
+    // probe's metrics cannot drift), proving append AND read paths
+    "q_metrics_history" -> (ClaimsCte + """,
+tot AS (SELECT count(*) AS n FROM
+  (SELECT DISTINCT service_year, service_month FROM silver) p),
+yr AS (SELECT CAST(count(*) AS BIGINT) AS rows_read,
+  CAST(count(DISTINCT service_month) AS BIGINT) AS months
+  FROM silver WHERE service_year = 1998)
+SELECT metric, n_captures, min_value, max_value FROM (
+  SELECT 'groups_out' AS metric, CAST(3 AS BIGINT) AS n_captures,
+    months AS min_value, months AS max_value FROM yr
+  UNION ALL
+  SELECT 'partitions_pruned', CAST(3 AS BIGINT),
+    tot.n - yr.months, tot.n - yr.months FROM tot, yr
+  UNION ALL
+  SELECT 'partitions_scanned', CAST(3 AS BIGINT), months, months FROM yr
+  UNION ALL
+  SELECT 'partitions_total', CAST(3 AS BIGINT),
+    CAST(n AS BIGINT), CAST(n AS BIGINT) FROM tot
+  UNION ALL
+  SELECT 'rows_read', CAST(3 AS BIGINT), rows_read, rows_read FROM yr
+) m ORDER BY metric"""),
+
     // SCD1 upsert with PARTITION-MOVING corrections: batch 2 restates
     // the service date +40 days for every 10th order of the 1997-07+
     // window (the claim changes its (service_year, service_month)

@@ -151,6 +151,7 @@ object SparkEntry {
     "q_incremental_dq" -> IncrementalGold.incrementalDq _,
     "q_stream_publish" -> IncrementalGold.streamPublishE2e _,
     "q_upsert_moving" -> Upsert.upsertMovingE2e _,
+    "q_metrics_history" -> ExecMetrics.metricsHistory _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

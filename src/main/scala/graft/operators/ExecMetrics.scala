@@ -202,6 +202,72 @@ object ExecMetrics {
     * incl. the null partition, groups_out = the aggregate's group
     * count — so a pruning regression (scan reads all partitions) or a
     * metric-reporting regression both show up as a value mismatch. */
+  /** Append one capture to the parquet metrics log at `logDir`: the
+    * full (node_id, node, metric, value) dashboard feed PLUS the
+    * deterministic summary rows (node = "summary", node_id = -1),
+    * stamped (query, captured_at) and partitioned by log_date. This is
+    * the time-series the reference's Grafana dashboards actually chart
+    * (deploy/prometheus — Prometheus scrapes into a TSDB; here the lake
+    * IS the TSDB): date-partitioned appends keep retention/pruning a
+    * partition operation, and a scrape endpoint can serve the same
+    * capture via [[prometheusText]]. `capturedAt` is injectable so the
+    * oracle-checked history query stays deterministic; a production
+    * listener passes the wall clock. */
+  def logCapture(spark: SparkSession, logDir: String, query: String,
+      qe: QueryExecution, tableDir: String, capturedAt: String): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    val summary = deterministicSummary(spark, qe, tableDir)
+      .map { case (m, v) => (-1, "summary", m, v) }
+    val feed = walkFinalPlan(qe.executedPlan).zipWithIndex.flatMap {
+      case (node, i) =>
+        node.metrics.toSeq.map { case (key, m) =>
+          (i, node.nodeName, key, m.value)
+        }
+    }
+    (feed ++ summary).toDF("node_id", "node", "metric", "value")
+      .withColumn("query", lit(query))
+      .withColumn("captured_at", to_timestamp(lit(capturedAt)))
+      .withColumn("log_date", to_date(to_timestamp(lit(capturedAt))))
+      .write.mode("append").partitionBy("log_date").parquet(logDir)
+  }
+
+  /** `q_metrics_history`: the metrics log as an oracle-checked query.
+    * Runs the fixed probe three times (hourly "scrape" stamps on one
+    * log date), appending each capture to the log, then serves the
+    * dashboard's summary series from the LOG ALONE: per deterministic
+    * metric, the capture count and the min/max observed value. The
+    * DuckDB oracle recomputes every metric from the claims data — so
+    * n_captures must be exactly 3 and min must equal max (the probe's
+    * deterministic metrics cannot drift across captures), proving both
+    * the append path and the read path of the log. */
+  def metricsHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val tableDir = s"target/exec_metrics/$leaf/silver"
+    val logDir = s"target/exec_metrics/$leaf/metrics_log"
+    val logRoot = new Path(logDir)
+    val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(logRoot)) fs.delete(logRoot, true)
+    buildSilver(spark, sfDir, tableDir)
+    (0 until 3).foreach { i =>
+      val probe = probeOf(spark, tableDir)
+      val captured = captureExecutions(spark,
+        () => probe.write.format("noop").mode("overwrite").save())
+      val qe = captured.lastOption.getOrElse(
+        throw new IllegalStateException("listener captured no execution"))
+      logCapture(spark, logDir, "exec_probe", qe.qe, tableDir,
+        f"2024-01-01 0$i%d:00:00")
+    }
+    spark.read.parquet(logDir)
+      .filter(col("node") === "summary" && col("query") === "exec_probe")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_captures"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("metric"))
+  }
+
   def execMetricsProbe(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
     val spark0 = spark

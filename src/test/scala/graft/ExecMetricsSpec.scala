@@ -68,4 +68,25 @@ class ExecMetricsSpec extends SparkSpec {
     lines.foreach(l => assert(line.matches(l), l))
     assert(lines.exists(_.startsWith("graft_num_files")), prom.take(500))
   }
+
+  test("metrics log: date-partitioned appends carry feed AND summary series") {
+    ExecMetrics.metricsHistory(spark, sfDir) // builds + reads the log
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val logDir = s"target/exec_metrics/$leaf/metrics_log"
+    // the log is partitioned by log_date on disk (retention = partition op)
+    assert(new java.io.File(s"$logDir/log_date=2024-01-01").isDirectory)
+    val log = spark.read.parquet(logDir)
+    // three captures, distinct scrape stamps
+    assert(log.select("captured_at").distinct().count() == 3)
+    // full dashboard feed rows (node-level) present alongside the
+    // summary series, never only the summary
+    assert(log.filter(col("node") =!= "summary")
+      .filter(col("metric") === "numFiles").count() >= 3)
+    // summary series is constant across captures for every metric
+    val drift = log.filter(col("node") === "summary")
+      .groupBy("metric")
+      .agg(countDistinct(col("value")).as("nv"))
+      .filter(col("nv") =!= 1)
+    assert(drift.isEmpty, drift.collect().mkString(","))
+  }
 }
