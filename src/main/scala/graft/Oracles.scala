@@ -2716,6 +2716,44 @@ FROM silver
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""),
 
+    // snapshot time travel: v1 = base silver appended to a manifest-
+    // tracked snapshot table, v2 = the correction batch committed as a
+    // COPY-ON-WRITE partition overwrite; the engine reads both versions
+    // from their manifests, the oracle recomputes v1 from the batch-1
+    // chain and v2 from the windowed merge — equality proves v1 stayed
+    // byte-faithful across v2's overwrite (snapshot isolation) and v2
+    // sees the merge
+    "q_time_travel" -> {
+      val corrSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice + 500 AS o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1998-01-01' AND o_orderkey % 10 = 0"
+      val insSrc = "SELECT o_orderkey + 100000000 AS o_orderkey, " +
+        "o_custkey, o_orderpriority, o_totalprice, o_orderdate " +
+        "FROM orders " +
+        "WHERE o_orderdate >= DATE '1998-01-01' AND o_orderkey % 17 = 0"
+      s"""$ClaimsCte,
+${claimsChainCtes("_u", s"$corrSrc UNION ALL $insSrc")},
+allv AS (
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240101_000000' AS batch_id, 1 AS src FROM silver
+  UNION ALL
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240102_000000' AS batch_id, 0 AS src FROM silver_u),
+merged AS (
+  SELECT claim_id, batch_id, claim_amount, service_year, service_month
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
+  WHERE rn = 1)
+SELECT version, claim_id, batch_id, claim_amount,
+  service_year, service_month FROM (
+  SELECT 1 AS version, claim_id, '20240101_000000' AS batch_id,
+    claim_amount, service_year, service_month FROM silver
+  UNION ALL
+  SELECT 2 AS version, claim_id, batch_id, claim_amount,
+    service_year, service_month FROM merged) u
+ORDER BY version, claim_id"""
+    },
+
     // metrics history log: three probe captures appended to the
     // date-partitioned parquet log, summary series served from the log
     // alone — the oracle recomputes each deterministic metric from the

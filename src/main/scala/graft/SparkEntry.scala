@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, DqEngine, EventOps, ExecMetrics, GoldViews, GraphOps, IncrementalGold, MultimodalOps, Pipeline, SketchOps, StreamingOps, TextOps, Upsert, VectorOps}
+import graft.operators.{Checks, DqEngine, EventOps, ExecMetrics, GoldViews, GraphOps, IncrementalGold, MultimodalOps, Pipeline, SketchOps, SnapshotTable, StreamingOps, TextOps, Upsert, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -152,6 +152,7 @@ object SparkEntry {
     "q_stream_publish" -> IncrementalGold.streamPublishE2e _,
     "q_upsert_moving" -> Upsert.upsertMovingE2e _,
     "q_metrics_history" -> ExecMetrics.metricsHistory _,
+    "q_time_travel" -> SnapshotTable.timeTravelE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+
+/** Manifest-based snapshot layer over partitioned parquet — the table-
+  * format mechanism the reference gets from Iceberg/Delta
+  * (jobs/silver/claims_to_iceberg.py:130 `writeTo(...).append()`, Delta
+  * mirror :139-144), built natively because the sandbox ships neither
+  * jar. The MODEL is the same as those formats':
+  *
+  *  - The directory listing is NOT the truth; the manifest is. Every
+  *    commit writes an immutable versioned manifest (`_snapshots/
+  *    v<N>.txt`) listing the table's LIVE data files; readers pin a
+  *    manifest and read exactly those files (`basePath` recovers the
+  *    partition columns).
+  *  - Writes are COPY-ON-WRITE: [[append]] adds files and never touches
+  *    existing ones; [[overwritePartitions]] writes replacement files
+  *    and drops the replaced partitions' files from the NEW manifest
+  *    only — the old files stay on disk, so every prior version remains
+  *    readable (time travel) until [[vacuum]] reclaims it.
+  *  - Commit = write manifest to a temp name + rename (atomic on any
+  *    HDFS-semantics FS); a crashed write leaves orphan data files that
+  *    no manifest references, which [[vacuum]] deletes. Single-writer
+  *    discipline is assumed (the reference's Airflow DAGs serialize
+  *    writers the same way); multi-writer needs a CAS on the manifest
+  *    name, the one piece a real catalog adds.
+  *
+  * At 100 TB the wins are the same as Iceberg's: O(1) file pruning from
+  * the manifest instead of a recursive listing, per-partition
+  * copy-on-write instead of in-place directory swaps, and version reads
+  * that never block writers.
+  */
+object SnapshotTable {
+
+  final case class Manifest(version: Int, parent: Int, op: String,
+      files: Seq[String])
+
+  private def snapDir(tableDir: String) = new Path(s"$tableDir/_snapshots")
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Recursive (relative-path) listing of the table's data files,
+    * manifests and markers excluded. */
+  private def listDataFiles(spark: SparkSession, tableDir: String)
+      : Set[String] = {
+    val root = new Path(tableDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Set.empty
+    val it = fs.listFiles(root, true)
+    val out = Set.newBuilder[String]
+    val rootPath = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(rootPath)
+        .stripPrefix("/")
+      if (rel.endsWith(".parquet") && !rel.startsWith("_snapshots/"))
+        out += rel
+    }
+    out.result()
+  }
+
+  def latestVersion(spark: SparkSession, tableDir: String): Int = {
+    val d = snapDir(tableDir)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) 0
+    else fs.listStatus(d).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+      .maxOption.getOrElse(0)
+  }
+
+  def manifest(spark: SparkSession, tableDir: String, version: Int)
+      : Manifest = {
+    val p = new Path(snapDir(tableDir), f"v$version%05d.txt")
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lines = text.linesIterator.toSeq
+    // exactly three meta lines precede the file list (partition dirs in
+    // file paths contain '=' too — never sniff on that)
+    val MetaKeys = Set("version", "parent", "op")
+    val isMeta = (l: String) => MetaKeys.exists(k => l.startsWith(s"$k="))
+    val meta = lines.takeWhile(isMeta)
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    Manifest(meta("version").toInt, meta("parent").toInt, meta("op"),
+      lines.dropWhile(isMeta))
+  }
+
+  private def writeManifest(spark: SparkSession, tableDir: String,
+      m: Manifest): Unit = {
+    val dir = snapDir(tableDir)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, f"_tmp_v${m.version}%05d.txt")
+    val dst = new Path(dir, f"v${m.version}%05d.txt")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (Seq(s"version=${m.version}", s"parent=${m.parent}", s"op=${m.op}")
+        ++ m.files.sorted).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"manifest commit failed: $dst")
+  }
+
+  private def liveFiles(spark: SparkSession, tableDir: String): Set[String] =
+    latestVersion(spark, tableDir) match {
+      case 0 => Set.empty
+      case v => manifest(spark, tableDir, v).files.toSet
+    }
+
+  /** Append `df` as a new snapshot: new data files land beside the old
+    * (Spark's append mode never rewrites), the commit's manifest = old
+    * live set + exactly the files this write created (before/after
+    * listing diff — unique task-UUID file names make it exact). Returns
+    * the committed version. */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+      op: String = "append"): Int = {
+    val before = listDataFiles(spark, tableDir)
+    df.write.mode("append")
+      .partitionBy(IncrementalGold.PartCols: _*).parquet(tableDir)
+    val created = listDataFiles(spark, tableDir) -- before
+    val parent = latestVersion(spark, tableDir)
+    val live = liveFiles(spark, tableDir) ++ created
+    val m = Manifest(parent + 1, parent, op, live.toSeq)
+    writeManifest(spark, tableDir, m)
+    m.version
+  }
+
+  /** Copy-on-write partition overwrite: `df`'s rows REPLACE the listed
+    * partitions (derived from `df` itself when not given). Replacement
+    * files are appended; the new manifest drops every old file under a
+    * replaced partition — nothing is deleted, so all prior versions
+    * stay readable. This is the snapshot-native form of the SCD1
+    * upsert's directory swap and the incremental publish's dynamic
+    * overwrite. */
+  def overwritePartitions(spark: SparkSession, tableDir: String,
+      df: DataFrame,
+      parts: Option[Seq[(Option[Int], Option[Int])]] = None,
+      op: String = "overwrite"): Int = {
+    val ps = parts.getOrElse(
+      df.select(col("service_year"), col("service_month")).distinct()
+        .collect().map(r => (
+          Option(r.getAs[Integer]("service_year")).map(_.intValue),
+          Option(r.getAs[Integer]("service_month")).map(_.intValue)))
+        .toSeq)
+    val replacedPrefixes = ps.map(Upsert.partitionRelPath).map(_ + "/")
+    val before = listDataFiles(spark, tableDir)
+    df.write.mode("append")
+      .partitionBy(IncrementalGold.PartCols: _*).parquet(tableDir)
+    val created = listDataFiles(spark, tableDir) -- before
+    val parent = latestVersion(spark, tableDir)
+    val survivors = liveFiles(spark, tableDir)
+      .filterNot(f => replacedPrefixes.exists(f.startsWith))
+    val m = Manifest(parent + 1, parent, op, (survivors ++ created).toSeq)
+    writeManifest(spark, tableDir, m)
+    m.version
+  }
+
+  /** Read the table at `version` (default: latest): exactly the
+    * manifest's files, `basePath` recovering the partition columns.
+    * Never lists data directories — at 100 TB the manifest IS the scan
+    * plan's file index. */
+  def read(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    val files = manifest(spark, tableDir, v).files
+    require(files.nonEmpty, s"empty snapshot v$v at $tableDir")
+    spark.read.option("basePath", tableDir)
+      .parquet(files.map(f => s"$tableDir/$f"): _*)
+  }
+
+  /** Delete every data file not referenced by the `retainLast` most
+    * recent manifests (plus the older manifests themselves) — reclaims
+    * replaced copy-on-write files AND orphans from crashed writes.
+    * Returns the deleted relative paths. */
+  def vacuum(spark: SparkSession, tableDir: String, retainLast: Int = 1)
+      : Seq[String] = {
+    val latest = latestVersion(spark, tableDir)
+    require(latest > 0, s"no snapshot at $tableDir")
+    val keepFrom = math.max(1, latest - retainLast + 1)
+    val referenced = (keepFrom to latest)
+      .flatMap(v => manifest(spark, tableDir, v).files).toSet
+    val root = new Path(tableDir)
+    val fs = fsOf(spark, root)
+    val doomed = (listDataFiles(spark, tableDir) -- referenced).toSeq.sorted
+    doomed.foreach(f => fs.delete(new Path(s"$tableDir/$f"), false))
+    (1 until keepFrom).foreach(v =>
+      fs.delete(new Path(snapDir(tableDir), f"v$v%05d.txt"), false))
+    doomed
+  }
+
+  /** Compact the given partitions of the LATEST snapshot into
+    * `targetFileCount` files each: read only those partitions' live
+    * files, rewrite coalesced, commit as a copy-on-write overwrite —
+    * content is bit-identical (spec-pinned), the small files stay
+    * readable in prior versions until vacuumed. The maintenance op that
+    * keeps streaming appends and per-partition upserts from degrading
+    * scan performance at scale. */
+  def compactPartitions(spark: SparkSession, tableDir: String,
+      parts: Seq[(Option[Int], Option[Int])], targetFileCount: Int = 1)
+      : Int = {
+    val current = read(spark, tableDir)
+    val slice = IncrementalGold.partitionSlice(current, parts)
+      .repartition(targetFileCount)
+    overwritePartitions(spark, tableDir, slice, Some(parts), op = "compact")
+  }
+
+  /** `q_time_travel`: snapshot isolation + time travel as one oracle-
+    * checked query. Fixture: v1 = the full claims silver appended to a
+    * snapshot table; v2 = the SCD1 correction batch committed as a
+    * copy-on-write partition overwrite (merge logic identical to
+    * [[Upsert.scd1]]'s latest-wins window). The query reads BOTH
+    * versions from their manifests and unions them tagged by version;
+    * the DuckDB oracle recomputes v1 from the batch-1 chain and v2 from
+    * the windowed merge — equality proves v1 is STILL byte-faithful
+    * after v2's overwrite (copy-on-write isolation) and v2 sees the
+    * merge. */
+  def timeTravelE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/snapshot_tt/$leaf"
+    val root = new Path(base)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root)) fs.delete(root, true)
+    val tableDir = s"$base/silver"
+    runSnapshotFixture(spark, sfDir, tableDir)
+    def at(v: Int) = read(spark, tableDir, Some(v))
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"))
+      .withColumn("version", lit(v))
+    at(1).unionByName(at(2)).orderBy(col("version"), col("claim_id"))
+  }
+
+  /** v1 = base silver; v2 = latest-wins merge of the correction batch
+    * (the q_upsert_claims fixture's update set), committed copy-on-
+    * write. Shared by the query and the spec. */
+  private[graft] def runSnapshotFixture(spark: SparkSession, sfDir: String,
+      tableDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.Tables.orders(spark, sfDir)
+    def chain(src: DataFrame, clock: String): DataFrame =
+      SilverCleanse.withBatchMetadata(
+        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(src)),
+          passthrough = Nil),
+        to_timestamp(lit(clock)))
+    append(spark, tableDir, chain(orders, "2024-01-01 00:00:00"))
+    val k = col("o_orderkey")
+    val recent = col("o_orderdate") >= lit("1998-01-01").cast("date")
+    val corrections = orders.filter(recent && k % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 500)
+    val inserts = orders.filter(recent && k % 17 === 0)
+      .withColumn("o_orderkey", k + lit(100000000L))
+    val updates = chain(corrections.unionByName(inserts),
+      "2024-01-02 00:00:00")
+    val targets = updates
+      .select(col("service_year"), col("service_month")).distinct()
+      .collect().map(r => (
+        Option(r.getAs[Integer]("service_year")).map(_.intValue),
+        Option(r.getAs[Integer]("service_month")).map(_.intValue))).toSeq
+    val slice = IncrementalGold.partitionSlice(read(spark, tableDir),
+      targets)
+    val merged = slice.withColumn("__src", lit(1))
+      .unionByName(updates.withColumn("__src", lit(0)))
+    val w = Window.partitionBy(col("claim_id"))
+      .orderBy(col("batch_id").desc, col("__src").desc)
+    val latest = merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__src")
+    overwritePartitions(spark, tableDir, latest, Some(targets))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import graft.operators.SnapshotTable
+
+/** Pins for the manifest-based snapshot layer: (1) copy-on-write
+  * isolation — a later overwrite never perturbs an earlier version's
+  * rows OR files, (2) reads come from the manifest, not the listing
+  * (replaced files still on disk are invisible to the latest version),
+  * (3) compaction changes file counts, never content, (4) vacuum
+  * reclaims exactly the unreferenced files. The cross-engine value
+  * contract is q_time_travel's DuckDB oracle.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = "target/test_snapshot"
+
+  private def wipe(dir: String): Unit = {
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+    }
+    val root = new File(dir)
+    if (root.exists()) del(root)
+  }
+
+  private def rows(n: Int, month: Int, batch: String) =
+    (0 until n).map(i => (s"K$month-$i", batch, i * 1.0, 2000, month))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+
+  test("copy-on-write: an overwrite leaves the prior version's rows and files intact") {
+    val dir = s"$base/cow"
+    wipe(dir)
+    assert(SnapshotTable.append(spark, dir, rows(5, 1, "b1")
+      .unionByName(rows(3, 2, "b1"))) == 1)
+    val v1Files = SnapshotTable.manifest(spark, dir, 1).files.toSet
+    // replace month 1 entirely with different content
+    assert(SnapshotTable.overwritePartitions(spark, dir,
+      rows(2, 1, "b2")) == 2)
+    // v1 files all still on disk, v1 rows unchanged
+    v1Files.foreach(f => assert(new File(s"$dir/$f").isFile, f))
+    val v1 = SnapshotTable.read(spark, dir, Some(1))
+    assert(v1.count() == 8)
+    assert(v1.filter(col("batch_id") =!= "b1").isEmpty)
+    // v2 sees the replacement in month 1, month 2 untouched
+    val v2 = SnapshotTable.read(spark, dir, Some(2))
+    assert(v2.filter(col("service_month") === 1).count() == 2)
+    assert(v2.filter(col("service_month") === 2).count() == 3)
+    // the replaced month-1 files are on disk but NOT in v2's manifest:
+    // the manifest, not the listing, is the truth
+    val v2Files = SnapshotTable.manifest(spark, dir, 2).files.toSet
+    val replaced = v1Files.filter(_.startsWith("service_year=2000/service_month=1/"))
+    assert(replaced.nonEmpty)
+    replaced.foreach(f => assert(!v2Files.contains(f), f))
+  }
+
+  test("compaction: many appended files -> targetFileCount, content identical") {
+    val dir = s"$base/compact"
+    wipe(dir)
+    (1 to 3).foreach(i =>
+      SnapshotTable.append(spark, dir, rows(4, 1, s"b$i")
+        .withColumn("claim_id", concat(lit(s"a$i-"), col("claim_id")))))
+    def month1Files(v: Int) = SnapshotTable.manifest(spark, dir, v).files
+      .count(_.startsWith("service_year=2000/service_month=1/"))
+    assert(month1Files(3) >= 3)
+    val before = SnapshotTable.read(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val v = SnapshotTable.compactPartitions(spark, dir,
+      Seq((Some(2000), Some(1))))
+    assert(month1Files(v) == 1)
+    val after = SnapshotTable.read(spark, dir).collect().map(_.toSeq).toSet
+    assert(after == before)
+    // pre-compaction version still readable (old files retained)
+    assert(SnapshotTable.read(spark, dir, Some(3)).count() == 12)
+  }
+
+  test("vacuum: reclaims replaced files and orphans, keeps the retained versions readable") {
+    val dir = s"$base/vacuum"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, rows(5, 1, "b1"))
+    SnapshotTable.overwritePartitions(spark, dir, rows(2, 1, "b2"))
+    // orphan: a data file no manifest references (crashed write analog)
+    val orphan = new File(s"$dir/service_year=2000/service_month=1/orphan.parquet")
+    rows(1, 1, "bx").coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/vacuum_tmp")
+    val src = new File(s"$base/vacuum_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(src.toPath, orphan.toPath)
+    val v1Files = SnapshotTable.manifest(spark, dir, 1).files.toSet
+    val deleted = SnapshotTable.vacuum(spark, dir, retainLast = 1)
+    // exactly the v1-only files + the orphan are gone
+    val v2Files = SnapshotTable.manifest(spark, dir, 2).files.toSet
+    assert(deleted.toSet == (v1Files -- v2Files) + orphan.getPath
+      .stripPrefix(new File(dir).getPath + "/"))
+    assert(!orphan.exists())
+    v2Files.foreach(f => assert(new File(s"$dir/$f").isFile, f))
+    assert(SnapshotTable.read(spark, dir).count() == 2)
+    // v1's manifest is gone with its files
+    assert(!new File(s"$dir/_snapshots/v00001.txt").exists())
+  }
+
+  test("time-travel fixture: v1 row count equals base, v2 merges corrections") {
+    val dir = s"$base/tt"
+    wipe(dir)
+    SnapshotTable.runSnapshotFixture(spark, sfDir, s"$dir/silver")
+    val v1 = SnapshotTable.read(spark, s"$dir/silver", Some(1))
+    val v2 = SnapshotTable.read(spark, s"$dir/silver", Some(2))
+    assert(v1.filter(col("batch_id") =!= "20240101_000000").isEmpty)
+    // v2: no key duplicated, corrections present
+    assert(v2.groupBy("claim_id").count().filter(col("count") > 1).isEmpty)
+    assert(v2.filter(col("batch_id") === "20240102_000000").limit(1)
+      .count() == 1)
+    assert(v2.count() > v1.count()) // inserts landed
+  }
+}
