@@ -382,19 +382,83 @@ object IncrementalGold {
       else (sd, gd) => { publishIncremental(spark, sd, gd); () }
     val orders = Tables.orders(spark, sfDir)
     val cut = lit("1997-01-01").cast("date")
-    def silverBatch(o: DataFrame, clockS: String): DataFrame =
-      SilverCleanse.withBatchMetadata(
-        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(o)),
-          passthrough = Nil),
-        to_timestamp(lit(clockS)))
     Bronze.writeSilver(
-      silverBatch(orders.filter(col("o_orderdate") < cut),
+      silverBatchOf(orders.filter(col("o_orderdate") < cut),
         "2024-01-01 00:00:00"), silverDir)
     doPublish(silverDir, goldDir)
     afterBatch1()
     Bronze.writeSilver(
-      silverBatch(orders.filter(col("o_orderdate") >= cut),
+      silverBatchOf(orders.filter(col("o_orderdate") >= cut),
         "2024-01-02 00:00:00"), silverDir)
     doPublish(silverDir, goldDir)
+  }
+
+  /** One deterministic silver ingest batch (shared by the fixture
+    * chains). */
+  private[graft] def silverBatchOf(o: DataFrame, clockS: String): DataFrame =
+    SilverCleanse.withBatchMetadata(
+      SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(o)),
+        passthrough = Nil),
+      to_timestamp(lit(clockS)))
+
+  // ------------------------------------------------------------------
+  // Snapshot-native publish: the "catalog answers from metadata" swap
+  // the batch_id path's Scaladoc promises, made real by SnapshotTable.
+  // ------------------------------------------------------------------
+
+  /** Incremental publish over a snapshot table: changed partitions come
+    * from the MANIFEST DIFF since the last published snapshot version
+    * ([[SnapshotTable.changedPartitionsBetween]] — no listing, no data
+    * read, no Spark job), the recompute reads the pruned slice of the
+    * CURRENT snapshot, and the watermark is the snapshot version
+    * itself. At 100 TB this turns detection from O(files-listed) into
+    * O(manifest) — the reason table formats exist. */
+  def publishIncrementalSnapshot(spark: SparkSession, tableDir: String,
+      goldDir: String): Seq[(Option[Int], Option[Int])] = {
+    val since = lastPublished(spark, goldDir)
+      .flatMap(_.stripPrefix("v").toIntOption).getOrElse(0)
+    val cur = SnapshotTable.latestVersion(spark, tableDir)
+    if (cur == since) return Nil
+    val parts =
+      SnapshotTable.changedPartitionsBetween(spark, tableDir, since, cur)
+    if (parts.isEmpty) return Nil
+    republish(spark, SnapshotTable.read(spark, tableDir), parts, goldDir)
+    recordPublished(spark, goldDir, s"v$cur")
+    parts
+  }
+
+  /** `q_snapshot_publish`: the two-batch cadence over a SNAPSHOT silver
+    * table — each ingest is a snapshot append, each publish detects
+    * change from the manifest diff alone and recomputes only those
+    * partitions. Same full-recompute oracle as q_incremental_gold, so
+    * equality proves the metadata-driven cadence publishes identical
+    * gold. */
+  def snapshotPublishE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/snap_gold/$leaf"
+    val root = new Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    runTwoBatchSnapshotFixture(spark, sfDir, s"$base/silver", s"$base/gold")
+    claimsSummaryOf(spark, s"$base/gold")
+  }
+
+  /** The two-batch snapshot ingest + metadata-driven publish chain
+    * (query + spec). */
+  private[graft] def runTwoBatchSnapshotFixture(spark: SparkSession,
+      sfDir: String, tableDir: String, goldDir: String,
+      afterBatch1: () => Unit = () => ()): Unit = {
+    val orders = Tables.orders(spark, sfDir)
+    val cut = lit("1997-01-01").cast("date")
+    SnapshotTable.append(spark, tableDir,
+      silverBatchOf(orders.filter(col("o_orderdate") < cut),
+        "2024-01-01 00:00:00"))
+    publishIncrementalSnapshot(spark, tableDir, goldDir)
+    afterBatch1()
+    SnapshotTable.append(spark, tableDir,
+      silverBatchOf(orders.filter(col("o_orderdate") >= cut),
+        "2024-01-02 00:00:00"))
+    publishIncrementalSnapshot(spark, tableDir, goldDir)
   }
 }

@@ -194,6 +194,59 @@ object SnapshotTable {
     doomed
   }
 
+  /** Parse a data file's (service_year, service_month) from its
+    * relative path; None/None components for the null partition. */
+  private[graft] def partitionOf(rel: String)
+      : Option[(Option[Int], Option[Int])] = {
+    def field(name: String): Option[Option[Int]] =
+      rel.split("/").collectFirst {
+        case seg if seg.startsWith(s"$name=") =>
+          seg.stripPrefix(s"$name=") match {
+            case "__HIVE_DEFAULT_PARTITION__" => None
+            case v => v.toIntOption
+          }
+      }
+    for (y <- field("service_year"); m <- field("service_month"))
+      yield (y, m)
+  }
+
+  /** Partitions touched between two snapshots, from MANIFEST DIFF
+    * ALONE — no listing, no data read, no Spark job. Both added and
+    * removed files dirty a partition (an overwrite shows as both).
+    * This is the metadata answer Iceberg/Delta give an incremental
+    * consumer, and the API seam [[IncrementalGold.changedPartitions]]
+    * documents: batch_id footer-stat detection still LISTS every file;
+    * this is O(manifest). */
+  def changedPartitionsBetween(spark: SparkSession, tableDir: String,
+      fromVersion: Int, toVersion: Int): Seq[(Option[Int], Option[Int])] = {
+    val before =
+      if (fromVersion == 0) Set.empty[String]
+      else manifest(spark, tableDir, fromVersion).files.toSet
+    val after = manifest(spark, tableDir, toVersion).files.toSet
+    ((after -- before) ++ (before -- after))
+      .flatMap(partitionOf).toSeq.distinct
+  }
+
+  /** The rows ADDED between two snapshots: exactly the files present in
+    * `toVersion` but not `fromVersion` — an append-commit CDC feed read
+    * without touching any pre-existing file. (For overwrite commits
+    * this is the partitions' full replacement content — copy-on-write
+    * has no row-level deltas; consumers recompute those partitions,
+    * which is the exactness contract the incremental publish already
+    * lives by.) */
+  def readFilesAdded(spark: SparkSession, tableDir: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val before =
+      if (fromVersion == 0) Set.empty[String]
+      else manifest(spark, tableDir, fromVersion).files.toSet
+    val added = manifest(spark, tableDir, toVersion).files
+      .filterNot(before)
+    require(added.nonEmpty,
+      s"no files added between v$fromVersion and v$toVersion")
+    spark.read.option("basePath", tableDir)
+      .parquet(added.map(f => s"$tableDir/$f"): _*)
+  }
+
   /** Compact the given partitions of the LATEST snapshot into
     * `targetFileCount` files each: read only those partitions' live
     * files, rewrite coalesced, commit as a copy-on-write overwrite —

@@ -189,6 +189,49 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(afterB2.keys.exists(_.contains("service_year=1997")))
   }
 
+  test("snapshot publish: manifest-diff detection matches the data-derived change set") {
+    import graft.operators.SnapshotTable
+    val nBase = "target/test_snap_gold"
+    wipe(nBase)
+    val table = s"$nBase/silver"
+    val gold = s"$nBase/gold"
+    var goldAfterB1: Map[String, Long] = Map.empty
+    IncrementalGold.runTwoBatchSnapshotFixture(spark, sfDir, table, gold,
+      afterBatch1 = () => goldAfterB1 = dataFiles(gold))
+    // detection from the manifest diff alone must equal the batch-2
+    // partitions as derived from the DATA
+    val fromMeta = SnapshotTable
+      .changedPartitionsBetween(spark, table, 1, 2).toSet
+    val fromData = SnapshotTable.readFilesAdded(spark, table, 1, 2)
+      .select("service_year", "service_month").distinct().collect()
+      .map(r => (
+        Option(r.getAs[Integer]("service_year")).map(_.intValue),
+        Option(r.getAs[Integer]("service_month")).map(_.intValue))).toSet
+    assert(fromMeta == fromData, s"meta=$fromMeta data=$fromData")
+    assert(fromMeta.nonEmpty)
+    // untouched gold partitions' files survive the second publish
+    val after = dataFiles(gold)
+    val untouched = goldAfterB1.keys.filter { p =>
+      !(p.contains("service_year=1997") || p.contains("service_year=1998") ||
+        p.contains("service_year=__HIVE_DEFAULT_PARTITION__"))
+    }.toSeq
+    assert(untouched.nonEmpty)
+    untouched.foreach(p => assert(after.get(p).contains(goldAfterB1(p)), p))
+    // publish watermark is the snapshot version; re-publish is a no-op
+    assert(IncrementalGold.lastPublished(spark, gold).contains("v2"))
+    assert(IncrementalGold.publishIncrementalSnapshot(spark, table, gold)
+      .isEmpty)
+    // published gold equals the full recompute over the live snapshot
+    val silver = SnapshotTable.read(spark, table)
+    IncrementalGold.GoldViews.foreach { case (view, rollup) =>
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getValuesMap[Any](r.schema.fieldNames))
+        .map(_.toSeq.sortBy(_._1)).toSet
+      assert(rows(spark.read.parquet(s"$gold/$view")) ==
+        rows(rollup(silver)), view)
+    }
+  }
+
   test("streaming publish: drained checkpoint -> rerun is a no-op on gold") {
     streamFixture
     val before = dataFiles(sGold)
