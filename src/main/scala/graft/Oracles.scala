@@ -2716,6 +2716,17 @@ FROM silver
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""),
 
+    // zone-map data skipping: amount-clustered snapshot commit with
+    // per-file min/max stats; the engine's range aggregate reads only
+    // zone-intersecting files, the oracle scans the full table —
+    // equality proves skipping never dropped a qualifying row
+    "q_data_skipping" -> (ClaimsCte + """
+SELECT count(*) AS n_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
+FROM silver
+WHERE claim_amount >= 1000.0 AND claim_amount <= 20000.0"""),
+
     // snapshot-native incremental publish: ingest = snapshot appends,
     // change detection = manifest diff alone (no listing, no data
     // read), recompute = pruned slice of the current snapshot; the

@@ -154,6 +154,7 @@ object SparkEntry {
     "q_metrics_history" -> ExecMetrics.metricsHistory _,
     "q_time_travel" -> SnapshotTable.timeTravelE2e _,
     "q_snapshot_publish" -> IncrementalGold.snapshotPublishE2e _,
+    "q_data_skipping" -> SnapshotTable.dataSkippingE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

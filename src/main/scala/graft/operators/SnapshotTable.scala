@@ -68,7 +68,7 @@ object SnapshotTable {
     val fs = fsOf(spark, d)
     if (!fs.exists(d)) 0
     else fs.listStatus(d).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+      .collect { case n if n.matches("v\\d+\\.txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toInt }
       .maxOption.getOrElse(0)
   }
@@ -115,10 +115,13 @@ object SnapshotTable {
   /** Append `df` as a new snapshot: new data files land beside the old
     * (Spark's append mode never rewrites), the commit's manifest = old
     * live set + exactly the files this write created (before/after
-    * listing diff — unique task-UUID file names make it exact). Returns
-    * the committed version. */
+    * listing diff — unique task-UUID file names make it exact). When
+    * `statsColumns` is set, per-file min/max zone maps for those
+    * columns are committed alongside (stats collection scans ONLY the
+    * files this commit created — cost ∝ change). Returns the committed
+    * version. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
-      op: String = "append"): Int = {
+      op: String = "append", statsColumns: Seq[String] = Nil): Int = {
     val before = listDataFiles(spark, tableDir)
     df.write.mode("append")
       .partitionBy(IncrementalGold.PartCols: _*).parquet(tableDir)
@@ -126,8 +129,116 @@ object SnapshotTable {
     val parent = latestVersion(spark, tableDir)
     val live = liveFiles(spark, tableDir) ++ created
     val m = Manifest(parent + 1, parent, op, live.toSeq)
+    commitStats(spark, tableDir, m, created, statsColumns)
     writeManifest(spark, tableDir, m)
     m.version
+  }
+
+  // ------------------------------------------------------------------
+  // Zone maps: per-file min/max stats committed next to each manifest
+  // (`v<N>.stats.txt`), the data-skipping half of a table format. A
+  // point/range scan consults the stats and hands the parquet reader
+  // only the files whose range intersects — at 100 TB with clustered
+  // writes ([[IncrementalGold]] fixtures use repartitionByRange +
+  // sortWithinPartitions) this skips the bulk of the table without
+  // opening a footer.
+  // ------------------------------------------------------------------
+
+  private def statsPath(tableDir: String, v: Int) =
+    new Path(snapDir(tableDir), f"v$v%05d.stats.txt")
+
+  /** Distributed per-file min/max for `column` over the given files:
+    * one aggregate grouped by input_file_name — the ANALYZE-style
+    * collection pass, run only over a commit's NEW files. Files whose
+    * column is entirely NULL carry no stats row (they are always
+    * scanned). */
+  private[graft] def fileStats(spark: SparkSession, tableDir: String,
+      files: Seq[String], column: String): Map[String, (Double, Double)] = {
+    if (files.isEmpty) return Map.empty
+    val rootPath = fsOf(spark, new Path(tableDir))
+      .makeQualified(new Path(tableDir)).toUri.getPath.stripSuffix("/")
+    spark.read.option("basePath", tableDir)
+      .parquet(files.map(f => s"$tableDir/$f"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(column)).cast("double").as("__mn"),
+        max(col(column)).cast("double").as("__mx"))
+      .collect()
+      .flatMap { r =>
+        val uri = new java.net.URI(r.getAs[String]("__f")).getPath
+        val rel = uri.stripPrefix(rootPath).stripPrefix("/")
+        (Option(r.getAs[java.lang.Double]("__mn")),
+         Option(r.getAs[java.lang.Double]("__mx"))) match {
+          case (Some(mn), Some(mx)) => Some(rel -> (mn.doubleValue, mx.doubleValue))
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** (column, file) → (min, max) recorded at `version` (empty when the
+    * commit carried no stats). */
+  def readStats(spark: SparkSession, tableDir: String, version: Int)
+      : Map[(String, String), (Double, Double)] = {
+    val p = statsPath(tableDir, version)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(c, mn, mx, f) = l.split("\t", 4)
+      (c, f) -> (mn.toDouble, mx.toDouble)
+    }.toMap
+  }
+
+  /** Stats for the new commit: parent stats for surviving files + a
+    * collection pass over exactly the created files. */
+  private def commitStats(spark: SparkSession, tableDir: String,
+      m: Manifest, created: Set[String], statsColumns: Seq[String]): Unit = {
+    val live = m.files.toSet
+    val carried = readStats(spark, tableDir, m.parent)
+      .filter { case ((_, f), _) => live.contains(f) }
+    // a stats-less commit still carries the parent's zone maps forward
+    // (its own new files just have none and are always scanned)
+    if (statsColumns.isEmpty && carried.isEmpty) return
+    val fresh = statsColumns.flatMap { c =>
+      fileStats(spark, tableDir, created.toSeq.sorted, c)
+        .map { case (f, r) => (c, f) -> r }
+    }
+    val all = carried ++ fresh
+    val p = statsPath(tableDir, m.version)
+    val fs = fsOf(spark, p)
+    val out = fs.create(p, true)
+    try out.write(all.toSeq.sortBy(_._1)
+      .map { case ((c, f), (mn, mx)) => s"$c\t$mn\t$mx\t$f" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Range scan with zone-map skipping: read ONLY the live files whose
+    * [min, max] for `column` intersects [lo, hi] (files without stats
+    * are always read — skipping must never drop rows). Returns the
+    * frame plus (filesTotal, filesRead) so callers can pin
+    * effectiveness. The caller still applies its row-level filter: zone
+    * maps prune FILES, not rows. */
+  def scanSkipping(spark: SparkSession, tableDir: String, column: String,
+      lo: Double, hi: Double, version: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    val files = manifest(spark, tableDir, v).files
+    val stats = readStats(spark, tableDir, v)
+    val keep = files.filter { f =>
+      stats.get((column, f)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val df =
+      if (keep.nonEmpty)
+        spark.read.option("basePath", tableDir)
+          .parquet(keep.map(f => s"$tableDir/$f"): _*)
+      else // nothing intersects: an empty frame with the table's schema
+        read(spark, tableDir, Some(v)).filter(lit(false))
+    (df, files.size, keep.size)
   }
 
   /** Copy-on-write partition overwrite: `df`'s rows REPLACE the listed
@@ -140,7 +251,7 @@ object SnapshotTable {
   def overwritePartitions(spark: SparkSession, tableDir: String,
       df: DataFrame,
       parts: Option[Seq[(Option[Int], Option[Int])]] = None,
-      op: String = "overwrite"): Int = {
+      op: String = "overwrite", statsColumns: Seq[String] = Nil): Int = {
     val ps = parts.getOrElse(
       df.select(col("service_year"), col("service_month")).distinct()
         .collect().map(r => (
@@ -156,6 +267,7 @@ object SnapshotTable {
     val survivors = liveFiles(spark, tableDir)
       .filterNot(f => replacedPrefixes.exists(f.startsWith))
     val m = Manifest(parent + 1, parent, op, (survivors ++ created).toSeq)
+    commitStats(spark, tableDir, m, created, statsColumns)
     writeManifest(spark, tableDir, m)
     m.version
   }
@@ -189,8 +301,10 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     val doomed = (listDataFiles(spark, tableDir) -- referenced).toSeq.sorted
     doomed.foreach(f => fs.delete(new Path(s"$tableDir/$f"), false))
-    (1 until keepFrom).foreach(v =>
-      fs.delete(new Path(snapDir(tableDir), f"v$v%05d.txt"), false))
+    (1 until keepFrom).foreach { v =>
+      fs.delete(new Path(snapDir(tableDir), f"v$v%05d.txt"), false)
+      fs.delete(statsPath(tableDir, v), false)
+    }
     doomed
   }
 
@@ -261,6 +375,47 @@ object SnapshotTable {
     val slice = IncrementalGold.partitionSlice(current, parts)
       .repartition(targetFileCount)
     overwritePartitions(spark, tableDir, slice, Some(parts), op = "compact")
+  }
+
+  /** Write the claims silver as a snapshot table CLUSTERED by
+    * claim_amount — repartitionByRange gives disjoint per-task amount
+    * ranges, sortWithinPartitions orders rows inside each file — so the
+    * committed zone maps are near-disjoint and a range scan can skip
+    * most files. The clustering/stats cost is paid once at write; every
+    * later range query wins. */
+  private[graft] def buildClusteredSilver(spark: SparkSession,
+      sfDir: String, tableDir: String, rangeGroups: Int = 8): Unit = {
+    val silver = IncrementalGold.silverBatchOf(
+      graft.Tables.orders(spark, sfDir), "2024-01-01 00:00:00")
+    append(spark, tableDir,
+      silver.repartitionByRange(rangeGroups, col("claim_amount"))
+        .sortWithinPartitions(col("claim_amount")),
+      statsColumns = Seq("claim_amount"))
+  }
+
+  /** `q_data_skipping`: zone-map file pruning as an oracle-checked
+    * query. The fixture commits the claims silver amount-clustered with
+    * per-file min/max stats; the query answers a narrow amount-range
+    * aggregate having handed the parquet reader ONLY the files whose
+    * zone intersects the range (SnapshotSpec pins the file-skip ratio).
+    * The DuckDB oracle computes the same aggregate over the FULL table
+    * — equality proves skipping never dropped a qualifying row. */
+  def dataSkippingE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/snapshot_skip/$leaf"
+    val root = new Path(base)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root)) fs.delete(root, true)
+    val tableDir = s"$base/silver"
+    buildClusteredSilver(spark, sfDir, tableDir)
+    val (df, _, _) =
+      scanSkipping(spark, tableDir, "claim_amount", 1000.0, 20000.0)
+    df.filter(col("claim_amount") >= 1000.0 &&
+        col("claim_amount") <= 20000.0)
+      .agg(count(lit(1)).as("n_claims"),
+        countDistinct(col("member_id")).as("unique_members"),
+        graft.functions.Exact.dsum(col("claim_amount")).as("total_amount"))
   }
 
   /** `q_time_travel`: snapshot isolation + time travel as one oracle-

@@ -102,6 +102,59 @@ class SnapshotSpec extends SparkSpec {
     assert(!new File(s"$dir/_snapshots/v00001.txt").exists())
   }
 
+  test("zone maps: clustered range scan skips most files, loses no rows") {
+    val dir = s"$base/skip/silver"
+    wipe(s"$base/skip")
+    SnapshotTable.buildClusteredSilver(spark, sfDir, dir)
+    val (df, total, kept) =
+      SnapshotTable.scanSkipping(spark, dir, "claim_amount", 1000.0, 20000.0)
+    assert(total > 0 && kept > 0)
+    // clustering (8 range groups) must let the narrow band skip the
+    // bulk of the files
+    assert(kept * 2 <= total, s"kept=$kept of $total — zone maps useless")
+    val p = col("claim_amount") >= 1000.0 && col("claim_amount") <= 20000.0
+    val viaSkip = df.filter(p).count()
+    val viaFull = SnapshotTable.read(spark, dir).filter(p).count()
+    assert(viaSkip == viaFull && viaFull > 0)
+    // a disjoint band above the data's range reads zero files
+    val (_, _, none) =
+      SnapshotTable.scanSkipping(spark, dir, "claim_amount", 1e9, 2e9)
+    assert(none == 0)
+    // every live file carries a stats row (claim_amount is never null
+    // post-cleanse), so nothing rides the always-scan fallback here
+    val v = SnapshotTable.latestVersion(spark, dir)
+    val stats = SnapshotTable.readStats(spark, dir, v)
+    SnapshotTable.manifest(spark, dir, v).files.foreach(f =>
+      assert(stats.contains(("claim_amount", f)), f))
+  }
+
+  test("stats survive a stats-less commit and follow compaction") {
+    val dir = s"$base/statscarry"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, rows(6, 1, "b1"),
+      statsColumns = Seq("claim_amount"))
+    // stats-less append: parent zone maps carried, new files unstatted
+    SnapshotTable.append(spark, dir, rows(4, 2, "b2"))
+    val s2 = SnapshotTable.readStats(spark, dir, 2)
+    assert(s2.nonEmpty)
+    // month-1 files still skippable, month-2 files always read
+    val (_, total, kept) =
+      SnapshotTable.scanSkipping(spark, dir, "claim_amount", 100.0, 200.0)
+    val m2Files = SnapshotTable.manifest(spark, dir, 2).files
+      .count(_.startsWith("service_year=2000/service_month=2/"))
+    assert(kept == m2Files, s"kept=$kept expected unstatted-only=$m2Files")
+    assert(kept < total)
+    // compaction with stats: recomputed for the rewritten files
+    val v = SnapshotTable.compactPartitions(spark, dir,
+      Seq((Some(2000), Some(1))))
+    // compactPartitions carries stats through commitStats only when
+    // asked; the carried month-1 stats must be gone for dead files
+    val s3 = SnapshotTable.readStats(spark, dir, v)
+    s3.keys.foreach { case (_, f) =>
+      assert(SnapshotTable.manifest(spark, dir, v).files.contains(f), f)
+    }
+  }
+
   test("time-travel fixture: v1 row count equals base, v2 merges corrections") {
     val dir = s"$base/tt"
     wipe(dir)
