@@ -2716,6 +2716,29 @@ FROM silver
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""),
 
+    // streaming upsert: the moving-correction batch delivered through
+    // the file-stream checkpoint into the same index-probed merge —
+    // oracle identical to q_upsert_moving, so equality proves the
+    // continuous MERGE and the batch MERGE produce the same table
+    "q_stream_upsert" -> {
+      val movedSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, CAST(o_orderdate + INTERVAL 40 DAY AS DATE) " +
+        "AS o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-07-01' AND o_orderkey % 10 = 0"
+      s"""$ClaimsCte,
+${claimsChainCtes("_m", movedSrc)},
+allv AS (
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240101_000000' AS batch_id, 1 AS src FROM silver
+  UNION ALL
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240102_000000' AS batch_id, 0 AS src FROM silver_m)
+SELECT claim_id, batch_id, claim_amount, service_year, service_month
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
+WHERE rn = 1 ORDER BY claim_id"""
+    },
+
     // zone-map data skipping: amount-clustered snapshot commit with
     // per-file min/max stats; the engine's range aggregate reads only
     // zone-intersecting files, the oracle scans the full table —

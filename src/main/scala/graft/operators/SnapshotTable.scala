@@ -377,6 +377,34 @@ object SnapshotTable {
     overwritePartitions(spark, tableDir, slice, Some(parts), op = "compact")
   }
 
+  /** Live file count per partition, from the MANIFEST alone — the
+    * health signal a table-maintenance service watches. No listing, no
+    * data read. */
+  def fileCountsByPartition(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None)
+      : Map[(Option[Int], Option[Int]), Int] = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    manifest(spark, tableDir, v).files
+      .flatMap(partitionOf)
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  /** Compact every partition whose live file count exceeds `maxFiles`
+    * (streaming appends and per-partition upserts accrete small files;
+    * this is the maintenance loop that keeps scans healthy). Victim
+    * selection is manifest-only; the rewrite reads exactly the victim
+    * partitions. Returns the compacted partitions (empty = table
+    * healthy, no commit made). */
+  def autoCompact(spark: SparkSession, tableDir: String, maxFiles: Int,
+      targetFileCount: Int = 1): Seq[(Option[Int], Option[Int])] = {
+    val victims = fileCountsByPartition(spark, tableDir)
+      .collect { case (p, n) if n > maxFiles => p }.toSeq
+    if (victims.nonEmpty)
+      compactPartitions(spark, tableDir, victims, targetFileCount)
+    victims
+  }
+
   /** Write the claims silver as a snapshot table CLUSTERED by
     * claim_amount — repartitionByRange gives disjoint per-task amount
     * ranges, sortWithinPartitions orders rows inside each file — so the

@@ -303,6 +303,68 @@ object Upsert {
     updates
   }
 
+  /** Streaming upsert: correction batches arriving as files drain
+    * through a parquet file stream into [[scd1Moving]] via foreachBatch
+    * — the reference's roadmap MERGE as a CONTINUOUS pipeline, the same
+    * collapse [[IncrementalGold.publishGoldStream]] applies to the
+    * publish cadence. Trigger.AvailableNow processes everything new
+    * since the checkpoint and terminates; replay-safe because
+    * [[scd1Moving]] is idempotent (base wins version ties), so an
+    * at-least-once micro-batch redelivery converges to the same table. */
+  def upsertStream(spark: SparkSession, updatesDir: String,
+      tableDir: String, indexDir: String, checkpoint: String): Unit = {
+    Engine.configure(spark)
+    val schema = spark.read.parquet(updatesDir).schema
+    val q = spark.readStream.schema(schema).parquet(updatesDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        scd1Moving(spark, tableDir, indexDir, mb); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** `q_stream_upsert`: the moving-correction fixture with the update
+    * batch delivered THROUGH the stream — written to an updates
+    * directory, drained by the file-stream checkpoint into the same
+    * index-probed merge. Oracle identical to q_upsert_moving's replayed
+    * chain, so equality proves the continuous MERGE and the batch MERGE
+    * produce the same table. */
+  def upsertStreamE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/stream_upsert/$leaf"
+    val root = new Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val tableDir = s"$base/silver"
+    val indexDir = s"$base/keyindex"
+    val updatesDir = s"$base/updates"
+    val orders = Tables.orders(spark, sfDir)
+    def chain(src: DataFrame, clock: String): DataFrame =
+      SilverCleanse.withBatchMetadata(
+        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(src)),
+          passthrough = Nil),
+        to_timestamp(lit(clock)))
+    Bronze.writeSilver(chain(orders, "2024-01-01 00:00:00"), tableDir)
+    keyIndexBuild(spark, tableDir, indexDir)
+    val k = col("o_orderkey")
+    val moved = orders
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("date") &&
+        k % 10 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 40))
+    chain(moved, "2024-01-02 00:00:00")
+      .write.mode("overwrite").parquet(updatesDir)
+    upsertStream(spark, updatesDir, tableDir, indexDir,
+      s"$base/checkpoint")
+    spark.read.parquet(tableDir)
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"))
+      .orderBy(col("claim_id"))
+  }
+
   /** `q_upsert_moving`: SCD1 with PARTITION-MOVING corrections — the
     * case [[scd1]] documents as out of scope and the key→partition
     * index makes tractable. Fixture: batch 1 = the full claims silver

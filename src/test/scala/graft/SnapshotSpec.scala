@@ -155,6 +155,36 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("auto-compact: manifest-only victim selection, healthy partitions untouched") {
+    val dir = s"$base/autocompact"
+    wipe(dir)
+    (1 to 3).foreach(i =>
+      SnapshotTable.append(spark, dir, rows(4, 1, s"b$i")
+        .withColumn("claim_id", concat(lit(s"a$i-"), col("claim_id")))))
+    SnapshotTable.append(spark, dir, rows(2, 2, "b1"))
+    val counts = SnapshotTable.fileCountsByPartition(spark, dir)
+    assert(counts((Some(2000), Some(1))) >= 3)
+    val month2Before = SnapshotTable
+      .manifest(spark, dir, SnapshotTable.latestVersion(spark, dir))
+      .files.filter(_.startsWith("service_year=2000/service_month=2/"))
+    val before = SnapshotTable.read(spark, dir).collect().map(_.toSeq).toSet
+    val victims = SnapshotTable.autoCompact(spark, dir, maxFiles = 2)
+    assert(victims == Seq((Some(2000), Some(1))))
+    val after = SnapshotTable.fileCountsByPartition(spark, dir)
+    assert(after((Some(2000), Some(1))) == 1)
+    // healthy partition's files survive in the new manifest verbatim
+    val month2After = SnapshotTable
+      .manifest(spark, dir, SnapshotTable.latestVersion(spark, dir))
+      .files.filter(_.startsWith("service_year=2000/service_month=2/"))
+    assert(month2After.sorted == month2Before.sorted)
+    assert(SnapshotTable.read(spark, dir).collect().map(_.toSeq).toSet
+      == before)
+    // healthy table: second pass is a no-commit no-op
+    val v = SnapshotTable.latestVersion(spark, dir)
+    assert(SnapshotTable.autoCompact(spark, dir, maxFiles = 2).isEmpty)
+    assert(SnapshotTable.latestVersion(spark, dir) == v)
+  }
+
   test("time-travel fixture: v1 row count equals base, v2 merges corrections") {
     val dir = s"$base/tt"
     wipe(dir)

@@ -186,6 +186,17 @@ class UpsertSpec extends SparkSpec {
     assert(snap() == before)
   }
 
+  test("streamed upsert produces the batch moving-upsert's exact table") {
+    movingFixture // the batch arm
+    val streamed = Upsert.upsertStreamE2e(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val batch = spark.read.parquet(mTable)
+      .select("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month").collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("a partition emptied by moves is deleted from the table") {
     import spark.implicits._
     val dir = "target/test_upsert_empty"
