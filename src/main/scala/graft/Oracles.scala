@@ -2716,6 +2716,19 @@ FROM silver
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""),
 
+    // snapshot CDC: the v1->v2 manifest-diff feed must be exactly
+    // batch 2's ingested silver — complete (no appended row missed)
+    // and minimal (no pre-existing row re-delivered)
+    "q_snapshot_cdc" -> {
+      val b2Src = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b2", b2Src)}
+SELECT claim_id, '20240102_000000' AS batch_id, claim_amount,
+  service_year, service_month
+FROM silver_b2 ORDER BY claim_id"""
+    },
+
     // streaming upsert: the moving-correction batch delivered through
     // the file-stream checkpoint into the same index-probed merge —
     // oracle identical to q_upsert_moving, so equality proves the

@@ -156,6 +156,7 @@ object SparkEntry {
     "q_snapshot_publish" -> IncrementalGold.snapshotPublishE2e _,
     "q_data_skipping" -> SnapshotTable.dataSkippingE2e _,
     "q_stream_upsert" -> Upsert.upsertStreamE2e _,
+    "q_snapshot_cdc" -> IncrementalGold.snapshotCdc _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -444,6 +444,47 @@ object IncrementalGold {
     claimsSummaryOf(spark, s"$base/gold")
   }
 
+  /** Snapshot-chain fixture base, ModelStore-disciplined like
+    * [[fixtureBase]]. */
+  private def snapFixtureBase(spark: SparkSession, sfDir: String): String = {
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val fp = ModelStore.corpusFingerprint(spark,
+      Tables.path(sfDir, "orders"))
+    s"target/snap_gold/${FixtureVersion}_${leaf}_$fp"
+  }
+
+  /** Ensure the two-batch snapshot chain exists (publish watermark at
+    * snapshot v2); rebuild otherwise — the build/read lifecycle split
+    * the incremental_trend/dq queries use. */
+  private def ensureSnapshotFixture(spark: SparkSession, sfDir: String)
+      : String = {
+    val base = snapFixtureBase(spark, sfDir)
+    if (!lastPublished(spark, s"$base/gold").contains("v2")) {
+      val root = new Path(base)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      runTwoBatchSnapshotFixture(spark, sfDir, s"$base/silver",
+        s"$base/gold")
+    }
+    base
+  }
+
+  /** `q_snapshot_cdc`: the manifest-diff CDC feed between the chain's
+    * two snapshots, as an oracle-checked query — the rows
+    * [[SnapshotTable.readFilesAdded]] serves for v1→v2 are exactly
+    * batch 2's ingested silver, which the DuckDB oracle recomputes by
+    * replaying the 1997+ chain. Equality proves the CDC feed is
+    * complete (no appended row missed) and minimal (no pre-existing
+    * row re-delivered) while reading ONLY the added files. */
+  def snapshotCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val base = ensureSnapshotFixture(spark, sfDir)
+    SnapshotTable.readFilesAdded(spark, s"$base/silver", 1, 2)
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"))
+      .orderBy(col("claim_id"))
+  }
+
   /** The two-batch snapshot ingest + metadata-driven publish chain
     * (query + spec). */
   private[graft] def runTwoBatchSnapshotFixture(spark: SparkSession,

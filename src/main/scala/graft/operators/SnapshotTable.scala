@@ -277,12 +277,18 @@ object SnapshotTable {
     * Never lists data directories — at 100 TB the manifest IS the scan
     * plan's file index. */
   def read(spark: SparkSession, tableDir: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None, mergeSchema: Boolean = false)
+      : DataFrame = {
     val v = version.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no snapshot at $tableDir")
     val files = manifest(spark, tableDir, v).files
     require(files.nonEmpty, s"empty snapshot v$v at $tableDir")
+    // mergeSchema unions the schemas of every live file (a column
+    // appended in a later commit reads as NULL for older files) at the
+    // cost of a footer read per file — opt in for evolved tables, skip
+    // for the common fixed-schema scan
     spark.read.option("basePath", tableDir)
+      .option("mergeSchema", mergeSchema.toString)
       .parquet(files.map(f => s"$tableDir/$f"): _*)
   }
 

@@ -185,6 +185,21 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(spark, dir) == v)
   }
 
+  test("schema evolution: a column appended in v2 reads as NULL for v1 files") {
+    val dir = s"$base/evolve"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, rows(3, 1, "b1"))
+    SnapshotTable.append(spark, dir,
+      rows(2, 2, "b2").withColumn("adjudicator", lit("auto")))
+    val v2 = SnapshotTable.read(spark, dir, mergeSchema = true)
+    assert(v2.columns.contains("adjudicator"))
+    assert(v2.filter(col("adjudicator").isNull).count() == 3)
+    assert(v2.filter(col("adjudicator") === "auto").count() == 2)
+    // v1 pinned read never sees the later column
+    assert(!SnapshotTable.read(spark, dir, Some(1), mergeSchema = true)
+      .columns.contains("adjudicator"))
+  }
+
   test("time-travel fixture: v1 row count equals base, v2 merges corrections") {
     val dir = s"$base/tt"
     wipe(dir)
