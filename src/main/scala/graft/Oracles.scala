@@ -2729,6 +2729,15 @@ SELECT claim_id, '20240102_000000' AS batch_id, claim_amount,
 FROM silver_b2 ORDER BY claim_id"""
     },
 
+    // multi-writer CAS: four concurrent appenders each committed a
+    // disjoint quarter of the silver; the final table must be the
+    // COMPLETE silver (no lost commit, no duplicated row), whatever
+    // order the writers won their manifest versions in
+    "q_concurrent_commits" -> (ClaimsCte + """
+SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+  service_year, service_month
+FROM silver ORDER BY claim_id"""),
+
     // streaming upsert: the moving-correction batch delivered through
     // the file-stream checkpoint into the same index-probed merge —
     // oracle identical to q_upsert_moving, so equality proves the

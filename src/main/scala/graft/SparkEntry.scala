@@ -157,6 +157,7 @@ object SparkEntry {
     "q_data_skipping" -> SnapshotTable.dataSkippingE2e _,
     "q_stream_upsert" -> Upsert.upsertStreamE2e _,
     "q_snapshot_cdc" -> IncrementalGold.snapshotCdc _,
+    "q_concurrent_commits" -> SnapshotTable.concurrentCommitsE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

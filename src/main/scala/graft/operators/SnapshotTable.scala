@@ -21,12 +21,21 @@ import graft.Engine
   *    and drops the replaced partitions' files from the NEW manifest
   *    only — the old files stay on disk, so every prior version remains
   *    readable (time travel) until [[vacuum]] reclaims it.
-  *  - Commit = write manifest to a temp name + rename (atomic on any
-  *    HDFS-semantics FS); a crashed write leaves orphan data files that
-  *    no manifest references, which [[vacuum]] deletes. Single-writer
-  *    discipline is assumed (the reference's Airflow DAGs serialize
-  *    writers the same way); multi-writer needs a CAS on the manifest
-  *    name, the one piece a real catalog adds.
+  *  - Commit = CAS: data files are staged under `_staging/<uuid>` and
+  *    moved into place (so each writer knows EXACTLY its own files —
+  *    never inferred from a racy listing diff), then the manifest is
+  *    published to `v<N>.txt` with an atomic fail-if-exists rename
+  *    (hard-link on local FS, where rename(2) would clobber; plain
+  *    rename on HDFS-semantics stores, whose rename fails when the
+  *    destination exists). Losing a CAS means another writer took
+  *    version N first: the loser re-reads the new latest manifest,
+  *    recomputes its live set against it, and retries — optimistic
+  *    concurrency, the same protocol Iceberg runs against its catalog
+  *    and Delta against its log store. Concurrent APPENDS always
+  *    compose (disjoint file sets union); concurrent overwrites of the
+  *    same partition serialize last-wins, each a complete consistent
+  *    replacement. A crashed write leaves orphan staged/data files
+  *    that no manifest references, which [[vacuum]] deletes.
   *
   * At 100 TB the wins are the same as Iceberg's: O(1) file pruning from
   * the manifest instead of a recursive listing, per-partition
@@ -57,7 +66,8 @@ object SnapshotTable {
       val s = it.next()
       val rel = s.getPath.toUri.getPath.stripPrefix(rootPath)
         .stripPrefix("/")
-      if (rel.endsWith(".parquet") && !rel.startsWith("_snapshots/"))
+      if (rel.endsWith(".parquet") && !rel.startsWith("_snapshots/") &&
+          !rel.startsWith("_staging/"))
         out += rel
     }
     out.result()
@@ -90,20 +100,45 @@ object SnapshotTable {
       lines.dropWhile(isMeta))
   }
 
-  private def writeManifest(spark: SparkSession, tableDir: String,
-      m: Manifest): Unit = {
+  /** Atomically publish `tmp` as `dst`, failing (false) if `dst`
+    * already exists — the CAS primitive of the commit protocol. Local
+    * `file:` FS uses a hard link (link(2) fails EEXIST atomically,
+    * where rename(2) would silently clobber the winning writer's
+    * manifest); any other scheme uses `FileSystem.rename`, which on
+    * HDFS-semantics stores fails when the destination exists, behind
+    * an existence pre-check. */
+  private def casPublish(fs: org.apache.hadoop.fs.FileSystem, tmp: Path,
+      dst: Path): Boolean = {
+    val won =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    won
+  }
+
+  /** Write manifest `m`'s bytes to a writer-unique temp name, then CAS
+    * it to `v<N>.txt`. False = another writer committed N first. */
+  private def tryWriteManifest(spark: SparkSession, tableDir: String,
+      m: Manifest): Boolean = {
     val dir = snapDir(tableDir)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, f"_tmp_v${m.version}%05d.txt")
+    val tmp = new Path(dir, s"_tmp_${java.util.UUID.randomUUID()}.txt")
     val dst = new Path(dir, f"v${m.version}%05d.txt")
     val out = fs.create(tmp, true)
     try out.write(
       (Seq(s"version=${m.version}", s"parent=${m.parent}", s"op=${m.op}")
         ++ m.files.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"manifest commit failed: $dst")
+    casPublish(fs, tmp, dst)
   }
 
   private def liveFiles(spark: SparkSession, tableDir: String): Set[String] =
@@ -112,26 +147,100 @@ object SnapshotTable {
       case v => manifest(spark, tableDir, v).files.toSet
     }
 
-  /** Append `df` as a new snapshot: new data files land beside the old
-    * (Spark's append mode never rewrites), the commit's manifest = old
-    * live set + exactly the files this write created (before/after
-    * listing diff — unique task-UUID file names make it exact). When
-    * `statsColumns` is set, per-file min/max zone maps for those
-    * columns are committed alongside (stats collection scans ONLY the
-    * files this commit created — cost ∝ change). Returns the committed
+  /** Write `df`'s partitioned files under `_staging/<uuid>`, then move
+    * each into the table tree (Spark's task-UUID file names make
+    * collisions impossible). Returns EXACTLY the relative paths this
+    * writer created — its own file set, known first-hand rather than
+    * inferred from a directory-listing diff a concurrent writer could
+    * dirty. The move is per-file rename: metadata-only, no data copy. */
+  private def stagedWrite(spark: SparkSession, tableDir: String,
+      df: DataFrame): Seq[String] = {
+    val staging = new Path(
+      s"$tableDir/_staging/${java.util.UUID.randomUUID()}")
+    val fs = fsOf(spark, staging)
+    df.write.mode("overwrite")
+      .partitionBy(IncrementalGold.PartCols: _*).parquet(staging.toString)
+    val stagingPath = fs.makeQualified(staging).toUri.getPath
+      .stripSuffix("/")
+    val it = fs.listFiles(staging, true)
+    val rels = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(stagingPath)
+        .stripPrefix("/")
+      if (rel.endsWith(".parquet")) rels += rel
+    }
+    val created = rels.result().sorted
+    created.foreach { rel =>
+      val dst = new Path(s"$tableDir/$rel")
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(s"$staging/$rel"), dst))
+        throw new IllegalStateException(s"staging move failed: $rel")
+    }
+    fs.delete(staging, true)
+    created
+  }
+
+  /** Optimistic-concurrency commit: `added` files join the live set,
+    * files under `replacedPrefixes` leave it. On CAS conflict the
+    * writer re-reads the NEW latest manifest, recomputes its live set
+    * against it, and retries — the staged data files never move again,
+    * so a retry costs only metadata (manifest + carried-stats re-read;
+    * the fresh per-file stats depend only on `added` and are computed
+    * once). Concurrent appends therefore always compose; concurrent
+    * same-partition overwrites serialize last-wins. */
+  private def commitRetrying(spark: SparkSession, tableDir: String,
+      op: String, added: Seq[String], replacedPrefixes: Seq[String],
+      statsColumns: Seq[String], maxRetries: Int = 20): Int = {
+    val fresh = statsColumns.flatMap { c =>
+      fileStats(spark, tableDir, added, c)
+        .map { case (f, r) => (c, f) -> r }
+    }
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parent = latestVersion(spark, tableDir)
+      val survivors = liveFiles(spark, tableDir)
+        .filterNot(f => replacedPrefixes.exists(f.startsWith))
+      val m = Manifest(parent + 1, parent, op, (survivors ++ added).toSeq)
+      val live = m.files.toSet
+      val carried = readStats(spark, tableDir, parent)
+        .filter { case ((_, f), _) => live.contains(f) }
+      val all = carried ++ fresh
+      // stats to a writer-unique tmp: only the CAS winner may own
+      // v<N>.stats.txt (a loser writing it directly would clobber the
+      // winner's zone maps with stats for a manifest that never existed)
+      val statsTmp =
+        if (all.isEmpty) None else Some(writeStatsTmp(spark, tableDir, all))
+      if (tryWriteManifest(spark, tableDir, m)) {
+        statsTmp.foreach { t =>
+          val fs = fsOf(spark, t)
+          val dst = statsPath(tableDir, m.version)
+          // we own version N now; a reader hitting the gap just scans
+          // stat-less (always-read is the safe direction)
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(t, dst))
+            throw new IllegalStateException(s"stats publish failed: $dst")
+        }
+        return m.version
+      }
+      statsTmp.foreach(t => fsOf(spark, t).delete(t, false))
+      attempt += 1
+      Thread.sleep(5L * attempt) // linear backoff under contention
+    }
+    throw new IllegalStateException(
+      s"commit contention: $maxRetries CAS retries exhausted at $tableDir")
+  }
+
+  /** Append `df` as a new snapshot: staged write + CAS commit — safe
+    * under concurrent writers (disjoint file sets union; every commit
+    * gets its own version). When `statsColumns` is set, per-file
+    * min/max zone maps are committed alongside (stats collection scans
+    * ONLY this commit's files — cost ∝ change). Returns the committed
     * version. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
       op: String = "append", statsColumns: Seq[String] = Nil): Int = {
-    val before = listDataFiles(spark, tableDir)
-    df.write.mode("append")
-      .partitionBy(IncrementalGold.PartCols: _*).parquet(tableDir)
-    val created = listDataFiles(spark, tableDir) -- before
-    val parent = latestVersion(spark, tableDir)
-    val live = liveFiles(spark, tableDir) ++ created
-    val m = Manifest(parent + 1, parent, op, live.toSeq)
-    commitStats(spark, tableDir, m, created, statsColumns)
-    writeManifest(spark, tableDir, m)
-    m.version
+    val created = stagedWrite(spark, tableDir, df)
+    commitRetrying(spark, tableDir, op, created, Nil, statsColumns)
   }
 
   // ------------------------------------------------------------------
@@ -189,28 +298,19 @@ object SnapshotTable {
     }.toMap
   }
 
-  /** Stats for the new commit: parent stats for surviving files + a
-    * collection pass over exactly the created files. */
-  private def commitStats(spark: SparkSession, tableDir: String,
-      m: Manifest, created: Set[String], statsColumns: Seq[String]): Unit = {
-    val live = m.files.toSet
-    val carried = readStats(spark, tableDir, m.parent)
-      .filter { case ((_, f), _) => live.contains(f) }
-    // a stats-less commit still carries the parent's zone maps forward
-    // (its own new files just have none and are always scanned)
-    if (statsColumns.isEmpty && carried.isEmpty) return
-    val fresh = statsColumns.flatMap { c =>
-      fileStats(spark, tableDir, created.toSeq.sorted, c)
-        .map { case (f, r) => (c, f) -> r }
-    }
-    val all = carried ++ fresh
-    val p = statsPath(tableDir, m.version)
-    val fs = fsOf(spark, p)
-    val out = fs.create(p, true)
+  /** Serialize a stats map to a writer-unique temp file; the CAS winner
+    * renames it to its version's stats path. */
+  private def writeStatsTmp(spark: SparkSession, tableDir: String,
+      all: Map[(String, String), (Double, Double)]): Path = {
+    val tmp = new Path(snapDir(tableDir),
+      s"_tmp_stats_${java.util.UUID.randomUUID()}.txt")
+    val fs = fsOf(spark, tmp)
+    val out = fs.create(tmp, true)
     try out.write(all.toSeq.sortBy(_._1)
       .map { case ((c, f), (mn, mx)) => s"$c\t$mn\t$mx\t$f" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    tmp
   }
 
   /** Range scan with zone-map skipping: read ONLY the live files whose
@@ -259,17 +359,9 @@ object SnapshotTable {
           Option(r.getAs[Integer]("service_month")).map(_.intValue)))
         .toSeq)
     val replacedPrefixes = ps.map(Upsert.partitionRelPath).map(_ + "/")
-    val before = listDataFiles(spark, tableDir)
-    df.write.mode("append")
-      .partitionBy(IncrementalGold.PartCols: _*).parquet(tableDir)
-    val created = listDataFiles(spark, tableDir) -- before
-    val parent = latestVersion(spark, tableDir)
-    val survivors = liveFiles(spark, tableDir)
-      .filterNot(f => replacedPrefixes.exists(f.startsWith))
-    val m = Manifest(parent + 1, parent, op, (survivors ++ created).toSeq)
-    commitStats(spark, tableDir, m, created, statsColumns)
-    writeManifest(spark, tableDir, m)
-    m.version
+    val created = stagedWrite(spark, tableDir, df)
+    commitRetrying(spark, tableDir, op, created, replacedPrefixes,
+      statsColumns)
   }
 
   /** Read the table at `version` (default: latest): exactly the
@@ -311,6 +403,17 @@ object SnapshotTable {
       fs.delete(new Path(snapDir(tableDir), f"v$v%05d.txt"), false)
       fs.delete(statsPath(tableDir, v), false)
     }
+    // crashed writers leave staging dirs and tmp manifests no commit
+    // references; a LIVE writer holds staging only between write and
+    // move, so (as with Delta's VACUUM) run this in a maintenance
+    // window, not concurrently with active writers
+    val stagingRoot = new Path(s"$tableDir/_staging")
+    if (fs.exists(stagingRoot))
+      fs.listStatus(stagingRoot).foreach(s => fs.delete(s.getPath, true))
+    val snaps = snapDir(tableDir)
+    if (fs.exists(snaps))
+      fs.listStatus(snaps).filter(_.getPath.getName.startsWith("_tmp_"))
+        .foreach(s => fs.delete(s.getPath, false))
     doomed
   }
 
@@ -450,6 +553,42 @@ object SnapshotTable {
       .agg(count(lit(1)).as("n_claims"),
         countDistinct(col("member_id")).as("unique_members"),
         graft.functions.Exact.dsum(col("claim_amount")).as("total_amount"))
+  }
+
+  /** `q_concurrent_commits`: the multi-writer CAS protocol as an
+    * oracle-checked query. Four writers append disjoint quarters of the
+    * claims silver CONCURRENTLY (real threads, real CAS contention on
+    * the manifest); the final table must be the complete silver — the
+    * DuckDB oracle recomputes it from the raw chain, so equality proves
+    * no commit was lost and no row duplicated, whatever order the
+    * writers won their versions in. SnapshotSpec pins the protocol
+    * details (one version per commit, linear parent chain, monotone
+    * live sets). */
+  def concurrentCommitsE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/snapshot_cas/$leaf"
+    val root = new Path(base)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root)) fs.delete(root, true)
+    val tableDir = s"$base/silver"
+    val silver = IncrementalGold.silverBatchOf(
+      graft.Tables.orders(spark, sfDir), "2024-01-01 00:00:00")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writers = (0 until 4).map { w =>
+      Future(append(spark, tableDir,
+        silver.filter(pmod(crc32(col("claim_id")), lit(4)) === w),
+        op = s"append-w$w"))
+    }
+    Await.result(Future.sequence(writers), 10.minutes)
+    require(latestVersion(spark, tableDir) == 4,
+      "every concurrent commit must get its own version")
+    read(spark, tableDir)
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"))
+      .orderBy(col("claim_id"))
   }
 
   /** `q_time_travel`: snapshot isolation + time travel as one oracle-

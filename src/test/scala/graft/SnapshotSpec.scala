@@ -185,6 +185,58 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(spark, dir) == v)
   }
 
+  test("multi-writer CAS: concurrent appenders all commit, no lost update") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dir = s"$base/cas"
+    wipe(dir)
+    val writers = 4
+    val each = 3
+    // every writer races the manifest CAS for each of its commits
+    val fs = (0 until writers).map { w =>
+      Future((0 until each).map(i =>
+        SnapshotTable.append(spark, dir, rows(2, w + 1, s"w$w-b$i"))))
+    }
+    val versions = Await.result(Future.sequence(fs), 5.minutes).flatten
+    val n = writers * each
+    // one distinct version per commit, none lost
+    assert(versions.toSet == (1 to n).toSet)
+    assert(SnapshotTable.latestVersion(spark, dir) == n)
+    // linear parent chain; appends only grow the live set monotonically
+    (1 to n).foreach { v =>
+      val m = SnapshotTable.manifest(spark, dir, v)
+      assert(m.parent == v - 1)
+      val prev = if (v == 1) Set.empty[String]
+        else SnapshotTable.manifest(spark, dir, v - 1).files.toSet
+      assert(prev.subsetOf(m.files.toSet), s"v$v dropped a parent file")
+      assert(m.files.size > prev.size, s"v$v added no file")
+    }
+    // no lost rows, every commit's batch visible
+    val all = SnapshotTable.read(spark, dir)
+    assert(all.count() == n * 2L)
+    assert(all.select("batch_id").distinct().count() == n.toLong)
+  }
+
+  test("vacuum reclaims a crashed writer's staging dir and tmp manifests") {
+    val dir = s"$base/crash"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, rows(3, 1, "b1"))
+    // simulate a writer that died mid-write: staged files + a tmp manifest
+    val staged = new File(s"$dir/_staging/dead-writer/service_year=2000/" +
+      "service_month=1")
+    staged.mkdirs()
+    new File(staged, "part-dead.parquet").createNewFile()
+    new File(s"$dir/_snapshots/_tmp_dead.txt").createNewFile()
+    // the junk is invisible to readers
+    assert(SnapshotTable.read(spark, dir).count() == 3)
+    SnapshotTable.vacuum(spark, dir)
+    assert(!new File(s"$dir/_staging/dead-writer").exists())
+    assert(!new File(s"$dir/_snapshots/_tmp_dead.txt").exists())
+    // the live snapshot survives vacuum intact
+    assert(SnapshotTable.read(spark, dir).count() == 3)
+  }
+
   test("schema evolution: a column appended in v2 reads as NULL for v1 files") {
     val dir = s"$base/evolve"
     wipe(dir)
