@@ -2738,6 +2738,17 @@ SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
   service_year, service_month
 FROM silver ORDER BY claim_id"""),
 
+    // typed (DATE) zone maps: the engine aggregates 1996 having pruned
+    // files by ISO date zones; the oracle scans the FULL silver —
+    // equality proves date skipping lost nothing
+    "q_date_skipping" -> (ClaimsCte + """
+SELECT service_month, count(*) AS n_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
+FROM silver
+WHERE service_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+GROUP BY 1 ORDER BY 1"""),
+
     // streaming upsert: the moving-correction batch delivered through
     // the file-stream checkpoint into the same index-probed merge —
     // oracle identical to q_upsert_moving, so equality proves the

@@ -158,6 +158,7 @@ object SparkEntry {
     "q_stream_upsert" -> Upsert.upsertStreamE2e _,
     "q_snapshot_cdc" -> IncrementalGold.snapshotCdc _,
     "q_concurrent_commits" -> SnapshotTable.concurrentCommitsE2e _,
+    "q_date_skipping" -> SnapshotTable.dateSkippingE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

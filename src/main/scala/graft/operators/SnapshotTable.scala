@@ -256,58 +256,90 @@ object SnapshotTable {
   private def statsPath(tableDir: String, v: Int) =
     new Path(snapDir(tableDir), f"v$v%05d.stats.txt")
 
-  /** Distributed per-file min/max for `column` over the given files:
-    * one aggregate grouped by input_file_name — the ANALYZE-style
-    * collection pass, run only over a commit's NEW files. Files whose
-    * column is entirely NULL carry no stats row (they are always
-    * scanned). */
+  /** A file's zone for one column. `kind` fixes the comparison domain:
+    * `num` (numeric, values are Double renderings), or a
+    * lexicographically-ordered string domain — `date` (ISO yyyy-MM-dd),
+    * `ts` (fixed-width yyyy-MM-dd HH:mm:ss.SSSSSS), `str` (raw; ASCII-
+    * safe — Spark's binary min/max and Java's compareTo agree there).
+    * ISO renderings make chronological order == string order, so one
+    * comparator serves every non-numeric kind. */
+  final case class ZoneStat(kind: String, min: String, max: String) {
+    def intersectsNum(lo: Double, hi: Double): Boolean =
+      kind != "num" || (max.toDouble >= lo && min.toDouble <= hi)
+    def intersectsStr(lo: String, hi: String): Boolean =
+      kind == "num" || (max >= lo && min <= hi)
+  }
+
+  /** Distributed per-file typed min/max for `column` over the given
+    * files: one aggregate grouped by input_file_name — the ANALYZE-
+    * style collection pass, run only over a commit's NEW files. The
+    * zone kind comes from the column's Spark type. Files whose column
+    * is entirely NULL carry no stats row (they are always scanned;
+    * range predicates never match NULL, so skipping a statted file with
+    * some nulls is still lossless). */
   private[graft] def fileStats(spark: SparkSession, tableDir: String,
-      files: Seq[String], column: String): Map[String, (Double, Double)] = {
+      files: Seq[String], column: String): Map[String, ZoneStat] = {
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     if (files.isEmpty) return Map.empty
     val rootPath = fsOf(spark, new Path(tableDir))
       .makeQualified(new Path(tableDir)).toUri.getPath.stripSuffix("/")
-    spark.read.option("basePath", tableDir)
+    val df = spark.read.option("basePath", tableDir)
       .parquet(files.map(f => s"$tableDir/$f"): _*)
-      .groupBy(input_file_name().as("__f"))
-      .agg(min(col(column)).cast("double").as("__mn"),
-        max(col(column)).cast("double").as("__mx"))
+    val (kind, render) = df.schema(column).dataType match {
+      case _: NumericType =>
+        ("num", (c: org.apache.spark.sql.Column) =>
+          c.cast("double").cast("string"))
+      case DateType =>
+        ("date", (c: org.apache.spark.sql.Column) => c.cast("string"))
+      case _: TimestampType =>
+        ("ts", (c: org.apache.spark.sql.Column) =>
+          date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case _ =>
+        ("str", (c: org.apache.spark.sql.Column) => c.cast("string"))
+    }
+    df.groupBy(input_file_name().as("__f"))
+      .agg(min(col(column)).as("__mn0"), max(col(column)).as("__mx0"))
+      .select(col("__f"), render(col("__mn0")).as("__mn"),
+        render(col("__mx0")).as("__mx"))
       .collect()
       .flatMap { r =>
         val uri = new java.net.URI(r.getAs[String]("__f")).getPath
         val rel = uri.stripPrefix(rootPath).stripPrefix("/")
-        (Option(r.getAs[java.lang.Double]("__mn")),
-         Option(r.getAs[java.lang.Double]("__mx"))) match {
-          case (Some(mn), Some(mx)) => Some(rel -> (mn.doubleValue, mx.doubleValue))
+        (Option(r.getAs[String]("__mn")), Option(r.getAs[String]("__mx"))) match {
+          case (Some(mn), Some(mx)) => Some(rel -> ZoneStat(kind, mn, mx))
           case _ => None
         }
       }.toMap
   }
 
-  /** (column, file) → (min, max) recorded at `version` (empty when the
-    * commit carried no stats). */
+  /** (column, file) → zone recorded at `version` (empty when the commit
+    * carried no stats). */
   def readStats(spark: SparkSession, tableDir: String, version: Int)
-      : Map[(String, String), (Double, Double)] = {
+      : Map[(String, String), ZoneStat] = {
     val p = statsPath(tableDir, version)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return Map.empty
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
     text.linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(c, mn, mx, f) = l.split("\t", 4)
-      (c, f) -> (mn.toDouble, mx.toDouble)
+      val Array(c, k, mn, mx, f) = l.split("\t", 5)
+      (c, f) -> ZoneStat(k, dec(mn), dec(mx))
     }.toMap
   }
 
   /** Serialize a stats map to a writer-unique temp file; the CAS winner
     * renames it to its version's stats path. */
   private def writeStatsTmp(spark: SparkSession, tableDir: String,
-      all: Map[(String, String), (Double, Double)]): Path = {
+      all: Map[(String, String), ZoneStat]): Path = {
     val tmp = new Path(snapDir(tableDir),
       s"_tmp_stats_${java.util.UUID.randomUUID()}.txt")
     val fs = fsOf(spark, tmp)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val out = fs.create(tmp, true)
     try out.write(all.toSeq.sortBy(_._1)
-      .map { case ((c, f), (mn, mx)) => s"$c\t$mn\t$mx\t$f" }
+      .map { case ((c, f), z) =>
+        s"$c\t${z.kind}\t${enc(z.min)}\t${enc(z.max)}\t$f" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     tmp
@@ -321,17 +353,31 @@ object SnapshotTable {
     * maps prune FILES, not rows. */
   def scanSkipping(spark: SparkSession, tableDir: String, column: String,
       lo: Double, hi: Double, version: Option[Int] = None)
-      : (DataFrame, Int, Int) = {
+      : (DataFrame, Int, Int) =
+    scanSkippingBy(spark, tableDir, column, version,
+      _.intersectsNum(lo, hi))
+
+  /** [[scanSkipping]] in the lexicographic domain — string columns and
+    * ISO-rendered date/timestamp zones, where string order IS
+    * chronological order (probe dates as `yyyy-MM-dd`, timestamps as
+    * `yyyy-MM-dd HH:mm:ss.SSSSSS`). */
+  def scanSkippingStr(spark: SparkSession, tableDir: String,
+      column: String, lo: String, hi: String, version: Option[Int] = None)
+      : (DataFrame, Int, Int) =
+    scanSkippingBy(spark, tableDir, column, version,
+      _.intersectsStr(lo, hi))
+
+  private def scanSkippingBy(spark: SparkSession, tableDir: String,
+      column: String, version: Option[Int],
+      intersects: ZoneStat => Boolean): (DataFrame, Int, Int) = {
     val v = version.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no snapshot at $tableDir")
     val files = manifest(spark, tableDir, v).files
     val stats = readStats(spark, tableDir, v)
-    val keep = files.filter { f =>
-      stats.get((column, f)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
-      }
-    }
+    // no stat, or a stat whose kind mismatches the probe's domain →
+    // always read (skipping must never drop rows)
+    val keep = files.filter(f =>
+      stats.get((column, f)).forall(intersects))
     val df =
       if (keep.nonEmpty)
         spark.read.option("basePath", tableDir)
@@ -528,6 +574,48 @@ object SnapshotTable {
       silver.repartitionByRange(rangeGroups, col("claim_amount"))
         .sortWithinPartitions(col("claim_amount")),
       statsColumns = Seq("claim_amount"))
+  }
+
+  /** [[buildClusteredSilver]] clustered on `service_date` instead — a
+    * DATE-typed zone-map column, exercising the lexicographic ISO
+    * domain end-to-end. */
+  private[graft] def buildDateClusteredSilver(spark: SparkSession,
+      sfDir: String, tableDir: String, rangeGroups: Int = 8): Unit = {
+    val silver = IncrementalGold.silverBatchOf(
+      graft.Tables.orders(spark, sfDir), "2024-01-01 00:00:00")
+    append(spark, tableDir,
+      silver.repartitionByRange(rangeGroups, col("service_date"))
+        .sortWithinPartitions(col("service_date")),
+      statsColumns = Seq("service_date"))
+  }
+
+  /** `q_date_skipping`: typed (DATE) zone-map pruning as an oracle-
+    * checked query. The fixture commits the claims silver clustered by
+    * service_date with per-file ISO min/max zones; the query aggregates
+    * one year having handed the parquet reader only the files whose
+    * date zone intersects it (lexicographic compare of ISO strings ==
+    * chronological). The DuckDB oracle computes the same aggregate over
+    * the FULL table — equality proves date skipping never dropped a
+    * qualifying row (rows with NULL service_date can't qualify, so
+    * skipping files on non-null zones is lossless). */
+  def dateSkippingE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/snapshot_skip_date/$leaf"
+    val root = new Path(base)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root)) fs.delete(root, true)
+    val tableDir = s"$base/silver"
+    buildDateClusteredSilver(spark, sfDir, tableDir)
+    val (df, _, _) = scanSkippingStr(spark, tableDir, "service_date",
+      "1996-01-01", "1996-12-31")
+    df.filter(col("service_date") >= lit("1996-01-01").cast("date") &&
+        col("service_date") <= lit("1996-12-31").cast("date"))
+      .groupBy(col("service_month"))
+      .agg(count(lit(1)).as("n_claims"),
+        countDistinct(col("member_id")).as("unique_members"),
+        graft.functions.Exact.dsum(col("claim_amount")).as("total_amount"))
+      .orderBy(col("service_month"))
   }
 
   /** `q_data_skipping`: zone-map file pruning as an oracle-checked

@@ -128,6 +128,37 @@ class SnapshotSpec extends SparkSpec {
       assert(stats.contains(("claim_amount", f)), f))
   }
 
+  test("typed zone maps: DATE clustering skips files, loses no rows") {
+    val dir = s"$base/skipdate/silver"
+    wipe(s"$base/skipdate")
+    SnapshotTable.buildDateClusteredSilver(spark, sfDir, dir)
+    val (df, total, kept) = SnapshotTable.scanSkippingStr(spark, dir,
+      "service_date", "1996-01-01", "1996-12-31")
+    assert(total > 0 && kept > 0)
+    assert(kept * 2 <= total, s"kept=$kept of $total — date zones useless")
+    val p = col("service_date") >= lit("1996-01-01").cast("date") &&
+      col("service_date") <= lit("1996-12-31").cast("date")
+    val viaSkip = df.filter(p).count()
+    val viaFull = SnapshotTable.read(spark, dir).filter(p).count()
+    assert(viaSkip == viaFull && viaFull > 0)
+    // a band beyond the data's range reads ONLY the stat-less files
+    // (the all-NULL service_date file has no zone and is always read —
+    // harmless: no NULL row can match a range predicate)
+    val v = SnapshotTable.latestVersion(spark, dir)
+    val stats = SnapshotTable.readStats(spark, dir, v)
+    val statless = SnapshotTable.manifest(spark, dir, v).files
+      .count(f => !stats.contains(("service_date", f)))
+    val (farDf, _, far) = SnapshotTable.scanSkippingStr(spark, dir,
+      "service_date", "2050-01-01", "2050-12-31")
+    assert(far == statless)
+    assert(farDf.filter(col("service_date").isNotNull).isEmpty)
+    // a numeric probe against a date-kind zone must fall back to
+    // always-read (kind mismatch is never allowed to skip)
+    val (_, t2, k2) =
+      SnapshotTable.scanSkipping(spark, dir, "service_date", 0.0, 1.0)
+    assert(k2 == t2)
+  }
+
   test("stats survive a stats-less commit and follow compaction") {
     val dir = s"$base/statscarry"
     wipe(dir)
