@@ -2798,6 +2798,20 @@ FROM silver
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""),
 
+    // snapshot-native pipeline: CSV -> bronze -> snapshot silver ->
+    // manifest-diff incremental gold, two batches; oracle = full
+    // recompute claims summary, same contract as q_snapshot_publish
+    // but with the REAL CSV/bronze hops feeding the snapshot layer
+    "q_pipeline_snapshot" -> (ClaimsCte + """
+SELECT service_year, service_month, claim_amount_category,
+  count(*) AS total_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount,
+  count(CASE WHEN data_quality_score < 1.0 THEN 1 END) AS n_flagged
+FROM silver
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""),
+
     // snapshot time travel: v1 = base silver appended to a manifest-
     // tracked snapshot table, v2 = the correction batch committed as a
     // COPY-ON-WRITE partition overwrite; the engine reads both versions

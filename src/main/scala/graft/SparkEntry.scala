@@ -159,6 +159,7 @@ object SparkEntry {
     "q_snapshot_cdc" -> IncrementalGold.snapshotCdc _,
     "q_concurrent_commits" -> SnapshotTable.concurrentCommitsE2e _,
     "q_date_skipping" -> SnapshotTable.dateSkippingE2e _,
+    "q_pipeline_snapshot" -> Pipeline.e2eSnapshotGold _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -147,6 +147,78 @@ object Pipeline {
     * graft.Oracles.ClaimsCte — the CSV/parquet round-trips are
     * value-exact (shortest-repr doubles, string dates), which is
     * precisely what this query proves. */
+  /** One CSV drop through the snapshot-native chain: write the dirty
+    * claims CSV, ingest to the bronze append sink, cleanse ONLY this
+    * batch's bronze rows (batch_id pruned — re-reading the whole bronze
+    * would double-ingest earlier batches into silver), append them to
+    * the SNAPSHOT silver, then publish gold incrementally from the
+    * manifest diff. */
+  private def snapshotDrop(spark: SparkSession, base: String,
+      src: DataFrame, n: Int, clockS: String): Unit = {
+    src.select(col("claim_id_raw").as("claim_id"),
+        col("member_id_raw").as("member_id"),
+        col("provider_raw").as("provider_name"),
+        col("amount_raw").as("claim_amount"),
+        col("service_date_raw").as("service_date"))
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(s"$base/incoming$n")
+    val clock = to_timestamp(lit(clockS))
+    val bronzePath = s"$base/lake/bronze/claims"
+    Bronze.writeBronze(Bronze.ingestCsv(spark, s"$base/incoming$n"),
+      bronzePath, clock)
+    val batch = Bronze.readBronze(spark, bronzePath)
+      .filter(col("batch_id") === date_format(clock, "yyyyMMdd_HHmmss"))
+    val raw = batch.select(
+      col("claim_id").as("claim_id_raw"),
+      col("member_id").as("member_id_raw"),
+      col("provider_name").as("provider_raw"),
+      col("claim_amount").cast("double").as("amount_raw"),
+      col("service_date").cast("string").as("service_date_raw"),
+      col("ingestion_timestamp"), col("source_file"), col("batch_id"))
+    val silver = SilverCleanse.clean(raw,
+      passthrough = Seq("ingestion_timestamp", "source_file", "batch_id"),
+      clock = clock)
+    SnapshotTable.append(spark, s"$base/lake/silver/claims", silver)
+    IncrementalGold.publishIncrementalSnapshot(spark,
+      s"$base/lake/silver/claims", s"$base/lake/gold")
+  }
+
+  /** `q_pipeline_snapshot`: the WHOLE reference chain migrated onto the
+    * table-format layer — CSV drop → bronze append → cleanse → SNAPSHOT
+    * silver append → manifest-diff incremental gold publish — run for
+    * two batches (pre-1997 / 1997+ orders). Every hop is a real
+    * sink+scan; change detection between publishes is O(manifest). The
+    * DuckDB oracle is the full-recompute claims summary over ALL
+    * claims, so equality proves the snapshot-native pipeline publishes
+    * gold identical to a from-scratch batch job — while the silver
+    * layer now carries time travel and a CDC feed for free
+    * (PipelineSpec pins v1/v2 row counts and the v1→v2 feed). */
+  def e2eSnapshotGold(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/pipeline_snap/$leaf"
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    runSnapshotChain(spark, sfDir, base)
+    IncrementalGold.claimsSummaryOf(spark, s"$base/lake/gold")
+  }
+
+  /** The two-drop snapshot-native chain (query + spec). */
+  private[graft] def runSnapshotChain(spark: SparkSession, sfDir: String,
+      base: String): Unit = {
+    val orders = graft.Tables.orders(spark, sfDir)
+    val cut = lit("1997-01-01").cast("date")
+    def rawOf(o: DataFrame) = RawClaims.fromOrders(graft.Engine.spread(o))
+    snapshotDrop(spark, base, rawOf(orders.filter(col("o_orderdate") < cut)),
+      1, "2024-01-01 00:00:00")
+    snapshotDrop(spark, base, rawOf(orders.filter(col("o_orderdate") >= cut)),
+      2, "2024-01-02 00:00:00")
+  }
+
   def e2eGold(spark: SparkSession, sfDir: String): DataFrame = {
     graft.Engine.configure(spark)
     val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last

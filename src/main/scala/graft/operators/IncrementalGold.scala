@@ -280,7 +280,7 @@ object IncrementalGold {
 
   /** The published claims_summary in oracle order (shared final select
     * of the batch and streaming publish queries). */
-  private def claimsSummaryOf(spark: SparkSession, goldDir: String)
+  private[graft] def claimsSummaryOf(spark: SparkSession, goldDir: String)
       : DataFrame =
     spark.read.parquet(s"$goldDir/claims_summary")
       .select(col("service_year"), col("service_month"),

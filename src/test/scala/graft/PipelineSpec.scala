@@ -143,4 +143,29 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(viaFiles.nonEmpty && viaFiles.toSeq == inMem.toSeq)
   }
+
+  test("snapshot-native pipeline: silver gets time travel + CDC, gold watermark advances") {
+    val base = "target/test_pipeline_snap"
+    val root = new java.io.File(base)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+    }
+    if (root.exists()) del(root)
+    operators.Pipeline.runSnapshotChain(spark, sfDir, base)
+    val silverDir = s"$base/lake/silver/claims"
+    // two batches -> two snapshot versions; v1 is the pre-1997 ingest
+    // alone, v2 the full table — time travel on the PIPELINE's silver
+    assert(operators.SnapshotTable.latestVersion(spark, silverDir) == 2)
+    val v1 = operators.SnapshotTable.read(spark, silverDir, Some(1))
+    val v2 = operators.SnapshotTable.read(spark, silverDir, Some(2))
+    assert(v1.filter(col("batch_id") =!= "20240101_000000").isEmpty)
+    assert(v1.count() > 0 && v2.count() > v1.count())
+    // the CDC feed between the pipeline's two versions is exactly batch 2
+    val feed = operators.SnapshotTable.readFilesAdded(spark, silverDir, 1, 2)
+    assert(feed.filter(col("batch_id") =!= "20240102_000000").isEmpty)
+    assert(feed.count() == v2.count() - v1.count())
+    // the gold publish watermark rode the snapshot versions
+    assert(operators.IncrementalGold.lastPublished(spark, s"$base/lake/gold")
+      .contains("v2"))
+  }
 }
