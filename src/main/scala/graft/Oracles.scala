@@ -2749,6 +2749,30 @@ FROM silver
 WHERE service_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
 GROUP BY 1 ORDER BY 1"""),
 
+    // snapshot-native MERGE: the moving-correction batch merged on the
+    // snapshot layer (key-zone candidate files, verified semi-join, one
+    // copy-on-write commit) — oracle identical to q_upsert_moving's
+    // replayed chain, so equality proves the snapshot MERGE and the
+    // directory-swap MERGE produce the same table
+    "q_snapshot_merge" -> {
+      val movedSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, CAST(o_orderdate + INTERVAL 40 DAY AS DATE) " +
+        "AS o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-07-01' AND o_orderkey % 10 = 0"
+      s"""$ClaimsCte,
+${claimsChainCtes("_m", movedSrc)},
+allv AS (
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240101_000000' AS batch_id, 1 AS src FROM silver
+  UNION ALL
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240102_000000' AS batch_id, 0 AS src FROM silver_m)
+SELECT claim_id, batch_id, claim_amount, service_year, service_month
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
+WHERE rn = 1 ORDER BY claim_id"""
+    },
+
     // streaming upsert: the moving-correction batch delivered through
     // the file-stream checkpoint into the same index-probed merge —
     // oracle identical to q_upsert_moving, so equality proves the

@@ -516,18 +516,113 @@ object SnapshotTable {
       .parquet(added.map(f => s"$tableDir/$f"): _*)
   }
 
+  /** Manifest-level pruned read: exactly the live files under the given
+    * partitions at `version` — the file index comes from the manifest,
+    * so at 100 TB a two-partition read opens two partitions' files and
+    * plans nothing else (no listing, no Catalyst partition-pruning pass
+    * over the full file index). */
+  def readPartitions(spark: SparkSession, tableDir: String,
+      parts: Seq[(Option[Int], Option[Int])], version: Option[Int] = None)
+      : DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    val prefixes = parts.map(Upsert.partitionRelPath).map(_ + "/")
+    val files = manifest(spark, tableDir, v).files
+      .filter(f => prefixes.exists(f.startsWith))
+    if (files.isEmpty) read(spark, tableDir, Some(v)).filter(lit(false))
+    else spark.read.option("basePath", tableDir)
+      .parquet(files.map(f => s"$tableDir/$f"): _*)
+  }
+
+  /** Live files that MIGHT hold any of `keys`, from the manifest's
+    * per-file key zones alone — the snapshot-native analog of the Bloom
+    * sidecar probe: metadata-only, no data read. Files without a key
+    * zone (or with a numeric zone for a string probe) are always
+    * candidates. The zones frame is manifest-sized metadata, so the
+    * range join broadcasts it; cost is |keys| × |zones of this table|,
+    * bounded by catalog state, never by table rows. */
+  private[graft] def candidateFilesByKeyZone(spark: SparkSession,
+      tableDir: String, keys: DataFrame, key: String, version: Int)
+      : Seq[String] = {
+    import spark.implicits._
+    val stats = readStats(spark, tableDir, version)
+    val files = manifest(spark, tableDir, version).files
+    val zoned = files.flatMap(f => stats.get((key, f))
+      .filter(_.kind != "num").map(z => (f, z.min, z.max)))
+    val zoneless = files.filterNot(f =>
+      stats.get((key, f)).exists(_.kind != "num"))
+    val hits =
+      if (zoned.isEmpty) Nil
+      else keys.select(col(key).cast("string").as("__k")).distinct()
+        .join(broadcast(zoned.toDF("__f", "__mn", "__mx")),
+          col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+        .select(col("__f")).distinct().collect().map(_.getString(0)).toSeq
+    hits ++ zoneless
+  }
+
+  /** Snapshot-native MERGE (SCD1, latest `versionCol` wins per `key`;
+    * base wins ties so replay is a no-op): the moved-from partitions
+    * are located by probing the update keys against the manifest's
+    * per-file KEY zones ([[candidateFilesByKeyZone]] — committed when
+    * the table is written key-clustered), verified by a semi-join over
+    * ONLY the candidate files, merged over the manifest-pruned slice,
+    * and committed as one copy-on-write partition overwrite — so the
+    * merge is a single snapshot version with time travel to the
+    * pre-merge table, and a partition left empty by a move simply has
+    * no files in the new manifest. The rewrite re-clusters by key and
+    * re-commits key zones, so the NEXT merge's probe stays sharp.
+    * Returns the rewritten partitions. */
+  def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
+      key: String = "claim_id", versionCol: String = "batch_id",
+      rangeGroups: Int = 4): Seq[(Option[Int], Option[Int])] = {
+    import org.apache.spark.sql.expressions.Window
+    def toParts(rows: Array[org.apache.spark.sql.Row])
+        : Seq[(Option[Int], Option[Int])] = rows.map(r => (
+      Option(r.getAs[Integer]("service_year")).map(_.intValue),
+      Option(r.getAs[Integer]("service_month")).map(_.intValue))).toSeq
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val targets = toParts(updates
+      .select(col("service_year"), col("service_month")).distinct()
+      .collect())
+    if (targets.isEmpty) return Nil
+    val cands = candidateFilesByKeyZone(spark, tableDir,
+      updates.select(col(key)), key, v)
+    // verify: which candidate-file partitions actually hold an update
+    // key (zone false positives drop out here, before any rewrite)
+    val verified =
+      if (cands.isEmpty) Nil
+      else toParts(spark.read.option("basePath", tableDir)
+        .parquet(cands.map(f => s"$tableDir/$f"): _*)
+        .join(updates.select(col(key)).distinct(), Seq(key), "leftsemi")
+        .select(col("service_year"), col("service_month")).distinct()
+        .collect())
+    val parts = (targets ++ verified).distinct
+    val slice = readPartitions(spark, tableDir, parts, Some(v))
+    val merged = slice.withColumn("__src", lit(1))
+      .unionByName(updates.withColumn("__src", lit(0)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    val latest = merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__src")
+    overwritePartitions(spark, tableDir,
+      latest.repartitionByRange(rangeGroups, col(key))
+        .sortWithinPartitions(col(key)),
+      Some(parts), op = "merge", statsColumns = Seq(key))
+    parts
+  }
+
   /** Compact the given partitions of the LATEST snapshot into
     * `targetFileCount` files each: read only those partitions' live
-    * files, rewrite coalesced, commit as a copy-on-write overwrite —
-    * content is bit-identical (spec-pinned), the small files stay
-    * readable in prior versions until vacuumed. The maintenance op that
-    * keeps streaming appends and per-partition upserts from degrading
-    * scan performance at scale. */
+    * files (manifest-pruned), rewrite coalesced, commit as a
+    * copy-on-write overwrite — content is bit-identical (spec-pinned),
+    * the small files stay readable in prior versions until vacuumed.
+    * The maintenance op that keeps streaming appends and per-partition
+    * upserts from degrading scan performance at scale. */
   def compactPartitions(spark: SparkSession, tableDir: String,
       parts: Seq[(Option[Int], Option[Int])], targetFileCount: Int = 1)
       : Int = {
-    val current = read(spark, tableDir)
-    val slice = IncrementalGold.partitionSlice(current, parts)
+    val slice = readPartitions(spark, tableDir, parts)
       .repartition(targetFileCount)
     overwritePartitions(spark, tableDir, slice, Some(parts), op = "compact")
   }
@@ -677,6 +772,55 @@ object SnapshotTable {
       .select(col("claim_id"), col("batch_id"), col("claim_amount"),
         col("service_year"), col("service_month"))
       .orderBy(col("claim_id"))
+  }
+
+  /** `q_snapshot_merge`: partition-MOVING MERGE on the snapshot layer
+    * as an oracle-checked query. Fixture: the full claims silver
+    * appended KEY-CLUSTERED (so per-file claim_id zones are narrow),
+    * then the moving-correction batch (service date restated +40 days
+    * for every 10th 1997-07+ order — each corrected claim leaves its
+    * partition) merged via [[merge]]: candidate files from the key
+    * zones, verified semi-join, one copy-on-write commit. The DuckDB
+    * oracle replays both batches through the cleanse CTEs and windows
+    * per key (identical to q_upsert_moving's contract), so row-level
+    * equality proves no key survived in its old home and none was lost
+    * — while v1 time travel to the pre-merge table stays readable
+    * (SnapshotSpec). */
+  def mergeE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/snapshot_merge/$leaf"
+    val root = new Path(base)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root)) fs.delete(root, true)
+    val tableDir = s"$base/silver"
+    runMergeFixture(spark, sfDir, tableDir)
+    read(spark, tableDir)
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"))
+      .orderBy(col("claim_id"))
+  }
+
+  /** Key-clustered base append + moving-batch merge (query + spec). */
+  private[graft] def runMergeFixture(spark: SparkSession, sfDir: String,
+      tableDir: String): Seq[(Option[Int], Option[Int])] = {
+    val orders = graft.Tables.orders(spark, sfDir)
+    def chain(src: DataFrame, clock: String): DataFrame =
+      SilverCleanse.withBatchMetadata(
+        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(src)),
+          passthrough = Nil),
+        to_timestamp(lit(clock)))
+    append(spark, tableDir,
+      chain(orders, "2024-01-01 00:00:00")
+        .repartitionByRange(8, col("claim_id"))
+        .sortWithinPartitions(col("claim_id")),
+      statsColumns = Seq("claim_id"))
+    val k = col("o_orderkey")
+    val moved = orders
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("date") &&
+        k % 10 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 40))
+    merge(spark, tableDir, chain(moved, "2024-01-02 00:00:00"))
   }
 
   /** `q_time_travel`: snapshot isolation + time travel as one oracle-

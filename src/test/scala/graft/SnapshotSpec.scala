@@ -216,6 +216,66 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(spark, dir) == v)
   }
 
+  test("snapshot MERGE: key zones prune candidates; moves delete the old home; replay is a no-op") {
+    val dir = s"$base/merge"
+    wipe(dir)
+    // key-clustered base with claim_id zones: K1-* in month 1, K2-* in 2
+    SnapshotTable.append(spark, dir,
+      rows(6, 1, "b1").unionByName(rows(4, 2, "b1"))
+        .repartitionByRange(4, col("claim_id"))
+        .sortWithinPartitions(col("claim_id")),
+      statsColumns = Seq("claim_id"))
+    val v1 = SnapshotTable.latestVersion(spark, dir)
+    // zone probe: a key that exists hits only files whose zone holds it;
+    // a key beyond every zone hits nothing (all files are statted here)
+    val hit = SnapshotTable.candidateFilesByKeyZone(spark, dir,
+      Seq("K1-3").toDF("claim_id"), "claim_id", v1)
+    assert(hit.nonEmpty)
+    val stats = SnapshotTable.readStats(spark, dir, v1)
+    hit.foreach { f =>
+      val z = stats(("claim_id", f))
+      assert(z.min <= "K1-3" && "K1-3" <= z.max)
+    }
+    assert(SnapshotTable.candidateFilesByKeyZone(spark, dir,
+      Seq("ZZZ").toDF("claim_id"), "claim_id", v1).isEmpty)
+    // MOVE K1-0 from month 1 to month 3 (a partition that didn't exist)
+    val update = Seq(("K1-0", "b2", 99.0, 2000, 3))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    val parts = SnapshotTable.merge(spark, dir, update)
+    assert(parts.toSet == Set((Some(2000), Some(3)), (Some(2000), Some(1))))
+    val merged = SnapshotTable.read(spark, dir)
+    assert(merged.count() == 10)
+    assert(merged.filter(col("claim_id") === "K1-0" &&
+      col("service_month") === 3 && col("claim_amount") === 99.0)
+      .count() == 1)
+    assert(merged.filter(col("claim_id") === "K1-0" &&
+      col("service_month") === 1).isEmpty)
+    // month-2 partition untouched: its files identical across versions
+    val m2 = (f: Seq[String]) =>
+      f.filter(_.startsWith("service_year=2000/service_month=2/")).toSet
+    assert(m2(SnapshotTable.manifest(spark, dir, v1).files) ==
+      m2(SnapshotTable.manifest(spark, dir, v1 + 1).files))
+    // pre-merge table still readable (time travel)
+    assert(SnapshotTable.read(spark, dir, Some(v1))
+      .filter(col("claim_id") === "K1-0" && col("service_month") === 1)
+      .count() == 1)
+    // replaying the same batch is a no-op on content (base wins ties)
+    SnapshotTable.merge(spark, dir, update)
+    val replayed = SnapshotTable.read(spark, dir)
+    assert(replayed.count() == 10)
+    assert(replayed.filter(col("claim_id") === "K1-0" &&
+      col("service_month") === 3).count() == 1)
+    // move the LAST month-3 row out again -> month 3 has no files
+    val back = Seq(("K1-0", "b3", 5.0, 2000, 1))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    SnapshotTable.merge(spark, dir, back)
+    val vEnd = SnapshotTable.latestVersion(spark, dir)
+    assert(!SnapshotTable.manifest(spark, dir, vEnd).files
+      .exists(_.startsWith("service_year=2000/service_month=3/")))
+  }
+
   test("multi-writer CAS: concurrent appenders all commit, no lost update") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.DurationInt
