@@ -2749,6 +2749,19 @@ FROM silver
 WHERE service_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
 GROUP BY 1 ORDER BY 1"""),
 
+    // snapshot-native row-level DELETE: every 10th order's claim erased
+    // via the zone-pruned copy-on-write rewrite; the oracle recomputes
+    // silver minus the doomed keys over the full chain — equality
+    // proves every doomed row left and nothing else did
+    "q_snapshot_delete" -> (ClaimsCte + """
+SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+  service_year, service_month
+FROM silver
+WHERE claim_id NOT IN (
+  SELECT 'C' || CAST(o_orderkey AS VARCHAR) FROM orders
+  WHERE o_orderkey % 10 = 0)
+ORDER BY claim_id"""),
+
     // snapshot-native MERGE: the moving-correction batch merged on the
     // snapshot layer (key-zone candidate files, verified semi-join, one
     // copy-on-write commit) — oracle identical to q_upsert_moving's

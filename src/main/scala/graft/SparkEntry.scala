@@ -161,6 +161,7 @@ object SparkEntry {
     "q_date_skipping" -> SnapshotTable.dateSkippingE2e _,
     "q_pipeline_snapshot" -> Pipeline.e2eSnapshotGold _,
     "q_snapshot_merge" -> SnapshotTable.mergeE2e _,
+    "q_snapshot_delete" -> SnapshotTable.deleteE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -572,14 +572,15 @@ object SnapshotTable {
     * no files in the new manifest. The rewrite re-clusters by key and
     * re-commits key zones, so the NEXT merge's probe stays sharp.
     * Returns the rewritten partitions. */
+  private def toParts(rows: Array[org.apache.spark.sql.Row])
+      : Seq[(Option[Int], Option[Int])] = rows.map(r => (
+    Option(r.getAs[Integer]("service_year")).map(_.intValue),
+    Option(r.getAs[Integer]("service_month")).map(_.intValue))).toSeq
+
   def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
       key: String = "claim_id", versionCol: String = "batch_id",
       rangeGroups: Int = 4): Seq[(Option[Int], Option[Int])] = {
     import org.apache.spark.sql.expressions.Window
-    def toParts(rows: Array[org.apache.spark.sql.Row])
-        : Seq[(Option[Int], Option[Int])] = rows.map(r => (
-      Option(r.getAs[Integer]("service_year")).map(_.intValue),
-      Option(r.getAs[Integer]("service_month")).map(_.intValue))).toSeq
     val v = latestVersion(spark, tableDir)
     require(v > 0, s"no snapshot at $tableDir")
     val targets = toParts(updates
@@ -610,6 +611,72 @@ object SnapshotTable {
         .sortWithinPartitions(col(key)),
       Some(parts), op = "merge", statsColumns = Seq(key))
     parts
+  }
+
+  /** Snapshot-native row-level DELETE by key set — the GDPR
+    * right-to-erasure shape. Candidate files come from the manifest's
+    * per-file key zones (metadata-only probe), the verify semi-join
+    * reads ONLY those files, and the affected partitions are rewritten
+    * without the doomed rows in one copy-on-write commit — a partition
+    * whose every row is deleted simply has no files in the new
+    * manifest. Prior versions still hold the rows until [[vacuum]]
+    * runs: for actual erasure compliance the vacuum IS the forget, and
+    * its retention window is the erasure deadline. Returns the
+    * rewritten partitions (empty = no key present; no commit made). */
+  def deleteKeys(spark: SparkSession, tableDir: String, keys: DataFrame,
+      key: String = "claim_id", rangeGroups: Int = 4)
+      : Seq[(Option[Int], Option[Int])] = {
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val keySet = keys.select(col(key)).distinct()
+    val cands = candidateFilesByKeyZone(spark, tableDir, keySet, key, v)
+    if (cands.isEmpty) return Nil
+    val verified = toParts(spark.read.option("basePath", tableDir)
+      .parquet(cands.map(f => s"$tableDir/$f"): _*)
+      .join(keySet, Seq(key), "leftsemi")
+      .select(col("service_year"), col("service_month")).distinct()
+      .collect())
+    if (verified.isEmpty) return Nil
+    val kept = readPartitions(spark, tableDir, verified, Some(v))
+      .join(keySet, Seq(key), "left_anti")
+    overwritePartitions(spark, tableDir,
+      kept.repartitionByRange(rangeGroups, col(key))
+        .sortWithinPartitions(col(key)),
+      Some(verified), op = "delete", statsColumns = Seq(key))
+    verified
+  }
+
+  /** `q_snapshot_delete`: row-level DELETE on the snapshot layer as an
+    * oracle-checked query. Fixture: the key-clustered claims silver;
+    * every 10th order's claim erased via [[deleteKeys]]. The DuckDB
+    * oracle recomputes the silver minus the doomed key set over the
+    * FULL chain — equality proves the zone-pruned rewrite deleted
+    * every doomed row and nothing else. */
+  def deleteE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val leaf = sfDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+    val base = s"target/snapshot_delete/$leaf"
+    val root = new Path(base)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root)) fs.delete(root, true)
+    val tableDir = s"$base/silver"
+    val orders = graft.Tables.orders(spark, sfDir)
+    append(spark, tableDir,
+      SilverCleanse.withBatchMetadata(
+        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(orders)),
+          passthrough = Nil),
+        to_timestamp(lit("2024-01-01 00:00:00")))
+        .repartitionByRange(8, col("claim_id"))
+        .sortWithinPartitions(col("claim_id")),
+      statsColumns = Seq("claim_id"))
+    val doomed = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(concat(lit("C"), col("o_orderkey").cast("string"))
+        .as("claim_id"))
+    deleteKeys(spark, tableDir, doomed)
+    read(spark, tableDir)
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"))
+      .orderBy(col("claim_id"))
   }
 
   /** Compact the given partitions of the LATEST snapshot into

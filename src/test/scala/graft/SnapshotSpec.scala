@@ -276,6 +276,44 @@ class SnapshotSpec extends SparkSpec {
       .exists(_.startsWith("service_year=2000/service_month=3/")))
   }
 
+  test("snapshot DELETE: zone-pruned erasure; absent keys commit nothing; vacuum is the forget") {
+    val dir = s"$base/del"
+    wipe(dir)
+    SnapshotTable.append(spark, dir,
+      rows(5, 1, "b1").unionByName(rows(3, 2, "b1"))
+        .repartitionByRange(4, col("claim_id"))
+        .sortWithinPartitions(col("claim_id")),
+      statsColumns = Seq("claim_id"))
+    // absent key: no candidates, no commit
+    assert(SnapshotTable.deleteKeys(spark, dir,
+      Seq("ZZZ").toDF("claim_id")).isEmpty)
+    assert(SnapshotTable.latestVersion(spark, dir) == 1)
+    // delete two month-1 rows; month 2 untouched (byte-identical files)
+    val parts = SnapshotTable.deleteKeys(spark, dir,
+      Seq("K1-0", "K1-3").toDF("claim_id"))
+    assert(parts == Seq((Some(2000), Some(1))))
+    val v2 = SnapshotTable.read(spark, dir)
+    assert(v2.count() == 6)
+    assert(v2.filter(col("claim_id").isin("K1-0", "K1-3")).isEmpty)
+    val m2 = (f: Seq[String]) =>
+      f.filter(_.startsWith("service_year=2000/service_month=2/")).toSet
+    assert(m2(SnapshotTable.manifest(spark, dir, 1).files) ==
+      m2(SnapshotTable.manifest(spark, dir, 2).files))
+    // pre-delete version still holds the rows — vacuum is the forget
+    assert(SnapshotTable.read(spark, dir, Some(1))
+      .filter(col("claim_id").isin("K1-0", "K1-3")).count() == 2)
+    SnapshotTable.vacuum(spark, dir)
+    intercept[Exception] {
+      SnapshotTable.read(spark, dir, Some(1)).count()
+    }
+    // deleting a whole partition removes its files from the manifest
+    SnapshotTable.deleteKeys(spark, dir,
+      (0 until 3).map(i => s"K2-$i").toDF("claim_id"))
+    assert(!SnapshotTable.manifest(spark, dir,
+        SnapshotTable.latestVersion(spark, dir)).files
+      .exists(_.startsWith("service_year=2000/service_month=2/")))
+  }
+
   test("multi-writer CAS: concurrent appenders all commit, no lost update") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.DurationInt
