@@ -2749,6 +2749,32 @@ FROM silver
 WHERE service_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
 GROUP BY 1 ORDER BY 1"""),
 
+    // snapshot history (DESCRIBE HISTORY analog): one row per (version,
+    // changed partition), computed from manifest diffs alone; the
+    // oracle recomputes each batch's partition set from the replayed
+    // chain — metadata history must match data history
+    "q_snapshot_history" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)}
+SELECT * FROM (
+  SELECT 1 AS version, 'append' AS op, service_year, service_month
+  FROM silver_b1
+  WHERE service_year IS NOT NULL AND service_month IS NOT NULL
+  GROUP BY service_year, service_month
+  UNION ALL
+  SELECT 2 AS version, 'append' AS op, service_year, service_month
+  FROM silver_b2
+  WHERE service_year IS NOT NULL AND service_month IS NOT NULL
+  GROUP BY service_year, service_month) h
+ORDER BY version, service_year, service_month"""
+    },
+
     // snapshot-native row-level DELETE: every 10th order's claim erased
     // via the zone-pruned copy-on-write rewrite; the oracle recomputes
     // silver minus the doomed keys over the full chain — equality

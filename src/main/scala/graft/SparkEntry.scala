@@ -162,6 +162,7 @@ object SparkEntry {
     "q_pipeline_snapshot" -> Pipeline.e2eSnapshotGold _,
     "q_snapshot_merge" -> SnapshotTable.mergeE2e _,
     "q_snapshot_delete" -> SnapshotTable.deleteE2e _,
+    "q_snapshot_history" -> IncrementalGold.snapshotHistory _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -485,6 +485,28 @@ object IncrementalGold {
       .orderBy(col("claim_id"))
   }
 
+  /** `q_snapshot_history`: the DESCRIBE HISTORY analog as an oracle-
+    * checked query — one row per (version, changed partition) over the
+    * two-batch chain, computed from MANIFEST DIFFS alone (zero data
+    * reads). The DuckDB oracle recomputes each batch's partition set
+    * from the replayed cleanse chain, so equality proves the metadata
+    * history tells the same story as the data: v1 touched exactly the
+    * pre-1997 periods, v2 exactly the 1997+ periods. */
+  def snapshotHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Engine.configure(spark)
+    val base = ensureSnapshotFixture(spark, sfDir)
+    val tableDir = s"$base/silver"
+    val latest = SnapshotTable.latestVersion(spark, tableDir)
+    val rows = (1 to latest).flatMap { v =>
+      val m = SnapshotTable.manifest(spark, tableDir, v)
+      SnapshotTable.changedPartitionsBetween(spark, tableDir, v - 1, v)
+        .collect { case (Some(y), Some(mo)) => (v, m.op, y, mo) }
+    }
+    rows.toDF("version", "op", "service_year", "service_month")
+      .orderBy(col("version"), col("service_year"), col("service_month"))
+  }
+
   /** The two-batch snapshot ingest + metadata-driven publish chain
     * (query + spec). */
   private[graft] def runTwoBatchSnapshotFixture(spark: SparkSession,
