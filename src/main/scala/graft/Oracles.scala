@@ -2980,6 +2980,98 @@ SELECT service_year, service_month, claim_amount_category,
 FROM silver
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""),
+
+    // -------------------------------------------------------------
+    // round-12: scan planner, WAP, schema evolution, rollback,
+    // manifest compaction
+    // -------------------------------------------------------------
+
+    // unified scan planner: ONE planScan call composes partition
+    // pruning (1996 Q2) with DATE zone pruning; the oracle aggregates
+    // the FULL silver under the same row predicate — equality proves
+    // the composed plan reads every qualifying row
+    "q_scan_planner" -> (ClaimsCte + """
+SELECT service_month, count(*) AS n_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
+FROM silver
+WHERE service_date BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
+GROUP BY 1 ORDER BY 1"""),
+
+    // write-audit-publish: a corrupted 1997+ batch (nulled claim_ids)
+    // is staged, FAILS the 23-expectation DQ audit, and is rolled
+    // back; the clean batch passes and main fast-forwards. The oracle
+    // is the two-batch silver — main must hold the failing batch ZERO
+    // times and the passing one exactly once
+    "q_snapshot_wap" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)}
+SELECT * FROM (
+  SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+    service_year, service_month
+  FROM silver_b1
+  UNION ALL
+  SELECT claim_id, '20240102_000000' AS batch_id, claim_amount,
+    service_year, service_month
+  FROM silver_b2) u
+ORDER BY claim_id"""
+    },
+
+    // schema evolution on WRITE: batch 2 carries a NEW column committed
+    // into the root's schema metadata; batch-1 rows surface it as NULL
+    // (grouped under 'none'). The oracle replays both batches and tags
+    // them identically — old data, new data, and the evolved schema
+    // must agree
+    "q_schema_evolution" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)}
+SELECT service_year, adjudication_source, count(*) AS n_claims,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
+FROM (
+  SELECT service_year, 'none' AS adjudication_source, claim_amount
+  FROM silver_b1
+  UNION ALL
+  SELECT service_year,
+    CASE WHEN claim_amount > 1000 THEN 'manual' ELSE 'auto' END
+      AS adjudication_source,
+    claim_amount
+  FROM silver_b2) u
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    // metadata-only rollback: v1 = pre-1997 silver, v2 = the 1997+
+    // batch, then rollbackTo(1) — the table must read as EXACTLY the
+    // pre-1997 silver again (v2 stays time-travelable, spec-pinned)
+    "q_snapshot_rollback" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)}
+SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+  service_year, service_month
+FROM silver_b1 ORDER BY claim_id"""
+    },
+
+    // manifest rewrite: twelve micro-commits' chunks merged down to 2
+    // partition-ordered chunks in one metadata-only commit; the table
+    // content must be the COMPLETE silver, bit-unchanged (same
+    // contract as q_concurrent_commits)
+    "q_manifest_compact" -> (ClaimsCte + """
+SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+  service_year, service_month
+FROM silver ORDER BY claim_id"""),
   )
 
   /** The fused IVF-PQ ADC search pipeline, shared verbatim by

@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Checks, DqEngine, EventOps, ExecMetrics, GoldViews, GraphOps, IncrementalGold, MultimodalOps, Pipeline, SketchOps, SnapshotTable, StreamingOps, TextOps, Upsert, VectorOps}
+import graft.operators.{Checks, DqEngine, EventOps, ExecMetrics, GoldViews, GraphOps, IncrementalGold, MultimodalOps, Pipeline, SketchOps, SnapshotQueries, StreamingOps, TextOps, Upsert, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -152,17 +152,24 @@ object SparkEntry {
     "q_stream_publish" -> IncrementalGold.streamPublishE2e _,
     "q_upsert_moving" -> Upsert.upsertMovingE2e _,
     "q_metrics_history" -> ExecMetrics.metricsHistory _,
-    "q_time_travel" -> SnapshotTable.timeTravelE2e _,
+    "q_time_travel" -> SnapshotQueries.timeTravelE2e _,
     "q_snapshot_publish" -> IncrementalGold.snapshotPublishE2e _,
-    "q_data_skipping" -> SnapshotTable.dataSkippingE2e _,
+    "q_data_skipping" -> SnapshotQueries.dataSkippingE2e _,
     "q_stream_upsert" -> Upsert.upsertStreamE2e _,
     "q_snapshot_cdc" -> IncrementalGold.snapshotCdc _,
-    "q_concurrent_commits" -> SnapshotTable.concurrentCommitsE2e _,
-    "q_date_skipping" -> SnapshotTable.dateSkippingE2e _,
+    "q_concurrent_commits" -> SnapshotQueries.concurrentCommitsE2e _,
+    "q_date_skipping" -> SnapshotQueries.dateSkippingE2e _,
     "q_pipeline_snapshot" -> Pipeline.e2eSnapshotGold _,
-    "q_snapshot_merge" -> SnapshotTable.mergeE2e _,
-    "q_snapshot_delete" -> SnapshotTable.deleteE2e _,
+    "q_snapshot_merge" -> SnapshotQueries.mergeE2e _,
+    "q_snapshot_delete" -> SnapshotQueries.deleteE2e _,
     "q_snapshot_history" -> IncrementalGold.snapshotHistory _,
+
+    // round-12 additions (appended — see ListMap note above)
+    "q_scan_planner" -> SnapshotQueries.scanPlannerE2e _,
+    "q_snapshot_wap" -> SnapshotQueries.wapE2e _,
+    "q_schema_evolution" -> SnapshotQueries.schemaEvolutionE2e _,
+    "q_snapshot_rollback" -> SnapshotQueries.rollbackE2e _,
+    "q_manifest_compact" -> SnapshotQueries.manifestCompactE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

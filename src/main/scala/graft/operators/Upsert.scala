@@ -44,6 +44,60 @@ object Upsert {
     s"service_year=${v(p._1)}/service_month=${v(p._2)}"
   }
 
+  /** Commit a staged rewrite by swapping partition directories, with
+    * the OLD data surviving until the new data is in place (round-11
+    * ADVICE: the previous delete-then-rename lost the partition
+    * permanently if the process died between the two, beyond what
+    * idempotent replay can recover — the base rows were gone). Each
+    * partition's current dir is renamed ASIDE (to a sibling tree
+    * OUTSIDE the table, so a half-finished swap can never pollute
+    * partition discovery), the staged dir renamed into place with the
+    * return value CHECKED, and only after success is the aside copy
+    * dropped; a failed move restores the aside dir and fails loudly.
+    * `dropWhenNoSrc` handles the moving-upsert case where every row
+    * left a partition. */
+  private def commitPartitionSwap(fs: org.apache.hadoop.fs.FileSystem,
+      stagingDir: String, tableDir: String,
+      parts: Seq[(Option[Int], Option[Int])],
+      dropWhenNoSrc: Boolean): Unit = {
+    val asideRoot = new Path(
+      s"${tableDir.replaceAll("[/\\\\]+$", "")}__upsert_aside_" +
+        java.util.UUID.randomUUID())
+    parts.foreach { p =>
+      val rel = partitionRelPath(p)
+      val src = new Path(s"$stagingDir/$rel")
+      val dst = new Path(s"$tableDir/$rel")
+      if (fs.exists(src)) {
+        val aside = new Path(s"$asideRoot/$rel")
+        val hadOld = fs.exists(dst)
+        if (hadOld) {
+          fs.mkdirs(aside.getParent)
+          if (!fs.rename(dst, aside))
+            throw new IllegalStateException(
+              s"partition swap: could not set aside $dst")
+        }
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst)) {
+          if (hadOld && !fs.rename(aside, dst))
+            throw new IllegalStateException(
+              s"partition swap failed AND restore failed for $rel — " +
+                s"old data preserved at $aside")
+          throw new IllegalStateException(s"partition swap failed: $rel")
+        }
+      } else if (dropWhenNoSrc && fs.exists(dst)) {
+        val aside = new Path(s"$asideRoot/$rel")
+        fs.mkdirs(aside.getParent)
+        // aside-then-drop: the emptied partition's rows stay on disk
+        // until the swap completes (same survival guarantee)
+        if (!fs.rename(dst, aside))
+          throw new IllegalStateException(
+            s"partition swap: could not retire emptied $dst")
+      }
+    }
+    // every partition is in place; the aside tree is now garbage
+    if (fs.exists(asideRoot)) fs.delete(asideRoot, true)
+  }
+
   /** Upsert `updates` (silver-shaped rows carrying batch_id) into the
     * partitioned parquet table at `tableDir`. Latest batch_id wins per
     * claim_id; base wins ties (idempotent replay). Returns the affected
@@ -75,16 +129,8 @@ object Upsert {
     if (fs.exists(staging)) fs.delete(staging, true)
     latest.write.mode("overwrite")
       .partitionBy(IncrementalGold.PartCols: _*).parquet(stagingDir)
-    parts.foreach { p =>
-      val rel = partitionRelPath(p)
-      val src = new Path(s"$stagingDir/$rel")
-      val dst = new Path(s"$tableDir/$rel")
-      if (fs.exists(src)) {
-        if (fs.exists(dst)) fs.delete(dst, true)
-        fs.mkdirs(dst.getParent)
-        fs.rename(src, dst)
-      }
-    }
+    commitPartitionSwap(fs, stagingDir, tableDir, parts,
+      dropWhenNoSrc = false)
     fs.delete(staging, true)
     parts
   }
@@ -235,18 +281,8 @@ object Upsert {
     if (fs.exists(staging)) fs.delete(staging, true)
     latest.write.mode("overwrite")
       .partitionBy(IncrementalGold.PartCols: _*).parquet(stagingDir)
-    parts.foreach { p =>
-      val rel = partitionRelPath(p)
-      val src = new Path(s"$stagingDir/$rel")
-      val dst = new Path(s"$tableDir/$rel")
-      if (fs.exists(src)) {
-        if (fs.exists(dst)) fs.delete(dst, true)
-        fs.mkdirs(dst.getParent)
-        fs.rename(src, dst)
-      } else if (fs.exists(dst)) {
-        fs.delete(dst, true) // every row moved out: partition is gone
-      }
-    }
+    commitPartitionSwap(fs, stagingDir, tableDir, parts,
+      dropWhenNoSrc = true)
     fs.delete(staging, true)
     keyIndexBuild(spark, tableDir, indexDir, key, mBits, Some(parts))
     parts
@@ -279,26 +315,16 @@ object Upsert {
       .orderBy(col("claim_id"))
   }
 
-  /** The shared base-ingest + upsert chain (query + spec). */
+  /** The shared base-ingest + upsert chain (query + spec). Both
+    * batches come from the fixture cache — cleansed once per (scale,
+    * corpus fingerprint), so the chain's cost is the ingest write +
+    * the merge, not the cleanse (round-11 VERDICT #2). */
   private[graft] def runUpsertFixture(spark: SparkSession, sfDir: String,
       tableDir: String,
       afterBase: () => Unit = () => ()): DataFrame = {
-    val orders = Tables.orders(spark, sfDir)
-    def chain(src: DataFrame, clock: String): DataFrame =
-      SilverCleanse.withBatchMetadata(
-        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(src)),
-          passthrough = Nil),
-        to_timestamp(lit(clock)))
-    Bronze.writeSilver(chain(orders, "2024-01-01 00:00:00"), tableDir)
+    Bronze.writeSilver(FixtureCache.silverFull(spark, sfDir), tableDir)
     afterBase()
-    val k = col("o_orderkey")
-    val recent = col("o_orderdate") >= lit("1998-01-01").cast("date")
-    val corrections = orders.filter(recent && k % 10 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 500)
-    val inserts = orders.filter(recent && k % 17 === 0)
-      .withColumn("o_orderkey", k + lit(100000000L))
-    val updates = chain(corrections.unionByName(inserts),
-      "2024-01-02 00:00:00")
+    val updates = FixtureCache.correctionBatch(spark, sfDir)
     scd1(spark, tableDir, updates)
     updates
   }
@@ -342,20 +368,9 @@ object Upsert {
     val tableDir = s"$base/silver"
     val indexDir = s"$base/keyindex"
     val updatesDir = s"$base/updates"
-    val orders = Tables.orders(spark, sfDir)
-    def chain(src: DataFrame, clock: String): DataFrame =
-      SilverCleanse.withBatchMetadata(
-        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(src)),
-          passthrough = Nil),
-        to_timestamp(lit(clock)))
-    Bronze.writeSilver(chain(orders, "2024-01-01 00:00:00"), tableDir)
+    Bronze.writeSilver(FixtureCache.silverFull(spark, sfDir), tableDir)
     keyIndexBuild(spark, tableDir, indexDir)
-    val k = col("o_orderkey")
-    val moved = orders
-      .filter(col("o_orderdate") >= lit("1997-07-01").cast("date") &&
-        k % 10 === 0)
-      .withColumn("o_orderdate", date_add(col("o_orderdate"), 40))
-    chain(moved, "2024-01-02 00:00:00")
+    FixtureCache.movedBatch(spark, sfDir)
       .write.mode("overwrite").parquet(updatesDir)
     upsertStream(spark, updatesDir, tableDir, indexDir,
       s"$base/checkpoint")
@@ -394,21 +409,10 @@ object Upsert {
   private[graft] def runMovingFixture(spark: SparkSession, sfDir: String,
       tableDir: String, indexDir: String,
       afterBase: () => Unit = () => ()): DataFrame = {
-    val orders = Tables.orders(spark, sfDir)
-    def chain(src: DataFrame, clock: String): DataFrame =
-      SilverCleanse.withBatchMetadata(
-        SilverCleanse.clean(RawClaims.fromOrders(Engine.spread(src)),
-          passthrough = Nil),
-        to_timestamp(lit(clock)))
-    Bronze.writeSilver(chain(orders, "2024-01-01 00:00:00"), tableDir)
+    Bronze.writeSilver(FixtureCache.silverFull(spark, sfDir), tableDir)
     keyIndexBuild(spark, tableDir, indexDir)
     afterBase()
-    val k = col("o_orderkey")
-    val moved = orders
-      .filter(col("o_orderdate") >= lit("1997-07-01").cast("date") &&
-        k % 10 === 0)
-      .withColumn("o_orderdate", date_add(col("o_orderdate"), 40))
-    val updates = chain(moved, "2024-01-02 00:00:00")
+    val updates = FixtureCache.movedBatch(spark, sfDir)
     scd1Moving(spark, tableDir, indexDir, updates)
     updates
   }

@@ -1,0 +1,317 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.operators.{IncrementalGold, SnapshotConflictException, SnapshotTable}
+
+/** Round-12 pins for the snapshot commit PROTOCOL (the two-level
+  * chunked metadata, VERDICT r11 #1) and the concurrency-safety
+  * contracts (ADVICE r11):
+  *
+  *  - commits are O(change): untouched chunks are carried into the next
+  *    root BY REFERENCE (same chunk file name, never rewritten); an
+  *    append adds exactly one chunk; a 1-partition overwrite rewrites
+  *    only the chunks whose partition range intersects it
+  *  - lost-update validation: an overwrite whose read snapshot was
+  *    invalidated by a concurrent commit into the same partitions
+  *    aborts with SnapshotConflictException instead of silently
+  *    dropping the concurrent rows
+  *  - rollbackTo is metadata-only (no data file created or deleted)
+  *  - compactManifests reaches the target chunk count, moves no data
+  *    file, and preserves content and zone stats
+  *  - write-audit-publish: a failing batch never reaches main, a
+  *    passing one lands exactly once, the audit branch ref is dropped
+  *  - schema evolution: type WIDENING (int -> long) resolves from root
+  *    metadata; a v1 time-travel read never sees a v2-added column
+  *  - vacuumed history degrades incremental publish to a full
+  *    republish, never a FileNotFoundException
+  *  - partitionPredicate beyond MaxOrTerms still prunes at listing time
+  */
+class SnapshotProtocolSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = "target/test_snapshot_protocol"
+
+  private def wipe(dir: String): Unit = {
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+    }
+    val root = new File(dir)
+    if (root.exists()) del(root)
+  }
+
+  private def rows(n: Int, month: Int, batch: String) =
+    (0 until n).map(i => (s"K$month-$i", batch, i * 1.0, 2000, month))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+
+  /** Chunk files referenced by version v's root. */
+  private def chunksOf(dir: String, v: Int): Seq[String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$dir/_snapshots/v$v%05d.txt")), "UTF-8")
+    text.linesIterator.filter(_.startsWith("C\t"))
+      .map(_.split("\t")(1)).toSeq
+  }
+
+  private def dataFiles(dir: String): Set[String] = {
+    val root = new File(dir).toPath
+    if (!root.toFile.exists()) return Set.empty
+    val out = Set.newBuilder[String]
+    java.nio.file.Files.walk(root).forEach { p =>
+      val rel = root.relativize(p).toString
+      if (rel.endsWith(".parquet") && !rel.startsWith("_snapshots") &&
+          !rel.startsWith("_staging")) out += rel
+    }
+    out.result()
+  }
+
+  test("O(change) commits: untouched chunks carried by reference; append adds one chunk; overwrite rewrites only intersecting chunks") {
+    val dir = s"$base/ochange"
+    wipe(dir)
+    // five appends into five months — five versions, below the tier-
+    // merge threshold, so each commit writes exactly ONE new chunk
+    (1 to 5).foreach(m => SnapshotTable.append(spark, dir, rows(3, m, s"b$m")))
+    val c4 = chunksOf(dir, 4)
+    val c5 = chunksOf(dir, 5)
+    // v5 carries v4's chunks by NAME — untouched metadata is referenced,
+    // never rewritten (the O(change) property)
+    assert(c4.toSet.subsetOf(c5.toSet),
+      s"v4 chunks must survive by reference in v5: $c4 vs $c5")
+    assert(c5.size == c4.size + 1, s"append must add exactly one chunk: $c5")
+    // a 1-partition overwrite: chunks whose range excludes month 2 are
+    // carried by reference; only the intersecting chunk is rewritten
+    SnapshotTable.overwritePartitions(spark, dir, rows(2, 2, "b2x"))
+    val c6 = chunksOf(dir, 6)
+    val untouched = c5.toSet.intersect(c6.toSet)
+    assert(untouched.size >= 4,
+      s"non-intersecting chunks must carry by reference: kept $untouched")
+    // content is right: month 2 replaced, others intact
+    val v6 = SnapshotTable.read(spark, dir, Some(6))
+    assert(v6.filter(col("service_month") === 2).count() == 2)
+    assert(v6.count() == 4 * 3 + 2)
+  }
+
+  test("tier merge bounds the root: many small appends never accumulate unbounded chunk references") {
+    val dir = s"$base/tiers"
+    wipe(dir)
+    (1 to 30).foreach(i =>
+      SnapshotTable.append(spark, dir, rows(2, 1 + (i % 12), s"b$i")))
+    val refs = chunksOf(dir, 30)
+    // 30 commits, but the size-tiered merge keeps the root bounded
+    // (maxPerTier=8 across ~5 active tiers)
+    assert(refs.size <= 20, s"root must stay bounded, got ${refs.size}")
+    assert(SnapshotTable.read(spark, dir).count() == 60)
+  }
+
+  test("lost-update validation: an overwrite computed from a stale snapshot aborts with SnapshotConflictException") {
+    val dir = s"$base/conflict"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, rows(5, 1, "b1"))
+    val readV = SnapshotTable.latestVersion(spark, dir) // = 1
+    // a concurrent writer lands an append INTO month 1 after our read
+    SnapshotTable.append(spark, dir, rows(2, 1, "b2"))
+    // our overwrite of month 1 was computed from v1 — committing it
+    // would silently drop b2's rows; the protocol must refuse
+    val ex = intercept[SnapshotConflictException] {
+      SnapshotTable.overwritePartitions(spark, dir, rows(3, 1, "b3"),
+        readVersion = Some(readV))
+    }
+    assert(ex.getMessage.contains("recompute"))
+    // nothing was committed; the table still reads b1+b2
+    assert(SnapshotTable.latestVersion(spark, dir) == 2)
+    assert(SnapshotTable.read(spark, dir).count() == 7)
+    // a DISJOINT-partition overwrite from the same stale snapshot is
+    // NOT a conflict (the concurrent commit didn't touch month 2)
+    SnapshotTable.append(spark, dir, rows(4, 2, "b1"))
+    val v3 = SnapshotTable.latestVersion(spark, dir)
+    SnapshotTable.append(spark, dir, rows(2, 1, "b4")) // month 1 again
+    SnapshotTable.overwritePartitions(spark, dir, rows(1, 2, "b5"),
+      readVersion = Some(v3)) // month 2 — composes fine
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("service_month") === 2).count() == 1)
+  }
+
+  test("rollbackTo is metadata-only: no data file created or deleted; the undone version stays time-travelable") {
+    val dir = s"$base/rollback"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, rows(5, 1, "b1"))
+    SnapshotTable.append(spark, dir, rows(3, 2, "b2"))
+    val filesBefore = dataFiles(dir)
+    val v = SnapshotTable.rollbackTo(spark, dir, 1)
+    assert(v == 3)
+    assert(dataFiles(dir) == filesBefore, "rollback must move no data")
+    // v3 content == v1 content; chunks shared by name
+    assert(chunksOf(dir, 3) == chunksOf(dir, 1))
+    assert(SnapshotTable.read(spark, dir).count() == 5)
+    // the rolled-back v2 is still readable (history preserved)
+    assert(SnapshotTable.read(spark, dir, Some(2)).count() == 8)
+  }
+
+  test("compactManifests: target chunk count, no data file moved, stats preserved") {
+    val dir = s"$base/mcompact"
+    wipe(dir)
+    (1 to 6).foreach(m => SnapshotTable.append(spark, dir,
+      rows(3, m, s"b$m"), statsColumns = Seq("claim_amount")))
+    val filesBefore = dataFiles(dir)
+    val statsBefore = SnapshotTable.readStats(spark, dir, 6)
+    val contentBefore = SnapshotTable.read(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val v = SnapshotTable.compactManifests(spark, dir, targetChunks = 2)
+    assert(chunksOf(dir, v).size == 2)
+    assert(dataFiles(dir) == filesBefore, "manifest rewrite moves no data")
+    assert(SnapshotTable.readStats(spark, dir, v) == statsBefore,
+      "zone stats must survive the manifest rewrite byte-for-byte")
+    assert(SnapshotTable.read(spark, dir).collect().map(_.toSeq).toSet
+      == contentBefore)
+  }
+
+  test("write-audit-publish: failing batch never reaches main; passing batch lands exactly once; branch ref dropped") {
+    val dir = s"$base/wap"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, rows(5, 1, "base"))
+    val mainBefore = SnapshotTable.latestVersion(spark, dir)
+    val bad = rows(3, 2, "bad")
+      .withColumn("claim_id", lit(null).cast("string"))
+    val (stagedBad, okBad) = SnapshotTable.writeAuditPublish(spark, dir,
+      bad)(df => df.filter(col("claim_id").isNull).isEmpty)
+    assert(!okBad)
+    // main still points at the base; reading main sees no bad row
+    assert(SnapshotTable.getRef(spark, dir, "main").contains(mainBefore))
+    val main = SnapshotTable.readRef(spark, dir, "main")
+    assert(main.count() == 5)
+    assert(main.filter(col("batch_id") === "bad").isEmpty)
+    // the staged version remains time-travelable until vacuum
+    assert(SnapshotTable.read(spark, dir, Some(stagedBad))
+      .filter(col("batch_id") === "bad").count() == 3)
+    // audit branch is gone
+    assert(SnapshotTable.getRef(spark, dir, "audit").isEmpty)
+    val (stagedGood, okGood) = SnapshotTable.writeAuditPublish(spark, dir,
+      rows(3, 2, "good"))(df => df.filter(col("claim_id").isNull).isEmpty)
+    assert(okGood)
+    assert(SnapshotTable.getRef(spark, dir, "main").contains(stagedGood))
+    assert(SnapshotTable.readRef(spark, dir, "main")
+      .filter(col("batch_id") === "good").count() == 3)
+    assert(SnapshotTable.readRef(spark, dir, "main").count() == 8)
+  }
+
+  test("schema widening: int -> long resolves from root metadata; v1 time travel never sees a v2 column") {
+    val dir = s"$base/widen"
+    wipe(dir)
+    val v1df = (0 until 4).map(i => (s"K$i", "b1", i, 2000, 1))
+      .toDF("claim_id", "batch_id", "qty", "service_year", "service_month")
+    assert(v1df.schema("qty").dataType == IntegerType)
+    SnapshotTable.append(spark, dir, v1df)
+    val v2df = (0 until 3).map(i =>
+        (s"L$i", "b2", i.toLong + 5000000000L, 2000, 2, s"src$i"))
+      .toDF("claim_id", "batch_id", "qty", "service_year", "service_month",
+        "origin")
+    SnapshotTable.append(spark, dir, v2df)
+    // root schema: qty widened to long, origin appended
+    val schema = SnapshotTable.tableSchema(spark, dir).get
+    assert(schema("qty").dataType == LongType)
+    assert(schema.fieldNames.contains("origin"))
+    val latest = SnapshotTable.read(spark, dir)
+    assert(latest.schema("qty").dataType == LongType)
+    // v1 rows surface origin as NULL; v2's big longs read exactly
+    assert(latest.filter(col("origin").isNull).count() == 4)
+    assert(latest.filter(col("qty") >= 5000000000L).count() == 3)
+    // a v1 TIME-TRAVEL read resolves v1's root schema: no origin column
+    val v1read = SnapshotTable.read(spark, dir, Some(1))
+    assert(!v1read.schema.fieldNames.contains("origin"))
+    assert(v1read.schema("qty").dataType == IntegerType)
+    // incompatible change is rejected
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, dir,
+        Seq(("M0", "b3", "notanumber", 2000, 3))
+          .toDF("claim_id", "batch_id", "qty", "service_year",
+            "service_month"))
+    }
+  }
+
+  test("vacuumed history degrades incremental publish to a full republish, never FileNotFoundException") {
+    val dir = s"$base/vacfall"
+    wipe(dir)
+    val t = s"$dir/silver"
+    SnapshotTable.append(spark, t, rows(5, 1, "b1"))
+    SnapshotTable.overwritePartitions(spark, t, rows(2, 1, "b2"))
+    SnapshotTable.overwritePartitions(spark, t, rows(3, 1, "b3"))
+    // consumer watermark pinned at v1, whose root vacuum then deletes
+    SnapshotTable.vacuum(spark, t, retainLast = 1)
+    assert(!new File(s"$t/_snapshots/v00001.txt").exists())
+    val parts = SnapshotTable.changedPartitionsBetween(spark, t, 1, 3)
+    // history truncated -> every live partition reports changed
+    assert(parts == Seq((Some(2000), Some(1))))
+    // and the added-files CDC read degrades to the full current content
+    assert(SnapshotTable.readFilesAdded(spark, t, 1, 3).count() == 3)
+  }
+
+  test("partitionPredicate beyond MaxOrTerms: set-membership form, same semantics, still prunes at listing time") {
+    // semantics: OR form and set form agree on every (y, m) + nulls
+    val parts = (0 until 70).map(i => (Some(2000 + i / 12), Some(1 + i % 12)))
+      .map { case (y, m) => (y: Option[Int], m: Option[Int]) } :+
+      ((None: Option[Int]), (None: Option[Int]))
+    assert(parts.size > IncrementalGold.MaxOrTerms)
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("service_year", IntegerType),
+      org.apache.spark.sql.types.StructField("service_month", IntegerType)))
+    val probeRows = ((0 until 80).map(i =>
+        (Integer.valueOf(2000 + i / 12), Integer.valueOf(1 + i % 12))) :+
+      ((null: Integer), (null: Integer)))
+      .map { case (y, m) => org.apache.spark.sql.Row(y, m) }
+    val probe = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows, 2), probeSchema)
+    val expected = probe.filter(
+      parts.take(IncrementalGold.MaxOrTerms)
+        .map { case (y, m) =>
+          (col("service_year") <=> y.map(lit(_)).getOrElse(lit(null)
+            .cast("int"))) &&
+          (col("service_month") <=> m.map(lit(_)).getOrElse(lit(null)
+            .cast("int")))
+        }.reduce(_ || _) ||
+      parts.drop(IncrementalGold.MaxOrTerms)
+        .map { case (y, m) =>
+          (col("service_year") <=> y.map(lit(_)).getOrElse(lit(null)
+            .cast("int"))) &&
+          (col("service_month") <=> m.map(lit(_)).getOrElse(lit(null)
+            .cast("int")))
+        }.reduce(_ || _)).collect().map(_.toSeq).toSet
+    val got = probe.filter(IncrementalGold.partitionPredicate(parts))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    // pruning: against a 70-partition table, the big-N predicate still
+    // reaches the scan as a partition-only filter (listing-time prune)
+    val dir = s"$base/bigN"
+    wipe(dir)
+    (0 until 70).map(i => (s"K$i", 2000 + i / 12, 1 + i % 12))
+      .toDF("claim_id", "service_year", "service_month")
+      .write.partitionBy("service_year", "service_month").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val slice = table.filter(
+      IncrementalGold.partitionPredicate(parts.take(66)))
+    val scan = slice.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.selectedPartitions.partitionCount == 66,
+      s"expected 66 selected partitions, got " +
+        s"${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("truncateTo resets the table to a version: later roots, chunks, files and refs gone; content restored") {
+    val dir = s"$base/trunc"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, rows(5, 1, "b1"))
+    SnapshotTable.append(spark, dir, rows(3, 2, "b2"))
+    SnapshotTable.setRef(spark, dir, "main", 2)
+    val filesV1 = SnapshotTable.manifest(spark, dir, 1).files.toSet
+    SnapshotTable.truncateTo(spark, dir, 1)
+    assert(SnapshotTable.latestVersion(spark, dir) == 1)
+    assert(dataFiles(dir) == filesV1, "v2-only files must be deleted")
+    assert(SnapshotTable.getRef(spark, dir, "main").isEmpty,
+      "refs above the truncation point must drop")
+    assert(SnapshotTable.read(spark, dir).count() == 5)
+  }
+}

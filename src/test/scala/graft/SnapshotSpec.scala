@@ -105,7 +105,7 @@ class SnapshotSpec extends SparkSpec {
   test("zone maps: clustered range scan skips most files, loses no rows") {
     val dir = s"$base/skip/silver"
     wipe(s"$base/skip")
-    SnapshotTable.buildClusteredSilver(spark, sfDir, dir)
+    graft.operators.SnapshotQueries.buildClusteredSilver(spark, sfDir, dir)
     val (df, total, kept) =
       SnapshotTable.scanSkipping(spark, dir, "claim_amount", 1000.0, 20000.0)
     assert(total > 0 && kept > 0)
@@ -131,7 +131,7 @@ class SnapshotSpec extends SparkSpec {
   test("typed zone maps: DATE clustering skips files, loses no rows") {
     val dir = s"$base/skipdate/silver"
     wipe(s"$base/skipdate")
-    SnapshotTable.buildDateClusteredSilver(spark, sfDir, dir)
+    graft.operators.SnapshotQueries.buildDateClusteredSilver(spark, sfDir, dir)
     val (df, total, kept) = SnapshotTable.scanSkippingStr(spark, dir,
       "service_date", "1996-01-01", "1996-12-31")
     assert(total > 0 && kept > 0)
@@ -384,7 +384,7 @@ class SnapshotSpec extends SparkSpec {
   test("time-travel fixture: v1 row count equals base, v2 merges corrections") {
     val dir = s"$base/tt"
     wipe(dir)
-    SnapshotTable.runSnapshotFixture(spark, sfDir, s"$dir/silver")
+    graft.operators.SnapshotQueries.runSnapshotFixture(spark, sfDir, s"$dir/silver")
     val v1 = SnapshotTable.read(spark, s"$dir/silver", Some(1))
     val v2 = SnapshotTable.read(spark, s"$dir/silver", Some(2))
     assert(v1.filter(col("batch_id") =!= "20240101_000000").isEmpty)
