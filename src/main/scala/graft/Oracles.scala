@@ -3072,6 +3072,92 @@ FROM silver_b1 ORDER BY claim_id"""
 SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
   service_year, service_month
 FROM silver ORDER BY claim_id"""),
+
+    // metadata row counts: the Spark side answers from roots + chunks
+    // ALONE (zero data files opened); the oracle recomputes the
+    // two-batch silver and counts per partition — equality proves the
+    // committed counts are the data's truth
+    "q_snapshot_stats" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)}
+SELECT service_year, service_month, count(*) AS n_claims
+FROM (SELECT service_year, service_month FROM silver_b1
+      UNION ALL
+      SELECT service_year, service_month FROM silver_b2) u
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    // ANALYZE NDV sidecar: the Spark side reads the persisted KMV
+    // sketch (no data); the oracle runs the engine-standard KMV mirror
+    // (md5 hash60, k=64, identical estimator arithmetic) over the
+    // recomputed silver — byte-equality proves the sidecar is exactly
+    // the live data's sketch
+    "q_snapshot_ndv" -> {
+      import graft.operators.SketchOps.hash60Sql
+      val k = graft.operators.SketchOps.KmvK
+      val two60 = "1.152921504606846976e18"
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      def arm(c: String) =
+        s"""SELECT '$c' AS column_name,
+  CASE WHEN __held < $k THEN CAST(__held AS DOUBLE)
+       ELSE ${(k - 1).toDouble} /
+         ((CAST(__kth AS DOUBLE) + 1.0) / $two60) END AS ndv_kmv
+FROM (
+  SELECT count(*) AS __held, max(__h) AS __kth FROM (
+    SELECT __h, row_number() OVER (ORDER BY __h) AS __rk
+    FROM (SELECT DISTINCT ${hash60Sql(c)} AS __h FROM u
+          WHERE $c IS NOT NULL) d
+  ) r WHERE __rk <= $k)"""
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)},
+u AS (SELECT claim_id, member_id, provider_name FROM silver_b1
+      UNION ALL
+      SELECT claim_id, member_id, provider_name FROM silver_b2)
+${Seq("claim_id", "member_id", "provider_name").map(arm)
+        .mkString("", "\nUNION ALL\n", "")}
+ORDER BY column_name"""
+    },
+
+    // metadata-driven broadcast join: the dim side carries a broadcast
+    // hint because its COMMIT METADATA row count is under threshold
+    // (PlanSpec pins the BroadcastHashJoin with Spark's own size
+    // estimation disabled); the oracle recomputes the same join — the
+    // hint changes the strategy, never the rows
+    "q_snapshot_cbo" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)},
+u AS (SELECT provider_name, claim_amount FROM silver_b1
+      UNION ALL
+      SELECT provider_name, claim_amount FROM silver_b2),
+dim AS (
+  SELECT DISTINCT provider_name,
+    CASE WHEN provider_name = 'UNKNOWN' THEN 'none'
+         ELSE 't' || CAST(CAST(substr(provider_name, 6, 1) AS INT) % 3
+           AS VARCHAR) END AS provider_tier
+  FROM u)
+SELECT provider_tier, count(*) AS n_claims,
+  count(DISTINCT provider_name) AS n_providers,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
+FROM u JOIN dim USING (provider_name)
+GROUP BY 1 ORDER BY 1"""
+    },
   )
 
   /** The fused IVF-PQ ADC search pipeline, shared verbatim by

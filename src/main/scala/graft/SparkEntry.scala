@@ -170,6 +170,9 @@ object SparkEntry {
     "q_schema_evolution" -> SnapshotQueries.schemaEvolutionE2e _,
     "q_snapshot_rollback" -> SnapshotQueries.rollbackE2e _,
     "q_manifest_compact" -> SnapshotQueries.manifestCompactE2e _,
+    "q_snapshot_stats" -> SnapshotQueries.statsE2e _,
+    "q_snapshot_ndv" -> SnapshotQueries.ndvE2e _,
+    "q_snapshot_cbo" -> SnapshotQueries.cboE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -369,17 +369,143 @@ object SnapshotQueries {
     * data file moved. */
   def manifestCompactE2e(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    val d = FixtureCache.cachedDir(spark, "snap_micro_commits", sfDir) {
+    val d = FixtureCache.cachedDir(spark, "snap_micro_commits_v3", sfDir) {
       dir =>
         val silver = FixtureCache.silverFull(spark, sfDir)
+        // twelve cadence commits, each landing in ITS OWN partition
+        // slice (the real micro-commit shape: a batch touches the
+        // partitions of its time window, not the whole table) and
+        // coalesced per commit. Slicing by key hash instead wrote
+        // every slice into all ~84 partitions — thousands of tiny
+        // files whose content-verification read dominated the timing.
+        // The slices' union is still exactly the full silver.
         (0 until 12).foreach(i =>
           append(spark, s"$dir/silver",
-            silver.filter(pmod(crc32(col("claim_id")), lit(12)) === i),
+            silver.filter(pmod(coalesce(
+              col("service_year") * 12 + col("service_month"), lit(0)),
+              lit(12)) === i).repartition(2),
             op = s"append-$i"))
     }
     val tableDir = s"$d/silver"
     truncateTo(spark, tableDir, 12)
     compactManifests(spark, tableDir, targetChunks = 2)
     keyCols(read(spark, tableDir))
+  }
+
+  // ------------------------------------------------------------------
+  // Table statistics (round-12): metadata row counts, ANALYZE NDV
+  // sketches, and the metadata-driven broadcast decision.
+  // ------------------------------------------------------------------
+
+  /** The two-batch snapshot silver committed WITH per-file row counts
+    * (every data commit records them since round 12; this fixture name
+    * is distinct from pre-row-count caches so the counts are
+    * guaranteed present). Shared by the stats/NDV/CBO queries. */
+  private[graft] def countedTwoBatchTable(spark: SparkSession,
+      sfDir: String): String = {
+    val d = FixtureCache.cachedDir(spark, "snap_counted", sfDir) { dir =>
+      append(spark, s"$dir/silver", FixtureCache.silverPre1997(spark, sfDir))
+      append(spark, s"$dir/silver", FixtureCache.silverPost1997(spark, sfDir))
+    }
+    s"$d/silver"
+  }
+
+  /** `q_snapshot_stats`: per-partition EXACT row counts from commit
+    * metadata alone — [[SnapshotTable.rowCountsByPartition]] touches
+    * roots and chunks, never a data file (the catalog row-count
+    * surface a CBO reads; at 100 TB this answers "how big is each
+    * partition" in O(metadata)). The DuckDB oracle recomputes the
+    * two-batch silver and counts per partition — equality proves the
+    * metadata counts are the data's truth. */
+  def statsE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    Engine.configure(spark)
+    val tableDir = countedTwoBatchTable(spark, sfDir)
+    val counts = rowCountsByPartition(spark, tableDir).getOrElse(
+      throw new IllegalStateException(
+        "counted fixture must carry per-file row counts"))
+    val rows = counts.toSeq.map { case ((y, m), n) =>
+      Row(y.map(Integer.valueOf).orNull, m.map(Integer.valueOf).orNull, n)
+    }
+    val schema = StructType(Seq(
+      StructField("service_year", IntegerType, nullable = true),
+      StructField("service_month", IntegerType, nullable = true),
+      StructField("n_claims", LongType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(col("service_year"), col("service_month"))
+  }
+
+  /** `q_snapshot_ndv`: ANALYZE-pass NDV sketches as an oracle-checked
+    * query. The cached fixture runs [[SnapshotTable.analyzeTable]]
+    * over three silver columns (one distinct-hash top-k pass each,
+    * persisted as the version's sidecar); the query reads the SIDECAR
+    * only and reports each column's KMV estimate. The DuckDB oracle
+    * runs the engine-standard KMV mirror (md5 hash60, k=64, identical
+    * estimator arithmetic) over the recomputed silver — byte-equality
+    * proves the persisted sketch is exactly the sketch of the live
+    * data, which is what makes it safe for a planner to trust. */
+  def ndvE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    Engine.configure(spark)
+    val d = FixtureCache.cachedDir(spark, "snap_analyzed", sfDir) { dir =>
+      append(spark, s"$dir/silver", FixtureCache.silverPre1997(spark, sfDir))
+      append(spark, s"$dir/silver", FixtureCache.silverPost1997(spark, sfDir))
+      analyzeTable(spark, s"$dir/silver",
+        Seq("claim_id", "member_id", "provider_name"))
+    }
+    val stats = tableStats(spark, s"$d/silver").getOrElse(
+      throw new IllegalStateException("analyzed fixture must have a sidecar"))
+    val rows = stats.kmv.keys.toSeq.sorted.map { c =>
+      Row(c, stats.ndv(c).get)
+    }
+    val schema = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("ndv_kmv", DoubleType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(col("column_name"))
+  }
+
+  /** The tiny provider dimension (8 rows) committed as its own
+    * snapshot table — the broadcast side of the CBO join. */
+  private def providerDimTable(spark: SparkSession, sfDir: String)
+      : String = {
+    val d = FixtureCache.cachedDir(spark, "snap_dim_provider", sfDir) {
+      dir =>
+        val dim = read(spark, countedTwoBatchTable(spark, sfDir))
+          .select(col("provider_name")).distinct()
+          .withColumn("provider_tier",
+            when(col("provider_name") === "UNKNOWN", lit("none"))
+              .otherwise(concat(lit("t"),
+                (substring(col("provider_name"), 6, 1).cast("int") % 3)
+                  .cast("string"))))
+        append(spark, s"$dir/dim", dim)
+    }
+    s"$d/dim"
+  }
+
+  /** `q_snapshot_cbo`: the metadata-driven broadcast decision as an
+    * oracle-checked query. The fact side is the two-batch silver
+    * snapshot; the dim side comes through [[SnapshotTable.readCbo]],
+    * whose EXACT metadata row count (8) is under the threshold, so the
+    * join plans as a broadcast hash join with zero data-sizing passes
+    * (PlanSpec pins the plan with autoBroadcastJoinThreshold
+    * disabled — the decision is the metadata's, not Spark's size
+    * estimate). The DuckDB oracle recomputes the same join over the
+    * raw chain — equality proves the hinted plan changes nothing but
+    * the strategy. */
+  def cboE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val fact = read(spark, countedTwoBatchTable(spark, sfDir))
+    val dim = readCbo(spark, providerDimTable(spark, sfDir))
+    fact.join(dim, Seq("provider_name"))
+      .groupBy(col("provider_tier"))
+      .agg(count(lit(1)).as("n_claims"),
+        countDistinct(col("provider_name")).as("n_providers"),
+        graft.functions.Exact.dsum(col("claim_amount")).as("total_amount"))
+      .orderBy(col("provider_tier"))
   }
 }

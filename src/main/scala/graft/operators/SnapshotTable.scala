@@ -91,10 +91,14 @@ object SnapshotTable {
   final case class Root(version: Int, parent: Int, op: String,
       schemaJson: Option[String], chunks: Seq[ChunkRef])
 
-  /** A resolved chunk: its files and their zone stats ((column, file)
-    * keyed, exactly the slice of table stats this chunk owns). */
+  /** A resolved chunk: its files, their zone stats ((column, file)
+    * keyed, exactly the slice of table stats this chunk owns) and their
+    * per-file row counts (absent for files committed by a
+    * metadata-only harness or a pre-row-count chunk — consumers treat
+    * a missing count as "unknown", never zero). */
   private final case class ChunkEntry(files: Seq[String],
-      stats: Map[(String, String), ZoneStat])
+      stats: Map[(String, String), ZoneStat],
+      rows: Map[String, Long])
 
   private def snapDir(tableDir: String) = new Path(s"$tableDir/_snapshots")
 
@@ -175,17 +179,19 @@ object SnapshotTable {
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val files = Seq.newBuilder[String]
     val stats = Map.newBuilder[(String, String), ZoneStat]
+    val rows = Map.newBuilder[String, Long]
     text.linesIterator.filter(_.nonEmpty).foreach { l =>
       val parts = l.split("\t", -1)
       parts(0) match {
         case "F" => files += parts(1)
         case "Z" => stats += ((parts(1), parts(5)) ->
           ZoneStat(parts(2), dec(parts(3)), dec(parts(4))))
+        case "R" => rows += (parts(1) -> parts(2).toLong)
         case other =>
           throw new IllegalStateException(s"bad chunk line kind: $other")
       }
     }
-    val e = ChunkEntry(files.result(), stats.result())
+    val e = ChunkEntry(files.result(), stats.result(), rows.result())
     if (chunkCache.size > 4096) chunkCache.clear()
     chunkCache.put(key, e)
     e
@@ -195,8 +201,8 @@ object SnapshotTable {
     * writer-unique name; returns its reference. No CAS needed — the
     * name can't collide, and only a published root makes it live. */
   private def writeChunk(spark: SparkSession, tableDir: String,
-      files: Seq[String], stats: Map[(String, String), ZoneStat])
-      : ChunkRef = {
+      files: Seq[String], stats: Map[(String, String), ZoneStat],
+      rows: Map[String, Long] = Map.empty): ChunkRef = {
     val dir = snapDir(tableDir)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
@@ -207,9 +213,12 @@ object SnapshotTable {
       .collect { case ((c, f), z) if fileSet.contains(f) =>
         s"Z\t$c\t${z.kind}\t${enc(z.min)}\t${enc(z.max)}\t$f" }
       .sorted
+    val rLines = rows.toSeq
+      .collect { case (f, n) if fileSet.contains(f) => s"R\t$f\t$n" }
+      .sorted
     val out = fs.create(new Path(dir, name), true)
     try out.write(
-      (sortedFiles.map(f => s"F\t$f") ++ zLines)
+      (sortedFiles.map(f => s"F\t$f") ++ rLines ++ zLines)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val keys = sortedFiles.map(partKeyOfFile)
@@ -218,6 +227,7 @@ object SnapshotTable {
       if (keys.isEmpty) "~~" else keys.max)
     chunkCache.put(s"$tableDir/$name",
       ChunkEntry(sortedFiles, stats.filter { case ((_, f), _) =>
+        fileSet.contains(f) }, rows.filter { case (f, _) =>
         fileSet.contains(f) }))
     ref
   }
@@ -326,6 +336,147 @@ object SnapshotTable {
   }
 
   // ------------------------------------------------------------------
+  // Table statistics (round-12 seed: CBO from metadata). Two tiers,
+  // mirroring what real formats do:
+  //  - EXACT per-file row counts ride inside every data commit's chunk
+  //    (collected in the same single scan as the zone maps, cost ∝
+  //    change) — so table/partition row counts resolve from metadata
+  //    alone, and a join planner can pick its broadcast side without
+  //    ever sizing the data.
+  //  - NDV sketches are an explicit ANALYZE pass ([[analyzeTable]] —
+  //    Iceberg's ANALYZE/Puffin shape): version-pinned KMV k-min lists
+  //    persisted as a sidecar, read back O(1). Incremental-exact NDV
+  //    under file-level rewrites would need per-file sketches (k longs
+  //    per file per column — 30× the zone-map metadata at 1e6 files),
+  //    so like the real formats we recompute on ANALYZE instead.
+  // ------------------------------------------------------------------
+
+  /** Exact live row count at `version`, from chunk metadata alone —
+    * None if any live file predates row-count recording (consumers
+    * must treat unknown as unknown, never zero). */
+  def rowCount(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): Option[Long] = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    val entries = readRoot(spark, tableDir, v).chunks
+      .map(c => chunkEntry(spark, tableDir, c.name))
+    if (entries.exists(e => e.files.exists(f => !e.rows.contains(f)))) None
+    else Some(entries.map(_.rows.values.sum).sum)
+  }
+
+  /** Exact live row count per partition at `version`, metadata-only
+    * (None under the same unknown-count rule as [[rowCount]]). The
+    * partition-level table-stats surface a catalog would serve. */
+  def rowCountsByPartition(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None)
+      : Option[Map[(Option[Int], Option[Int]), Long]] = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    val entries = readRoot(spark, tableDir, v).chunks
+      .map(c => chunkEntry(spark, tableDir, c.name))
+    if (entries.exists(e => e.files.exists(f => !e.rows.contains(f)))) None
+    else Some(entries.flatMap(e => e.files.map(f =>
+        (partitionOf(f).getOrElse((None, None)), e.rows(f))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+  }
+
+  /** Version-pinned table statistics from an [[analyzeTable]] pass:
+    * the exact row count at analyze time plus per-column KMV k-min
+    * sketches, from which [[ndv]] estimates distinct counts with the
+    * engine-standard estimator ([[SketchOps.kmvDistinct]]'s formula —
+    * byte-identical results, so the sidecar is oracle-checkable). */
+  final case class TableStats(analyzedVersion: Int, rowCount: Option[Long],
+      kmv: Map[String, Seq[Long]]) {
+    /** KMV distinct estimate for `column`: held count when the sketch
+      * saw fewer than k distinct hashes (then it IS exact), else
+      * (k−1)/u₍ₖ₎ with u₍ₖ₎ = (h₍ₖ₎+1)/2⁶⁰. */
+    def ndv(column: String): Option[Double] = kmv.get(column).map { hs =>
+      if (hs.size < SketchOps.KmvK) hs.size.toDouble
+      else (SketchOps.KmvK - 1).toDouble /
+        ((hs.max.toDouble + 1.0) / 1.152921504606846976e18)
+    }
+  }
+
+  private def analyzePath(tableDir: String, v: Int) =
+    new Path(snapDir(tableDir), f"analyze_v$v%05d.txt")
+
+  /** ANALYZE at `version` (default latest): ONE distinct-hash top-k
+    * pass per column over the pinned snapshot (k=64 rows collected per
+    * column — driver state is sketch-sized), persisted as the
+    * version's stats sidecar. Maintenance-window op, like the real
+    * formats' ANALYZE; rewrites the version's sidecar if present.
+    * Returns the analyzed version. */
+  def analyzeTable(spark: SparkSession, tableDir: String,
+      columns: Seq[String], version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    val df = read(spark, tableDir, Some(v))
+    val kmv = columns.map { c =>
+      c -> df.filter(col(c).isNotNull)
+        .select(SketchOps.hash60(col(c)).as("__h")).distinct()
+        .orderBy(col("__h")).limit(SketchOps.KmvK)
+        .collect().map(_.getLong(0)).toSeq
+    }.toMap
+    val lines = Seq(s"rowcount=${rowCount(spark, tableDir, Some(v))
+        .map(_.toString).getOrElse("-")}") ++
+      kmv.toSeq.sortBy(_._1).map { case (c, hs) =>
+        s"K\t$c\t${hs.mkString(",")}" }
+    val p = analyzePath(tableDir, v)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** The most recent ANALYZE sidecar at or below `version` (None if
+    * the table was never analyzed in that range) — the read side a
+    * cost-based planner consults: O(1) metadata, no data touched. */
+  def tableStats(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): Option[TableStats] = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    val d = snapDir(tableDir)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) return None
+    val analyzed = fs.listStatus(d).map(_.getPath.getName)
+      .collect { case n if n.matches("analyze_v\\d+\\.txt") =>
+        n.stripPrefix("analyze_v").stripSuffix(".txt").toInt }
+      .filter(_ <= v)
+    analyzed.maxOption.map { av =>
+      val in = fs.open(analyzePath(tableDir, av))
+      val text = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      val lines = text.linesIterator.toSeq
+      val rc = lines.collectFirst {
+        case l if l.startsWith("rowcount=") =>
+          l.stripPrefix("rowcount=") }.filter(_ != "-").map(_.toLong)
+      val kmv = lines.filter(_.startsWith("K\t")).map { l =>
+        val Array(_, c, hs) = l.split("\t", 3)
+        c -> (if (hs.isEmpty) Seq.empty[Long]
+              else hs.split(",").map(_.toLong).toSeq)
+      }.toMap
+      TableStats(av, rc, kmv)
+    }
+  }
+
+  /** Read the table with the broadcast decision made from COMMIT
+    * METADATA: when the exact metadata row count is at most
+    * `broadcastMaxRows`, the frame carries an explicit broadcast hint
+    * (the build-side choice Spark's CBO makes from ANALYZE statistics,
+    * resolved here with zero data reads or size-estimation passes — at
+    * 100 TB the fact side of a dim join never gets sized). Unknown
+    * counts never broadcast. Pick the threshold from expected row
+    * width × executor memory, as for autoBroadcastJoinThreshold. */
+  def readCbo(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None, broadcastMaxRows: Long = 500000)
+      : DataFrame = {
+    val df = read(spark, tableDir, version)
+    rowCount(spark, tableDir, version) match {
+      case Some(n) if n <= broadcastMaxRows => broadcast(df)
+      case _ => df
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Schema-as-metadata: each root carries the table schema, evolved
   // add-column / widen-numeric per commit — reads resolve it O(1).
   // ------------------------------------------------------------------
@@ -422,7 +573,8 @@ object SnapshotTable {
         val entries = g.map(r => chunkEntry(spark, tableDir, r.name))
         Seq(writeChunk(spark, tableDir, entries.flatMap(_.files),
           entries.foldLeft(Map.empty[(String, String), ZoneStat])(
-            _ ++ _.stats)))
+            _ ++ _.stats),
+          entries.foldLeft(Map.empty[String, Long])(_ ++ _.rows)))
       }
     }
   }
@@ -475,13 +627,13 @@ object SnapshotTable {
   private def commitRetrying(spark: SparkSession, tableDir: String,
       op: String, added: Seq[String], replacedPrefixes: Seq[String],
       statsColumns: Seq[String], readVersion: Option[Int],
-      dfSchema: Option[StructType]): Int = {
-    val fresh = statsColumns.flatMap { c =>
-      fileStats(spark, tableDir, added, c)
-        .map { case (f, z) => (c, f) -> z }
-    }.toMap
+      dfSchema: Option[StructType], countRows: Boolean = true): Int = {
+    val (rows, fresh) =
+      if (countRows) collectFileMeta(spark, tableDir, added, statsColumns)
+      else (Map.empty[String, Long], Map.empty[(String, String), ZoneStat])
     val newRef =
-      if (added.nonEmpty) Some(writeChunk(spark, tableDir, added, fresh))
+      if (added.nonEmpty)
+        Some(writeChunk(spark, tableDir, added, fresh, rows))
       else None
     val replacedKeys = replacedPrefixes
       .map(p => partKeyOfFile(p + "f")).distinct
@@ -513,7 +665,8 @@ object SnapshotTable {
           else {
             val keptSet = kept.toSet
             Some(writeChunk(spark, tableDir, kept,
-              ce.stats.filter { case ((_, f), _) => keptSet.contains(f) }))
+              ce.stats.filter { case ((_, f), _) => keptSet.contains(f) },
+              ce.rows.filter { case (f, _) => keptSet.contains(f) }))
           }
         }
       }
@@ -524,13 +677,14 @@ object SnapshotTable {
 
   /** Metadata-only commit of pre-named files — the harness behind the
     * commit-cost curve (SnapshotCommitBench) and protocol specs; no
-    * data is read or written. */
+    * data is read or written (so no row counts are recorded — the
+    * synthetic paths name no real parquet). */
   private[graft] def commitFiles(spark: SparkSession, tableDir: String,
       op: String, added: Seq[String],
       replacedPrefixes: Seq[String] = Nil): Int =
     commitRetrying(spark, tableDir, op, added, replacedPrefixes, Nil,
       if (replacedPrefixes.isEmpty) None
-      else Some(latestVersion(spark, tableDir)), None)
+      else Some(latestVersion(spark, tableDir)), None, countRows = false)
 
   /** Write `df`'s partitioned files under `_staging/<uuid>`, then move
     * each into the table tree (Spark's task-UUID file names make
@@ -543,8 +697,14 @@ object SnapshotTable {
     val staging = new Path(
       s"$tableDir/_staging/${java.util.UUID.randomUUID()}")
     val fs = fsOf(spark, staging)
-    df.write.mode("overwrite")
-      .partitionBy(IncrementalGold.PartCols: _*).parquet(staging.toString)
+    // partition by whichever standard partition columns the frame
+    // carries — frames without them (dimension tables) commit
+    // unpartitioned (their files key as the "~~" partition range,
+    // outside every partition predicate)
+    val partCols = IncrementalGold.PartCols.filter(df.columns.contains)
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(staging.toString)
     val stagingPath = fs.makeQualified(staging).toUri.getPath
       .stripSuffix("/")
     val it = fs.listFiles(staging, true)
@@ -601,46 +761,61 @@ object SnapshotTable {
       kind == "num" || (max >= lo && min <= hi)
   }
 
-  /** Distributed per-file typed min/max for `column` over the given
-    * files: one aggregate grouped by input_file_name — the ANALYZE-
-    * style collection pass, run only over a commit's NEW files. The
-    * zone kind comes from the column's Spark type. Files whose column
-    * is entirely NULL carry no stats row (they are always scanned;
-    * range predicates never match NULL, so skipping a statted file with
-    * some nulls is still lossless). */
-  private[graft] def fileStats(spark: SparkSession, tableDir: String,
-      files: Seq[String], column: String): Map[String, ZoneStat] = {
+  /** Distributed per-file metadata for a commit's NEW files in ONE
+    * scan: the exact row count of every file plus typed min/max zones
+    * for each of `statsColumns` — one aggregate grouped by
+    * input_file_name (the ANALYZE-style collection pass, cost ∝
+    * change, never ∝ table). The zone kind comes from the column's
+    * Spark type. Files whose column is entirely NULL carry no stats
+    * row for it (they are always scanned; range predicates never match
+    * NULL, so skipping a statted file with some nulls is still
+    * lossless). */
+  private[graft] def collectFileMeta(spark: SparkSession, tableDir: String,
+      files: Seq[String], statsColumns: Seq[String])
+      : (Map[String, Long], Map[(String, String), ZoneStat]) = {
     import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
-    if (files.isEmpty) return Map.empty
+    if (files.isEmpty) return (Map.empty, Map.empty)
     val rootPath = fsOf(spark, new Path(tableDir))
       .makeQualified(new Path(tableDir)).toUri.getPath.stripSuffix("/")
     val df = spark.read.option("basePath", tableDir)
       .parquet(files.map(f => s"$tableDir/$f"): _*)
-    val (kind, render) = df.schema(column).dataType match {
-      case _: NumericType =>
-        ("num", (c: org.apache.spark.sql.Column) =>
-          c.cast("double").cast("string"))
-      case DateType =>
-        ("date", (c: org.apache.spark.sql.Column) => c.cast("string"))
-      case _: TimestampType =>
-        ("ts", (c: org.apache.spark.sql.Column) =>
-          date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-      case _ =>
-        ("str", (c: org.apache.spark.sql.Column) => c.cast("string"))
+    val kinds = statsColumns.map { column =>
+      val (kind, render) = df.schema(column).dataType match {
+        case _: NumericType =>
+          ("num", (c: org.apache.spark.sql.Column) =>
+            c.cast("double").cast("string"))
+        case DateType =>
+          ("date", (c: org.apache.spark.sql.Column) => c.cast("string"))
+        case _: TimestampType =>
+          ("ts", (c: org.apache.spark.sql.Column) =>
+            date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        case _ =>
+          ("str", (c: org.apache.spark.sql.Column) => c.cast("string"))
+      }
+      (column, kind, render)
     }
-    df.groupBy(input_file_name().as("__f"))
-      .agg(min(col(column)).as("__mn0"), max(col(column)).as("__mx0"))
-      .select(col("__f"), render(col("__mn0")).as("__mn"),
-        render(col("__mx0")).as("__mx"))
-      .collect()
-      .flatMap { r =>
-        val uri = new java.net.URI(r.getAs[String]("__f")).getPath
-        val rel = uri.stripPrefix(rootPath).stripPrefix("/")
-        (Option(r.getAs[String]("__mn")), Option(r.getAs[String]("__mx"))) match {
-          case (Some(mn), Some(mx)) => Some(rel -> ZoneStat(kind, mn, mx))
-          case _ => None
+    val aggs = count(lit(1)).as("__n") +: kinds.flatMap {
+      case (c, _, render) => Seq(
+        render(min(col(c))).as(s"__mn_$c"), render(max(col(c))).as(s"__mx_$c"))
+    }
+    val collected = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val rows = Map.newBuilder[String, Long]
+    val zones = Map.newBuilder[(String, String), ZoneStat]
+    collected.foreach { r =>
+      val uri = new java.net.URI(r.getAs[String]("__f")).getPath
+      val rel = uri.stripPrefix(rootPath).stripPrefix("/")
+      rows += (rel -> r.getAs[Long]("__n"))
+      kinds.foreach { case (c, kind, _) =>
+        (Option(r.getAs[String](s"__mn_$c")),
+            Option(r.getAs[String](s"__mx_$c"))) match {
+          case (Some(mn), Some(mx)) =>
+            zones += ((c, rel) -> ZoneStat(kind, mn, mx))
+          case _ => ()
         }
-      }.toMap
+      }
+    }
+    (rows.result(), zones.result())
   }
 
   // ------------------------------------------------------------------
@@ -915,7 +1090,9 @@ object SnapshotTable {
     if (fs.exists(snaps))
       fs.listStatus(snaps).foreach { s =>
         val n = s.getPath.getName
-        if (n.startsWith("_tmp_") ||
+        val staleAnalyze = n.matches("analyze_v\\d+\\.txt") &&
+          n.stripPrefix("analyze_v").stripSuffix(".txt").toInt < keepFrom
+        if (n.startsWith("_tmp_") || staleAnalyze ||
             (n.startsWith("chunk_") && !keptChunks.contains(n)))
           fs.delete(s.getPath, false)
       }
@@ -946,7 +1123,9 @@ object SnapshotTable {
       val snaps = snapDir(tableDir)
       fs.listStatus(snaps).foreach { s =>
         val n = s.getPath.getName
-        if (n.startsWith("_tmp_") ||
+        val staleAnalyze = n.matches("analyze_v\\d+\\.txt") &&
+          n.stripPrefix("analyze_v").stripSuffix(".txt").toInt > v
+        if (n.startsWith("_tmp_") || staleAnalyze ||
             (n.startsWith("chunk_") && !keptChunks.contains(n)))
           fs.delete(s.getPath, false)
       }
@@ -977,10 +1156,11 @@ object SnapshotTable {
         .sortBy(f => (partKeyOfFile(f), f))
       val stats = entries.foldLeft(
         Map.empty[(String, String), ZoneStat])(_ ++ _.stats)
+      val rows = entries.foldLeft(Map.empty[String, Long])(_ ++ _.rows)
       val per = math.max(1, (files.size + targetChunks - 1) /
         math.max(1, targetChunks))
       val refs = files.grouped(per)
-        .map(g => writeChunk(spark, tableDir, g, stats)).toSeq
+        .map(g => writeChunk(spark, tableDir, g, stats, rows)).toSeq
       (refs, root.schemaJson)
     }
 

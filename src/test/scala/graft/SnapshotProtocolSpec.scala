@@ -300,6 +300,100 @@ class SnapshotProtocolSpec extends SparkSpec {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
+  test("metadata row counts: exact under append, overwrite and tier merge; unknown for metadata-only commits") {
+    val dir = s"$base/rowcounts"
+    wipe(dir)
+    (1 to 5).foreach(m => SnapshotTable.append(spark, dir, rows(3, m, s"b$m")))
+    assert(SnapshotTable.rowCount(spark, dir).contains(15L))
+    // per-partition counts match a real group-by
+    val byPart = SnapshotTable.rowCountsByPartition(spark, dir).get
+    assert(byPart == (1 to 5).map(m =>
+      (Some(2000), Some(m)) -> 3L).toMap)
+    // counts survive a copy-on-write overwrite (survivor chunks filter
+    // their per-file counts; the replacement chunk collects fresh ones)
+    SnapshotTable.overwritePartitions(spark, dir, rows(7, 3, "b3x"))
+    assert(SnapshotTable.rowCount(spark, dir).contains(19L))
+    assert(SnapshotTable.rowCountsByPartition(spark, dir)
+      .get((Some(2000), Some(3))) == 7L)
+    // counts survive the tier merge (30 commits force chunk merging)
+    (6 to 30).foreach(m =>
+      SnapshotTable.append(spark, dir, rows(2, 1 + (m % 12), s"c$m")))
+    assert(SnapshotTable.rowCount(spark, dir).contains(19L + 25 * 2))
+    // prior versions keep their own counts (version-pinned metadata)
+    assert(SnapshotTable.rowCount(spark, dir, Some(5)).contains(15L))
+    // a metadata-only commit (no real files) yields UNKNOWN, never zero
+    val mDir = s"$base/rowcounts_meta"
+    wipe(mDir)
+    SnapshotTable.commitFiles(spark, mDir, "seed",
+      Seq("service_year=2000/service_month=1/fake.parquet"))
+    assert(SnapshotTable.rowCount(spark, mDir).isEmpty)
+  }
+
+  test("ANALYZE sidecar: persisted NDV equals the engine KMV estimate over the data; version-pinned; cleaned by truncateTo") {
+    val dir = s"$base/analyze"
+    wipe(dir)
+    // claim_id unique per row; month column has 4 distinct values
+    (1 to 4).foreach(m => SnapshotTable.append(spark, dir, rows(40, m, s"b$m")))
+    val av = SnapshotTable.analyzeTable(spark, dir,
+      Seq("claim_id", "batch_id"))
+    assert(av == 4)
+    val stats = SnapshotTable.tableStats(spark, dir).get
+    assert(stats.analyzedVersion == 4)
+    assert(stats.rowCount.contains(160L))
+    // batch_id has 4 distinct values < k -> the sketch IS exact
+    assert(stats.ndv("batch_id").contains(4.0))
+    // claim_id (160 distinct > k=64): the sidecar estimate must equal
+    // the engine-standard KMV computed over the live data, bit-exactly
+    val expected = operators.SketchOps.kmvDistinct(
+        SnapshotTable.read(spark, dir).withColumn("g", lit(1)),
+        Seq("g"), col("claim_id"))
+      .collect().head.getAs[Double]("kmv_est")
+    assert(stats.ndv("claim_id").contains(expected))
+    // stats are pinned to their version: a later append does not move
+    // them; tableStats serves the most recent sidecar at-or-below
+    SnapshotTable.append(spark, dir, rows(10, 5, "b5"))
+    assert(SnapshotTable.tableStats(spark, dir).get.analyzedVersion == 4)
+    val av2 = SnapshotTable.analyzeTable(spark, dir, Seq("claim_id"))
+    assert(av2 == 5)
+    assert(SnapshotTable.tableStats(spark, dir).get.rowCount
+      .contains(170L))
+    assert(SnapshotTable.tableStats(spark, dir, Some(4)).get
+      .analyzedVersion == 4)
+    // truncateTo drops sidecars above the truncation point
+    SnapshotTable.truncateTo(spark, dir, 4)
+    assert(SnapshotTable.tableStats(spark, dir).get.analyzedVersion == 4)
+    assert(!new File(s"$dir/_snapshots/analyze_v00005.txt").exists())
+  }
+
+  test("readCbo: the broadcast decision comes from commit metadata, not Spark's size estimate") {
+    val dir = s"$base/cbo"
+    wipe(dir)
+    val dim = (0 until 6).map(i => (s"K1-$i", s"t${i % 2}"))
+      .toDF("claim_id", "tier")
+    SnapshotTable.append(spark, dir, dim)
+    val fact = (0 until 500).map(i => (s"K1-${i % 6}", i * 1.0))
+      .toDF("claim_id", "amount")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // metadata row count (6) is under the threshold -> broadcast,
+      // even with Spark's own size-based decision disabled
+      val small = fact.join(SnapshotTable.readCbo(spark, dir),
+        Seq("claim_id"))
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(small.count() == 500)
+      // same table above the threshold -> no hint, no broadcast
+      val big = fact.join(
+        SnapshotTable.readCbo(spark, dir, broadcastMaxRows = 5),
+        Seq("claim_id"))
+      assert(!big.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(big.count() == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      threshold)
+  }
+
   test("truncateTo resets the table to a version: later roots, chunks, files and refs gone; content restored") {
     val dir = s"$base/trunc"
     wipe(dir)
