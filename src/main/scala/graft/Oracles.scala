@@ -3129,6 +3129,35 @@ ${Seq("claim_id", "member_id", "provider_name").map(arm)
 ORDER BY column_name"""
     },
 
+    // multi-table transactions: gold read through catalog v1 must be
+    // the rollup of batch-1 silver alone; through catalog v2 the
+    // rollup of both batches — every catalog version serves the gold
+    // consistent with its paired silver (atomic cross-table cut)
+    "q_catalog_txn" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      val rollup = (src: String, cv: Int) =>
+        s"""SELECT service_year, service_month, claim_amount_category,
+  count(*) AS total_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount,
+  count(CASE WHEN data_quality_score < 1.0 THEN 1 END) AS n_flagged,
+  $cv AS catalog_version
+FROM $src GROUP BY 1, 2, 3"""
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)},
+both_b AS (SELECT * FROM silver_b1 UNION ALL SELECT * FROM silver_b2)
+${rollup("silver_b1", 1)}
+UNION ALL
+${rollup("both_b", 2)}
+ORDER BY catalog_version, service_year, service_month,
+  claim_amount_category"""
+    },
+
     // metadata-driven broadcast join: the dim side carries a broadcast
     // hint because its COMMIT METADATA row count is under threshold
     // (PlanSpec pins the BroadcastHashJoin with Spark's own size

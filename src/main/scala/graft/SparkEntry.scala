@@ -173,6 +173,7 @@ object SparkEntry {
     "q_snapshot_stats" -> SnapshotQueries.statsE2e _,
     "q_snapshot_ndv" -> SnapshotQueries.ndvE2e _,
     "q_snapshot_cbo" -> SnapshotQueries.cboE2e _,
+    "q_catalog_txn" -> SnapshotQueries.catalogTxnE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

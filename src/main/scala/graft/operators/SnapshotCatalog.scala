@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table transactions over [[SnapshotTable]]s — the catalog-level
+  * commit a single-table format cannot give (the reference's stack has
+  * the same gap: Iceberg commits one table at a time; crossing tables
+  * atomically needs a versioned catalog, the Nessie/"catalog commit"
+  * model this object implements natively).
+  *
+  * The MODEL: a catalog is its own chain of immutable versioned roots
+  * (`<catalogDir>/v<N>.txt`), each pinning every member table to ONE
+  * snapshot version `{table → (dir, version)}`. A transaction first
+  * commits its writes to the member tables as ordinary snapshot
+  * commits (each table gets its own version — invisible to catalog
+  * readers, exactly like a WAP stage), then publishes a new catalog
+  * root repinning the written tables in ONE CAS. Readers resolve a
+  * catalog version and read every table AT its pinned version, so they
+  * can never observe silver v2 next to a gold derived from silver v1 —
+  * the torn read the gold watermark could only narrow, closed for good.
+  * A crash between the table commits and the catalog commit leaves the
+  * catalog at the old pair: consistent, and the orphaned table versions
+  * are reclaimed by each table's own vacuum.
+  *
+  * Concurrency is the snapshot layer's optimistic protocol one level
+  * up: the catalog CAS uses the same atomic fail-if-exists publish
+  * ([[SnapshotTable.casPublish]]), losers re-read and re-compose,
+  * transactions touching DISJOINT tables always compose (pins merge),
+  * and a transaction whose read catalog version was invalidated by a
+  * concurrent repin of the SAME table aborts with
+  * [[SnapshotConflictException]] (its writes were computed from pins
+  * that no longer hold — the cross-table lost update).
+  *
+  * At 100 TB the catalog root is O(tables) — a few hundred bytes — and
+  * a catalog commit reads/writes nothing else; all data-plane cost
+  * stays in the member tables' own O(change) commits.
+  */
+object SnapshotCatalog {
+
+  /** One table's pin in a catalog version. */
+  final case class Pin(table: String, dir: String, version: Int)
+
+  private def rootPath(catalogDir: String, v: Int) =
+    new Path(catalogDir, f"v$v%05d.txt")
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  def latestVersion(spark: SparkSession, catalogDir: String): Int = {
+    val d = new Path(catalogDir)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) 0
+    else fs.listStatus(d).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+\\.txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+      .maxOption.getOrElse(0)
+  }
+
+  /** The pins of catalog version `v` (default latest): table →
+    * (snapshot dir, snapshot version). Empty map for version 0 (no
+    * catalog yet). */
+  def pins(spark: SparkSession, catalogDir: String,
+      version: Option[Int] = None): Map[String, Pin] = {
+    val v = version.getOrElse(latestVersion(spark, catalogDir))
+    if (v == 0) return Map.empty
+    val p = rootPath(catalogDir, v)
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.linesIterator.filter(_.startsWith("T\t")).map { l =>
+      val Array(_, name, dir, tv) = l.split("\t", 4)
+      name -> Pin(name, dec(dir), tv.toInt)
+    }.toMap
+  }
+
+  /** Publish a new catalog version: `updates` repin their tables, every
+    * other table carries forward from the parent. CAS semantics as in
+    * the table layer — a lost CAS re-reads and re-composes
+    * (metadata-only). `readVersion` is the catalog version this
+    * transaction READ its inputs at: if, by commit time, any updated
+    * table's pin differs from that read (a concurrent transaction repinned
+    * it), the commit aborts with [[SnapshotConflictException]] rather
+    * than publishing state derived from pins that no longer hold.
+    * Transactions over disjoint tables always compose. Returns the
+    * committed catalog version. */
+  def commit(spark: SparkSession, catalogDir: String, updates: Seq[Pin],
+      op: String = "txn", readVersion: Option[Int] = None,
+      maxRetries: Int = 20): Int = {
+    require(updates.nonEmpty, "a catalog commit must pin something")
+    val d = new Path(catalogDir)
+    val fs = fsOf(spark, d)
+    fs.mkdirs(d)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parent = latestVersion(spark, catalogDir)
+      val parentPins = pins(spark, catalogDir, Some(parent))
+      for (rv <- readVersion if parent != rv) {
+        val readPins = pins(spark, catalogDir, Some(rv))
+        val moved = updates.map(_.table).filter(t =>
+          parentPins.get(t).map(_.version) != readPins.get(t).map(_.version))
+        if (moved.nonEmpty)
+          throw new SnapshotConflictException(
+            s"catalog $op at $catalogDir read v$rv but " +
+              s"${moved.mkString(",")} repinned by v$parent — recompute " +
+              "against the current catalog and retry")
+      }
+      val next = parentPins ++ updates.map(p => p.table -> p).toMap
+      val lines = Seq(s"version=${parent + 1}", s"parent=$parent",
+        s"op=$op", "format=1") ++
+        next.values.toSeq.sortBy(_.table).map(p =>
+          s"T\t${p.table}\t${enc(p.dir)}\t${p.version}")
+      val tmp = new Path(d, s"_tmp_${java.util.UUID.randomUUID()}.txt")
+      val out = fs.create(tmp, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (SnapshotTable.casPublish(fs, tmp, rootPath(catalogDir, parent + 1)))
+        return parent + 1
+      attempt += 1
+      Thread.sleep(5L * attempt)
+    }
+    throw new IllegalStateException(
+      s"catalog commit contention: $maxRetries CAS retries at $catalogDir")
+  }
+
+  /** Read `table` AT the version catalog version `catalogVersion`
+    * (default latest) pins — the consistent-cut read: every table
+    * resolved through one catalog version belongs to the same
+    * transaction boundary. */
+  def readTable(spark: SparkSession, catalogDir: String, table: String,
+      catalogVersion: Option[Int] = None): DataFrame = {
+    val pin = pins(spark, catalogDir, catalogVersion).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"no pin for table '$table' in catalog $catalogDir" +
+          catalogVersion.fold("")(v => s" v$v")))
+    SnapshotTable.read(spark, pin.dir, Some(pin.version))
+  }
+}

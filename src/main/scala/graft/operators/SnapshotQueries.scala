@@ -487,6 +487,57 @@ object SnapshotQueries {
     s"$d/dim"
   }
 
+  /** `q_catalog_txn`: MULTI-TABLE transactions via the versioned
+    * catalog ([[SnapshotCatalog]]) as an oracle-checked query. The
+    * cached fixture runs two transactions: txn 1 commits the pre-1997
+    * silver and its gold rollup, then pins {silver→v1, gold→v1} as
+    * catalog v1; txn 2 appends the 1997+ batch, republishes ONLY the
+    * changed partitions of gold (manifest-diff pruned, partition-
+    * aligned recompute), and pins {silver→v2, gold→v2} as catalog v2 —
+    * each pair atomic in one catalog CAS. The query reads GOLD through
+    * BOTH catalog versions; the DuckDB oracle recomputes the rollup
+    * from batch 1 alone (catalog v1) and both batches (catalog v2) —
+    * equality proves every catalog version serves the gold consistent
+    * with its paired silver (no torn silver/gold read at either cut).
+    * The spec adds the crash shape: a table commit without its catalog
+    * commit leaves readers at the old consistent pair. */
+  def catalogTxnE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import SnapshotCatalog.Pin
+    Engine.configure(spark)
+    val d = FixtureCache.cachedDir(spark, "snap_catalog", sfDir) { dir =>
+      val silverDir = s"$dir/silver"
+      val goldDir = s"$dir/gold"
+      val cat = s"$dir/_catalog"
+      val sv1 = append(spark, silverDir,
+        FixtureCache.silverPre1997(spark, sfDir))
+      val gv1 = append(spark, goldDir,
+        IncrementalGold.goldOf(read(spark, silverDir, Some(sv1))))
+      SnapshotCatalog.commit(spark, cat,
+        Seq(Pin("silver", silverDir, sv1), Pin("gold", goldDir, gv1)),
+        op = "publish-1")
+      val sv2 = append(spark, silverDir,
+        FixtureCache.silverPost1997(spark, sfDir))
+      val changed = changedPartitionsBetween(spark, silverDir, sv1, sv2)
+      val gv2 = overwritePartitions(spark, goldDir,
+        IncrementalGold.goldOf(IncrementalGold.partitionSlice(
+          read(spark, silverDir, Some(sv2)), changed)),
+        Some(changed), op = "publish-2")
+      SnapshotCatalog.commit(spark, cat,
+        Seq(Pin("silver", silverDir, sv2), Pin("gold", goldDir, gv2)),
+        op = "publish-2")
+    }
+    val cat = s"$d/_catalog"
+    def goldAt(cv: Int) =
+      SnapshotCatalog.readTable(spark, cat, "gold", Some(cv))
+        .select(col("service_year"), col("service_month"),
+          col("claim_amount_category"), col("total_claims"),
+          col("unique_members"), col("total_amount"), col("n_flagged"))
+        .withColumn("catalog_version", lit(cv))
+    goldAt(1).unionByName(goldAt(2))
+      .orderBy(col("catalog_version"), col("service_year"),
+        col("service_month"), col("claim_amount_category"))
+  }
+
   /** `q_snapshot_cbo`: the metadata-driven broadcast decision as an
     * oracle-checked query. The fact side is the two-batch silver
     * snapshot; the dim side comes through [[SnapshotTable.readCbo]],

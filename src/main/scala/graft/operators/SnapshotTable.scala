@@ -268,8 +268,8 @@ object SnapshotTable {
     * REJECTED at publish time — running there needs an atomic
     * fail-if-exists primitive (a catalog/DynamoDB-style lock), not a
     * silent race. */
-  private def casPublish(fs: org.apache.hadoop.fs.FileSystem, tmp: Path,
-      dst: Path): Boolean = {
+  private[operators] def casPublish(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, dst: Path): Boolean = {
     val won =
       if (fs.getScheme == "file") {
         try {

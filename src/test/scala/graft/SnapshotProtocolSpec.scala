@@ -394,6 +394,70 @@ class SnapshotProtocolSpec extends SparkSpec {
       threshold)
   }
 
+  test("catalog transactions: atomic cross-table cut; a table commit without its catalog commit stays invisible") {
+    import graft.operators.SnapshotCatalog
+    import graft.operators.SnapshotCatalog.Pin
+    val dir = s"$base/catalog"
+    wipe(dir)
+    val silver = s"$dir/silver"; val gold = s"$dir/gold"
+    val cat = s"$dir/_catalog"
+    val sv1 = SnapshotTable.append(spark, silver, rows(6, 1, "b1"))
+    val gv1 = SnapshotTable.append(spark, gold, rows(2, 1, "g1"))
+    val cv1 = SnapshotCatalog.commit(spark, cat,
+      Seq(Pin("silver", silver, sv1), Pin("gold", gold, gv1)))
+    assert(cv1 == 1)
+    // txn 2 writes BOTH tables, one catalog CAS publishes the pair
+    val sv2 = SnapshotTable.append(spark, silver, rows(4, 2, "b2"))
+    val gv2 = SnapshotTable.append(spark, gold, rows(3, 2, "g2"))
+    val cv2 = SnapshotCatalog.commit(spark, cat,
+      Seq(Pin("silver", silver, sv2), Pin("gold", gold, gv2)))
+    // each catalog version is a consistent cut
+    assert(SnapshotCatalog.readTable(spark, cat, "silver", Some(cv1))
+      .count() == 6)
+    assert(SnapshotCatalog.readTable(spark, cat, "gold", Some(cv1))
+      .count() == 2)
+    assert(SnapshotCatalog.readTable(spark, cat, "silver", Some(cv2))
+      .count() == 10)
+    assert(SnapshotCatalog.readTable(spark, cat, "gold", Some(cv2))
+      .count() == 5)
+    // the crash shape: silver commits v3 but the transaction dies
+    // before its catalog commit — catalog readers still get the v2
+    // pair, never silver v3 next to gold v2
+    SnapshotTable.append(spark, silver, rows(9, 3, "b3"))
+    assert(SnapshotCatalog.pins(spark, cat)("silver").version == sv2)
+    assert(SnapshotCatalog.readTable(spark, cat, "silver").count() == 10)
+  }
+
+  test("catalog conflicts: same-table repin from a stale read aborts; disjoint-table transactions compose; pins carry forward") {
+    import graft.operators.SnapshotCatalog
+    import graft.operators.SnapshotCatalog.Pin
+    val dir = s"$base/catconflict"
+    wipe(dir)
+    val a = s"$dir/a"; val b = s"$dir/b"; val cat = s"$dir/_catalog"
+    val av1 = SnapshotTable.append(spark, a, rows(3, 1, "a1"))
+    val bv1 = SnapshotTable.append(spark, b, rows(3, 1, "b1"))
+    val cv1 = SnapshotCatalog.commit(spark, cat,
+      Seq(Pin("a", a, av1), Pin("b", b, bv1)))
+    // two transactions both read catalog v1; the first repins table a
+    val av2 = SnapshotTable.append(spark, a, rows(2, 2, "a2"))
+    SnapshotCatalog.commit(spark, cat, Seq(Pin("a", a, av2)),
+      readVersion = Some(cv1))
+    // the second also wants to repin a from the SAME stale read — its
+    // writes were computed against pins that no longer hold
+    val ex = intercept[SnapshotConflictException] {
+      SnapshotCatalog.commit(spark, cat, Seq(Pin("a", a, 99)),
+        readVersion = Some(cv1))
+    }
+    assert(ex.getMessage.contains("recompute"))
+    // but a DISJOINT-table transaction from the same stale read
+    // composes fine, and a's pin carries forward untouched
+    val bv2 = SnapshotTable.append(spark, b, rows(1, 2, "b2"))
+    val cv3 = SnapshotCatalog.commit(spark, cat, Seq(Pin("b", b, bv2)),
+      readVersion = Some(cv1))
+    val p = SnapshotCatalog.pins(spark, cat, Some(cv3))
+    assert(p("a").version == av2 && p("b").version == bv2)
+  }
+
   test("truncateTo resets the table to a version: later roots, chunks, files and refs gone; content restored") {
     val dir = s"$base/trunc"
     wipe(dir)
