@@ -3129,6 +3129,42 @@ ${Seq("claim_id", "member_id", "provider_name").map(arm)
 ORDER BY column_name"""
     },
 
+    // partition evolution: pre-1997 batch written month-grain, spec
+    // evolved to day grain, 1997+ batch written day-grain; the read
+    // spans both layouts (service_day from data vs from path) and must
+    // equal the plain two-batch silver recompute
+    "q_partition_evolution" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)}
+SELECT service_year, service_month, count(*) AS n_claims,
+  count(DISTINCT service_day) AS n_days,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
+FROM (SELECT service_year, service_month, service_day, claim_amount
+      FROM silver_b1
+      UNION ALL
+      SELECT service_year, service_month, service_day, claim_amount
+      FROM silver_b2) u
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    // hidden partitioning: the engine derives (year, month) partition
+    // pruning from a service_date range over a year boundary; the
+    // oracle aggregates the FULL silver under the same row predicate —
+    // equality proves the derived pruning lossless
+    "q_hidden_partitioning" -> (ClaimsCte + """
+SELECT service_year, service_month, count(*) AS n_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
+FROM silver
+WHERE service_date BETWEEN DATE '1995-11-15' AND DATE '1996-02-14'
+GROUP BY 1, 2 ORDER BY 1, 2"""),
+
     // multi-table transactions: gold read through catalog v1 must be
     // the rollup of batch-1 silver alone; through catalog v2 the
     // rollup of both batches — every catalog version serves the gold

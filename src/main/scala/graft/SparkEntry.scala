@@ -174,6 +174,8 @@ object SparkEntry {
     "q_snapshot_ndv" -> SnapshotQueries.ndvE2e _,
     "q_snapshot_cbo" -> SnapshotQueries.cboE2e _,
     "q_catalog_txn" -> SnapshotQueries.catalogTxnE2e _,
+    "q_partition_evolution" -> SnapshotQueries.partitionEvolutionE2e _,
+    "q_hidden_partitioning" -> SnapshotQueries.hiddenPartitioningE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

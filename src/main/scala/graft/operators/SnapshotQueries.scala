@@ -487,6 +487,60 @@ object SnapshotQueries {
     s"$d/dim"
   }
 
+  /** `q_partition_evolution`: Iceberg-style partition-spec evolution
+    * as an oracle-checked query. The cached fixture appends the
+    * pre-1997 silver under the standard month-grain spec, EVOLVES the
+    * spec to day grain (a metadata-only commit — no file moves), and
+    * appends the 1997+ batch, which lands in `service_day=` leaf
+    * directories. The query reads the whole table — month-spec rows
+    * resolve service_day from the DATA, day-spec rows from the PATH —
+    * and aggregates per month including a day-derived measure. The
+    * DuckDB oracle replays both batches through the cleanse chain
+    * (where service_day is always data) — equality proves the two
+    * layouts carry identical rows and the evolution changed the
+    * table's organization, never its content. */
+  def partitionEvolutionE2e(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Engine.configure(spark)
+    val d = FixtureCache.cachedDir(spark, "snap_pevolve", sfDir) { dir =>
+      val t = s"$dir/silver"
+      append(spark, t, FixtureCache.silverPre1997(spark, sfDir))
+      evolvePartitions(spark, t,
+        Seq("service_year", "service_month", "service_day"))
+      append(spark, t, FixtureCache.silverPost1997(spark, sfDir))
+    }
+    read(spark, s"$d/silver")
+      .groupBy(col("service_year"), col("service_month"))
+      .agg(count(lit(1)).as("n_claims"),
+        countDistinct(col("service_day")).as("n_days"),
+        graft.functions.Exact.dsum(col("claim_amount")).as("total_amount"))
+      .orderBy(col("service_year"), col("service_month"))
+  }
+
+  /** `q_hidden_partitioning`: the hidden-partitioning read as an
+    * oracle-checked query. The caller predicates ONLY on the data
+    * column — a service_date range crossing a year boundary — and
+    * [[SnapshotTable.planScanByDate]] derives the covering (year,
+    * month) partitions from the transform itself, composed with the
+    * per-file date zones of the date-clustered table for sub-month
+    * pruning. The DuckDB oracle aggregates the FULL silver under the
+    * same row predicate — equality proves the derived pruning is
+    * lossless while the caller never named a partition column. */
+  def hiddenPartitioningE2e(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Engine.configure(spark)
+    val tableDir = dateClusteredTable(spark, sfDir)
+    val (df, _, _) = planScanByDate(spark, tableDir, "service_date",
+      "1995-11-15", "1996-02-14")
+    df.filter(col("service_date") >= lit("1995-11-15").cast("date") &&
+        col("service_date") <= lit("1996-02-14").cast("date"))
+      .groupBy(col("service_year"), col("service_month"))
+      .agg(count(lit(1)).as("n_claims"),
+        countDistinct(col("member_id")).as("unique_members"),
+        graft.functions.Exact.dsum(col("claim_amount")).as("total_amount"))
+      .orderBy(col("service_year"), col("service_month"))
+  }
+
   /** `q_catalog_txn`: MULTI-TABLE transactions via the versioned
     * catalog ([[SnapshotCatalog]]) as an oracle-checked query. The
     * cached fixture runs two transactions: txn 1 commits the pre-1997

@@ -87,9 +87,13 @@ object SnapshotTable {
   final case class ChunkRef(name: String, fileCount: Int,
       minPart: String, maxPart: String)
 
-  /** A parsed root: version lineage + schema + chunk references. */
+  /** A parsed root: version lineage + schema + chunk references +
+    * the partition spec NEW WRITES use at this version (partition
+    * evolution: old files keep the layout they were written under;
+    * reads span every spec that ever wrote a live file). */
   final case class Root(version: Int, parent: Int, op: String,
-      schemaJson: Option[String], chunks: Seq[ChunkRef])
+      schemaJson: Option[String], chunks: Seq[ChunkRef],
+      partCols: Seq[String] = IncrementalGold.PartCols)
 
   /** A resolved chunk: its files, their zone stats ((column, file)
     * keyed, exactly the slice of table stats this chunk owns) and their
@@ -249,7 +253,9 @@ object SnapshotTable {
       ChunkRef(name, cnt.toInt, mn, mx)
     }
     Some(Root(meta("version").toInt, meta("parent").toInt, meta("op"),
-      meta.get("schema").map(dec), chunks))
+      meta.get("schema").map(dec), chunks,
+      meta.get("partcols").map(_.split(",").toSeq)
+        .getOrElse(IncrementalGold.PartCols)))
   }
 
   private def readRoot(spark: SparkSession, tableDir: String, v: Int): Root =
@@ -302,7 +308,8 @@ object SnapshotTable {
     val tmp = new Path(dir, s"_tmp_${java.util.UUID.randomUUID()}.txt")
     val dst = rootPath(tableDir, r.version)
     val meta = Seq(s"version=${r.version}", s"parent=${r.parent}",
-      s"op=${r.op}", "format=2") ++
+      s"op=${r.op}", "format=2",
+      s"partcols=${r.partCols.mkString(",")}") ++
       r.schemaJson.map(j => s"schema=${enc(j)}")
     val cLines = r.chunks.map(c =>
       s"C\t${c.name}\t${c.fileCount}\t${c.minPart}\t${c.maxPart}")
@@ -584,14 +591,17 @@ object SnapshotTable {
     * loser re-reads and re-builds — metadata-only, the staged data
     * files never move again. */
   private def commitWith(spark: SparkSession, tableDir: String, op: String,
-      maxRetries: Int = 20)(
+      maxRetries: Int = 20, partColsOverride: Option[Seq[String]] = None)(
       build: Int => (Seq[ChunkRef], Option[String])): Int = {
     var attempt = 0
     while (attempt <= maxRetries) {
       val parent = latestVersion(spark, tableDir)
       val (chunks, schema) = build(parent)
+      val partCols = partColsOverride.getOrElse(
+        if (parent > 0) readRoot(spark, tableDir, parent).partCols
+        else IncrementalGold.PartCols)
       val r = Root(parent + 1, parent, op, schema,
-        chunks.filter(_.fileCount > 0))
+        chunks.filter(_.fileCount > 0), partCols)
       if (tryWriteRoot(spark, tableDir, r)) return r.version
       attempt += 1
       Thread.sleep(5L * attempt) // linear backoff under contention
@@ -692,16 +702,27 @@ object SnapshotTable {
     * writer created — its own file set, known first-hand rather than
     * inferred from a directory-listing diff a concurrent writer could
     * dirty. The move is per-file rename: metadata-only, no data copy. */
+  /** The partition spec new writes use: the latest root's (evolvable
+    * via [[evolvePartitions]]); the standard year/month spec for a
+    * table's first commit. */
+  def currentPartCols(spark: SparkSession, tableDir: String)
+      : Seq[String] = {
+    val v = latestVersion(spark, tableDir)
+    if (v == 0) IncrementalGold.PartCols
+    else readRoot(spark, tableDir, v).partCols
+  }
+
   private def stagedWrite(spark: SparkSession, tableDir: String,
       df: DataFrame): Seq[String] = {
     val staging = new Path(
       s"$tableDir/_staging/${java.util.UUID.randomUUID()}")
     val fs = fsOf(spark, staging)
-    // partition by whichever standard partition columns the frame
-    // carries — frames without them (dimension tables) commit
+    // partition by the table's CURRENT spec, restricted to columns the
+    // frame carries — frames without them (dimension tables) commit
     // unpartitioned (their files key as the "~~" partition range,
     // outside every partition predicate)
-    val partCols = IncrementalGold.PartCols.filter(df.columns.contains)
+    val partCols = currentPartCols(spark, tableDir)
+      .filter(df.columns.contains)
     val w = df.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(staging.toString)
@@ -864,14 +885,8 @@ object SnapshotTable {
         }
       }
     val df =
-      if (keep.nonEmpty) {
-        val reader = root.schemaJson match {
-          case Some(j) => spark.read.option("basePath", tableDir)
-            .schema(DataType.fromJson(j).asInstanceOf[StructType])
-          case None => spark.read.option("basePath", tableDir)
-        }
-        reader.parquet(keep.map(f => s"$tableDir/$f"): _*)
-      } else read(spark, tableDir, Some(v)).filter(lit(false))
+      if (keep.nonEmpty) readFileGroups(spark, tableDir, root, keep)
+      else read(spark, tableDir, Some(v)).filter(lit(false))
     (df, total, keep.size)
   }
 
@@ -893,6 +908,57 @@ object SnapshotTable {
       : (DataFrame, Int, Int) =
     planScan(spark, tableDir, None,
       Seq(ZonePredicate.str(column, lo, hi)), version)
+
+  /** HIDDEN partitioning, read side: the caller predicates on the DATA
+    * column (a date range) and the planner derives the partition
+    * pruning itself — the (year, month) partitions covering the range
+    * are enumerated from the TRANSFORM (year/month-of-date), composed
+    * with the column's zone maps for sub-month file pruning. The null
+    * partition (rows whose date never parsed) is excluded by
+    * construction, exactly as the row predicate excludes NULL dates.
+    * The caller never names a partition column — the layout is the
+    * table's concern, which is what lets [[evolvePartitions]] change
+    * it without breaking a single query. ISO `yyyy-MM-dd` bounds,
+    * inclusive. */
+  def planScanByDate(spark: SparkSession, tableDir: String,
+      dateCol: String, lo: String, hi: String, version: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    val from = java.time.LocalDate.parse(lo).withDayOfMonth(1)
+    val to = java.time.LocalDate.parse(hi).withDayOfMonth(1)
+    require(!from.isAfter(to), s"empty date range [$lo, $hi]")
+    val months = Iterator.iterate(from)(_.plusMonths(1))
+      .takeWhile(!_.isAfter(to))
+      .map(d => (Some(d.getYear): Option[Int],
+        Some(d.getMonthValue): Option[Int]))
+      .toSeq
+    planScan(spark, tableDir, Some(months),
+      Seq(ZonePredicate.str(dateCol, lo, hi)), version)
+  }
+
+  /** PARTITION EVOLUTION: a metadata-only commit switching the spec
+    * NEW WRITES use (e.g. month-grain → day-grain as a partition's
+    * daily volume grows — Iceberg's partition-spec evolution). Content
+    * is the parent's, byte-for-byte; no existing file moves — old
+    * files keep the layout they were written under, reads span every
+    * live spec ([[readFileGroups]]), and partition-scoped commits
+    * (overwrite/merge/delete) keep working across specs because every
+    * spec nests under the standard year/month prefix — which is also
+    * why the new spec must REFINE the standard one. */
+  def evolvePartitions(spark: SparkSession, tableDir: String,
+      newCols: Seq[String]): Int = {
+    require(newCols.startsWith(IncrementalGold.PartCols),
+      s"partition spec must refine ${IncrementalGold.PartCols} " +
+        s"(got $newCols): coarser/reordered specs would break the " +
+        "partition-prefix commit scope")
+    commitWith(spark, tableDir, s"evolve-partitions",
+      partColsOverride = Some(newCols)) { parent =>
+      require(parent > 0, s"no snapshot at $tableDir")
+      // resolved INSIDE the CAS loop: content is whatever the winning
+      // parent holds, so a racing append's files are never dropped
+      val r = readRoot(spark, tableDir, parent)
+      (r.chunks, r.schemaJson)
+    }
+  }
 
   /** Copy-on-write partition overwrite: `df`'s rows REPLACE the listed
     * partitions (derived from `df` itself when not given). Replacement
@@ -935,13 +1001,36 @@ object SnapshotTable {
     val root = readRoot(spark, tableDir, v)
     val files = resolveFiles(spark, tableDir, root)
     require(files.nonEmpty, s"empty snapshot v$v at $tableDir")
-    val reader = root.schemaJson match {
-      case Some(j) => spark.read.option("basePath", tableDir)
-        .schema(DataType.fromJson(j).asInstanceOf[StructType])
-      case None => spark.read.option("basePath", tableDir)
-        .option("mergeSchema", mergeSchema.toString)
+    readFileGroups(spark, tableDir, root, files, mergeSchema)
+  }
+
+  /** Partition-column names a file's path encodes, in order — its
+    * partition SPEC. A spec-evolved table's live set spans several. */
+  private def specOf(rel: String): Seq[String] =
+    rel.split("/").init.toSeq.filter(_.contains("="))
+      .map(_.takeWhile(_ != '='))
+
+  /** Read `files` spanning every partition spec that wrote them: one
+    * reader per spec group (Spark's partition discovery requires a
+    * consistent layout per read), unioned by name — a column one spec
+    * kept in the data and another moved into the path resolves either
+    * way, and a column a group lacks entirely reads as NULL. The
+    * root's schema types every group identically (partition columns
+    * present in an explicit schema take their values from the path). */
+  private def readFileGroups(spark: SparkSession, tableDir: String,
+      root: Root, files: Seq[String], mergeSchema: Boolean = false)
+      : DataFrame = {
+    val groups = files.groupBy(specOf).values.toSeq
+    val frames = groups.map { g =>
+      val reader = root.schemaJson match {
+        case Some(j) => spark.read.option("basePath", tableDir)
+          .schema(DataType.fromJson(j).asInstanceOf[StructType])
+        case None => spark.read.option("basePath", tableDir)
+          .option("mergeSchema", mergeSchema.toString)
+      }
+      reader.parquet(g.map(f => s"$tableDir/$f"): _*)
     }
-    reader.parquet(files.map(f => s"$tableDir/$f"): _*)
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ------------------------------------------------------------------
@@ -1215,12 +1304,11 @@ object SnapshotTable {
         case Some(r) => resolveFiles(spark, tableDir, r).toSet
         case None => Set.empty[String]
       }
-    val added = manifest(spark, tableDir, toVersion).files
-      .filterNot(before)
+    val toRoot = readRoot(spark, tableDir, toVersion)
+    val added = resolveFiles(spark, tableDir, toRoot).filterNot(before)
     require(added.nonEmpty,
       s"no files added between v$fromVersion and v$toVersion")
-    spark.read.option("basePath", tableDir)
-      .parquet(added.map(f => s"$tableDir/$f"): _*)
+    readFileGroups(spark, tableDir, toRoot, added)
   }
 
   /** Manifest-level pruned read: exactly the live files under the given
@@ -1293,8 +1381,8 @@ object SnapshotTable {
     // key (zone false positives drop out here, before any rewrite)
     val verified =
       if (cands.isEmpty) Nil
-      else toParts(spark.read.option("basePath", tableDir)
-        .parquet(cands.map(f => s"$tableDir/$f"): _*)
+      else toParts(readFileGroups(spark, tableDir,
+          readRoot(spark, tableDir, v), cands)
         .join(updates.select(col(key)).distinct(), Seq(key), "leftsemi")
         .select(col("service_year"), col("service_month")).distinct()
         .collect())
@@ -1332,8 +1420,8 @@ object SnapshotTable {
     val keySet = keys.select(col(key)).distinct()
     val cands = candidateFilesByKeyZone(spark, tableDir, keySet, key, v)
     if (cands.isEmpty) return Nil
-    val verified = toParts(spark.read.option("basePath", tableDir)
-      .parquet(cands.map(f => s"$tableDir/$f"): _*)
+    val verified = toParts(readFileGroups(spark, tableDir,
+        readRoot(spark, tableDir, v), cands)
       .join(keySet, Seq(key), "leftsemi")
       .select(col("service_year"), col("service_month")).distinct()
       .collect())

@@ -458,6 +458,77 @@ class SnapshotProtocolSpec extends SparkSpec {
     assert(p("a").version == av2 && p("b").version == bv2)
   }
 
+  test("partition evolution: metadata-only spec switch; old files keep their layout; reads and partition-scoped commits span both specs") {
+    import spark.implicits._
+    val dir = s"$base/pevolve"
+    wipe(dir)
+    def dayRows(n: Int, month: Int, batch: String) =
+      (0 until n).map(i => (s"D$month-$i", batch, i * 1.0, 2000, month,
+        1 + i % 3)).toDF("claim_id", "batch_id", "claim_amount",
+        "service_year", "service_month", "service_day")
+    // v1: month-grain spec (the default) — service_day stays in DATA
+    SnapshotTable.append(spark, dir, dayRows(6, 1, "b1"))
+    assert(SnapshotTable.manifest(spark, dir, 1).files
+      .forall(!_.contains("service_day=")))
+    // v2: evolve to day grain — METADATA-ONLY (no file moves, content
+    // byte-identical), and only refinements of year/month are legal
+    val filesBefore = dataFiles(dir)
+    SnapshotTable.evolvePartitions(spark, dir,
+      Seq("service_year", "service_month", "service_day"))
+    assert(dataFiles(dir) == filesBefore)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.evolvePartitions(spark, dir, Seq("service_day"))
+    }
+    // v3: a post-evolution append writes day directories
+    SnapshotTable.append(spark, dir, dayRows(6, 2, "b2"))
+    val v3files = SnapshotTable.manifest(spark, dir, 3).files
+    assert(v3files.exists(_.contains("service_day=")))
+    assert(v3files.count(!_.contains("service_day=")) ==
+      SnapshotTable.manifest(spark, dir, 1).files.size)
+    // the read spans both specs: month-spec rows carry service_day
+    // from data, day-spec rows from the path — one frame, same schema
+    val all = SnapshotTable.read(spark, dir)
+    assert(all.count() == 12)
+    assert(all.filter(col("service_day").isNull).isEmpty)
+    assert(all.filter(col("service_month") === 2 &&
+      col("service_day") === 1).count() == 2)
+    // partition-scoped ops keep working across specs (day dirs nest
+    // under the year/month prefix): overwrite month 2 drops day files
+    SnapshotTable.overwritePartitions(spark, dir, dayRows(2, 2, "b2x"))
+    val v4 = SnapshotTable.read(spark, dir)
+    assert(v4.filter(col("service_month") === 2).count() == 2)
+    assert(v4.count() == 8)
+    // metadata row counts survive spec evolution
+    assert(SnapshotTable.rowCount(spark, dir).contains(8L))
+    // time travel to the pre-evolution version still reads
+    assert(SnapshotTable.read(spark, dir, Some(1)).count() == 6)
+  }
+
+  test("hidden partitioning: a date-range scan derives its partition pruning from the transform, composed with date zones") {
+    import spark.implicits._
+    val dir = s"$base/hidden"
+    wipe(dir)
+    def datedRows(month: Int) = (0 until 10).map { i =>
+      (s"H$month-$i", java.sql.Date.valueOf(f"2000-$month%02d-${1 + i}%02d"),
+        2000, month)
+    }.toDF("claim_id", "service_date", "service_year", "service_month")
+    (1 to 6).foreach(m => SnapshotTable.append(spark, dir, datedRows(m),
+      statsColumns = Seq("service_date")))
+    // a row predicated only on the DATA column: the planner enumerates
+    // the covering (year, month) partitions itself and composes the
+    // date zone maps — no partition column in the caller's sight
+    val (df, total, kept) = SnapshotTable.planScanByDate(spark, dir,
+      "service_date", "2000-02-03", "2000-03-31")
+    assert(total > kept, s"pruning must engage: $kept/$total")
+    val rows = df.filter(col("service_date") >= lit("2000-02-03") &&
+      col("service_date") <= lit("2000-03-31"))
+    assert(rows.count() == 8 + 10) // Feb 3..10 + all of March
+    // the pruned file set only spans months 2-3
+    val got = df.select(col("service_month")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(got == Set(2, 3), s"read months $got")
+  }
+
   test("truncateTo resets the table to a version: later roots, chunks, files and refs gone; content restored") {
     val dir = s"$base/trunc"
     wipe(dir)
