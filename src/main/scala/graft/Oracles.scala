@@ -3165,6 +3165,30 @@ FROM silver
 WHERE service_date BETWEEN DATE '1995-11-15' AND DATE '1996-02-14'
 GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // exactly-once streaming sink: two silver drops drained through a
+    // checkpointed file stream into snapshot commits carrying their
+    // micro-batch id; a hand-replayed last batch must skip — the table
+    // is the two-batch silver exactly once
+    "q_stream_snapshot" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)}
+SELECT * FROM (
+  SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+    service_year, service_month
+  FROM silver_b1
+  UNION ALL
+  SELECT claim_id, '20240102_000000' AS batch_id, claim_amount,
+    service_year, service_month
+  FROM silver_b2) u
+ORDER BY claim_id"""
+    },
+
     // multi-table transactions: gold read through catalog v1 must be
     // the rollup of batch-1 silver alone; through catalog v2 the
     // rollup of both batches — every catalog version serves the gold

@@ -176,6 +176,7 @@ object SparkEntry {
     "q_catalog_txn" -> SnapshotQueries.catalogTxnE2e _,
     "q_partition_evolution" -> SnapshotQueries.partitionEvolutionE2e _,
     "q_hidden_partitioning" -> SnapshotQueries.hiddenPartitioningE2e _,
+    "q_stream_snapshot" -> SnapshotQueries.streamSnapshotE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

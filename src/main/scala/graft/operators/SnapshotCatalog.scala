@@ -126,6 +126,38 @@ object SnapshotCatalog {
       s"catalog commit contention: $maxRetries CAS retries at $catalogDir")
   }
 
+  /** Catalog-aware retention: drop catalog roots older than the
+    * `retainLast` most recent, then vacuum every member table with the
+    * RETAINED catalog roots' pins protected — each table gets a named
+    * ref (`catalog_<id>`, one per catalog) at the minimum version any
+    * retained catalog root still pins, which [[SnapshotTable.vacuum]]
+    * already treats as a retention floor. Without this, a bare table
+    * vacuum could reclaim a version an older catalog cut still pins
+    * and break its consistent read. Returns deleted data files per
+    * table. A table's own `retainLast` semantics still apply on top
+    * (whichever floor is older wins). */
+  def vacuum(spark: SparkSession, catalogDir: String,
+      retainLast: Int = 1, tableRetainLast: Int = 1)
+      : Map[String, Seq[String]] = {
+    val latest = latestVersion(spark, catalogDir)
+    require(latest > 0, s"no catalog at $catalogDir")
+    require(retainLast >= 1, "must retain at least the latest catalog root")
+    val keepFrom = math.max(1, latest - retainLast + 1)
+    val fs = fsOf(spark, new Path(catalogDir))
+    val retainedPins = (keepFrom to latest)
+      .flatMap(v => pins(spark, catalogDir, Some(v)).values)
+    (1 until keepFrom).foreach(v =>
+      fs.delete(rootPath(catalogDir, v), false))
+    val refName = "catalog_" + java.security.MessageDigest
+      .getInstance("MD5").digest(catalogDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    retainedPins.groupBy(_.dir).map { case (dir, ps) =>
+      SnapshotTable.setRef(spark, dir, refName,
+        ps.map(_.version).min)
+      dir -> SnapshotTable.vacuum(spark, dir, tableRetainLast)
+    }
+  }
+
   /** Read `table` AT the version catalog version `catalogVersion`
     * (default latest) pins — the consistent-cut read: every table
     * resolved through one catalog version belongs to the same

@@ -592,6 +592,57 @@ object SnapshotQueries {
         col("service_month"), col("claim_amount_category"))
   }
 
+  /** `q_stream_snapshot`: the NATIVE exactly-once streaming sink onto
+    * the snapshot layer as an oracle-checked query. A file stream
+    * drains two silver drops through foreachBatch into
+    * [[SnapshotTable.streamAppend]], whose micro-batch id rides INSIDE
+    * the CAS-committed root (one atomic artifact — the Iceberg
+    * streaming-sink idempotence model; foreachBatch replays
+    * at-least-once, the sink makes the append exactly-once). The run
+    * then REPLAYS the last batch by hand with the same (sink, batch)
+    * ids and requires it to skip without a commit. The DuckDB oracle
+    * recomputes the two-batch silver — equality proves both batches
+    * landed exactly once through a real checkpointed stream. */
+  def streamSnapshotE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.configure(spark)
+    val base = s"target/stream_snapshot/${leafOf(sfDir)}"
+    wipe(spark, base)
+    val srcDir = s"$base/src"
+    val tableDir = s"$base/silver"
+    val ckpt = s"$base/ckpt"
+    val sink = "silver_sink"
+    @volatile var lastBatch = -1L
+    def drain(): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (mb: org.apache.spark.sql.DataFrame, bid: Long) =>
+          streamAppend(spark, tableDir, mb, sink, bid)
+          lastBatch = math.max(lastBatch, bid)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    FixtureCache.silverPre1997(spark, sfDir)
+      .write.mode("append").parquet(srcDir)
+    drain()
+    FixtureCache.silverPost1997(spark, sfDir)
+      .write.mode("append").parquet(srcDir)
+    drain()
+    // the at-least-once shape: re-running the last batch body with the
+    // same ids must be a metadata-checked no-op
+    val vBefore = latestVersion(spark, tableDir)
+    val replay = streamAppend(spark, tableDir,
+      FixtureCache.silverPost1997(spark, sfDir), sink, lastBatch)
+    require(replay.isEmpty && latestVersion(spark, tableDir) == vBefore,
+      "replaying a committed micro-batch must not commit again")
+    keyCols(read(spark, tableDir))
+  }
+
   /** `q_snapshot_cbo`: the metadata-driven broadcast decision as an
     * oracle-checked query. The fact side is the two-batch silver
     * snapshot; the dim side comes through [[SnapshotTable.readCbo]],

@@ -90,10 +90,15 @@ object SnapshotTable {
   /** A parsed root: version lineage + schema + chunk references +
     * the partition spec NEW WRITES use at this version (partition
     * evolution: old files keep the layout they were written under;
-    * reads span every spec that ever wrote a live file). */
+    * reads span every spec that ever wrote a live file) + free-form
+    * commit metadata (`meta`), CARRIED FORWARD commit-over-commit with
+    * the committing writer's entries overriding — the channel the
+    * streaming sink's exactly-once batch watermarks ride in (atomic
+    * with the commit because they ARE the commit). */
   final case class Root(version: Int, parent: Int, op: String,
       schemaJson: Option[String], chunks: Seq[ChunkRef],
-      partCols: Seq[String] = IncrementalGold.PartCols)
+      partCols: Seq[String] = IncrementalGold.PartCols,
+      meta: Map[String, String] = Map.empty)
 
   /** A resolved chunk: its files, their zone stats ((column, file)
     * keyed, exactly the slice of table stats this chunk owns) and their
@@ -244,7 +249,7 @@ object SnapshotTable {
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val lines = text.linesIterator.toSeq
-    val meta = lines.filterNot(_.startsWith("C\t"))
+    val meta = lines.filterNot(l => l.startsWith("C\t") || l.startsWith("M\t"))
       .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap
     require(meta.get("format").contains("2"),
       s"unsupported snapshot root format at $p (pre-chunked table — rebuild)")
@@ -252,10 +257,14 @@ object SnapshotTable {
       val Array(_, name, cnt, mn, mx) = l.split("\t", 5)
       ChunkRef(name, cnt.toInt, mn, mx)
     }
+    val extra = lines.filter(_.startsWith("M\t")).map { l =>
+      val Array(_, k, v2) = l.split("\t", 3)
+      k -> dec(v2)
+    }.toMap
     Some(Root(meta("version").toInt, meta("parent").toInt, meta("op"),
       meta.get("schema").map(dec), chunks,
       meta.get("partcols").map(_.split(",").toSeq)
-        .getOrElse(IncrementalGold.PartCols)))
+        .getOrElse(IncrementalGold.PartCols), extra))
   }
 
   private def readRoot(spark: SparkSession, tableDir: String, v: Int): Root =
@@ -313,8 +322,10 @@ object SnapshotTable {
       r.schemaJson.map(j => s"schema=${enc(j)}")
     val cLines = r.chunks.map(c =>
       s"C\t${c.name}\t${c.fileCount}\t${c.minPart}\t${c.maxPart}")
+    val mLines = r.meta.toSeq.sortBy(_._1).map { case (k, v2) =>
+      s"M\t$k\t${enc(v2)}" }
     val out = fs.create(tmp, true)
-    try out.write((meta ++ cLines).mkString("\n").getBytes("UTF-8"))
+    try out.write((meta ++ mLines ++ cLines).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     casPublish(fs, tmp, dst)
   }
@@ -591,17 +602,21 @@ object SnapshotTable {
     * loser re-reads and re-builds — metadata-only, the staged data
     * files never move again. */
   private def commitWith(spark: SparkSession, tableDir: String, op: String,
-      maxRetries: Int = 20, partColsOverride: Option[Seq[String]] = None)(
+      maxRetries: Int = 20, partColsOverride: Option[Seq[String]] = None,
+      extraMeta: Map[String, String] = Map.empty)(
       build: Int => (Seq[ChunkRef], Option[String])): Int = {
     var attempt = 0
     while (attempt <= maxRetries) {
       val parent = latestVersion(spark, tableDir)
       val (chunks, schema) = build(parent)
+      val parentRoot =
+        if (parent > 0) Some(readRoot(spark, tableDir, parent)) else None
       val partCols = partColsOverride.getOrElse(
-        if (parent > 0) readRoot(spark, tableDir, parent).partCols
-        else IncrementalGold.PartCols)
+        parentRoot.map(_.partCols).getOrElse(IncrementalGold.PartCols))
+      // commit metadata carries forward; this commit's entries override
+      val meta = parentRoot.map(_.meta).getOrElse(Map.empty) ++ extraMeta
       val r = Root(parent + 1, parent, op, schema,
-        chunks.filter(_.fileCount > 0), partCols)
+        chunks.filter(_.fileCount > 0), partCols, meta)
       if (tryWriteRoot(spark, tableDir, r)) return r.version
       attempt += 1
       Thread.sleep(5L * attempt) // linear backoff under contention
@@ -637,7 +652,8 @@ object SnapshotTable {
   private def commitRetrying(spark: SparkSession, tableDir: String,
       op: String, added: Seq[String], replacedPrefixes: Seq[String],
       statsColumns: Seq[String], readVersion: Option[Int],
-      dfSchema: Option[StructType], countRows: Boolean = true): Int = {
+      dfSchema: Option[StructType], countRows: Boolean = true,
+      extraMeta: Map[String, String] = Map.empty): Int = {
     val (rows, fresh) =
       if (countRows) collectFileMeta(spark, tableDir, added, statsColumns)
       else (Map.empty[String, Long], Map.empty[(String, String), ZoneStat])
@@ -647,7 +663,7 @@ object SnapshotTable {
       else None
     val replacedKeys = replacedPrefixes
       .map(p => partKeyOfFile(p + "f")).distinct
-    commitWith(spark, tableDir, op) { parent =>
+    commitWith(spark, tableDir, op, extraMeta = extraMeta) { parent =>
       for (rv <- readVersion if parent != rv && replacedPrefixes.nonEmpty) {
         val before = filesUnder(spark, tableDir, rv, replacedPrefixes,
           replacedKeys)
@@ -754,10 +770,50 @@ object SnapshotTable {
     * collection scans ONLY this commit's files — cost ∝ change).
     * Returns the committed version. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
-      op: String = "append", statsColumns: Seq[String] = Nil): Int = {
+      op: String = "append", statsColumns: Seq[String] = Nil,
+      extraMeta: Map[String, String] = Map.empty): Int = {
     val created = stagedWrite(spark, tableDir, df)
     commitRetrying(spark, tableDir, op, created, Nil, statsColumns, None,
-      Some(df.schema))
+      Some(df.schema), extraMeta = extraMeta)
+  }
+
+  /** Commit metadata at `version` (carried forward; latest writer's
+    * entries win). O(1) — one root read. */
+  def commitMeta(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): Map[String, String] = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    if (v == 0) Map.empty else readRoot(spark, tableDir, v).meta
+  }
+
+  // ------------------------------------------------------------------
+  // Exactly-once streaming sink: the micro-batch id rides IN the
+  // CAS-committed root (one atomic artifact, the Iceberg streaming-
+  // sink idempotence model), carried forward so the replay check is
+  // one root read. foreachBatch replays at-least-once; this makes the
+  // append exactly-once.
+  // ------------------------------------------------------------------
+
+  /** Highest micro-batch id `sinkId` ever committed to this table
+    * (None before its first commit). O(1): watermarks carry forward in
+    * every root's metadata. */
+  def lastStreamBatch(spark: SparkSession, tableDir: String,
+      sinkId: String): Option[Long] =
+    commitMeta(spark, tableDir).get(s"stream.$sinkId").map(_.toLong)
+
+  /** Exactly-once append of one micro-batch: a (sinkId, batchId)
+    * already recorded in the table's commit metadata is a foreachBatch
+    * REPLAY of a batch whose commit won — skipped (None). Otherwise
+    * the append commits with the watermark inside the same root: a
+    * crash BEFORE the CAS replays and re-commits (nothing landed), a
+    * crash AFTER replays and skips — no path duplicates rows. Batch
+    * ids per sink must be monotonic (Structured Streaming's contract).
+    * Returns the committed version, or None for a skipped replay. */
+  def streamAppend(spark: SparkSession, tableDir: String, df: DataFrame,
+      sinkId: String, batchId: Long, statsColumns: Seq[String] = Nil)
+      : Option[Int] = {
+    if (lastStreamBatch(spark, tableDir, sinkId).exists(_ >= batchId)) None
+    else Some(append(spark, tableDir, df, op = s"stream-$sinkId-$batchId",
+      statsColumns, extraMeta = Map(s"stream.$sinkId" -> batchId.toString)))
   }
 
   // ------------------------------------------------------------------

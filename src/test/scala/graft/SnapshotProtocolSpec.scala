@@ -458,6 +458,60 @@ class SnapshotProtocolSpec extends SparkSpec {
     assert(p("a").version == av2 && p("b").version == bv2)
   }
 
+  test("catalog-aware vacuum: retained catalog cuts keep their pinned table versions readable; unpinned history reclaims") {
+    import graft.operators.SnapshotCatalog
+    import graft.operators.SnapshotCatalog.Pin
+    val dir = s"$base/catvacuum"
+    wipe(dir)
+    val t = s"$dir/t"; val cat = s"$dir/_catalog"
+    // three catalog cuts pin t@1, t@3, t@5 (v2/v4 never pinned)
+    val vs = (1 to 5).map(m => SnapshotTable.append(spark, t,
+      rows(2 + m, m, s"b$m")))
+    SnapshotCatalog.commit(spark, cat, Seq(Pin("t", t, vs(0))))
+    SnapshotCatalog.commit(spark, cat, Seq(Pin("t", t, vs(2))))
+    SnapshotCatalog.commit(spark, cat, Seq(Pin("t", t, vs(4))))
+    // retain the last TWO catalog cuts: t@3 and t@5 must stay readable
+    // even though a bare table vacuum(retainLast=1) would keep only v5
+    SnapshotCatalog.vacuum(spark, cat, retainLast = 2)
+    assert(SnapshotCatalog.latestVersion(spark, cat) == 3)
+    assert(SnapshotCatalog.pins(spark, cat, Some(2))("t").version == vs(2))
+    assert(SnapshotCatalog.readTable(spark, cat, "t", Some(2))
+      .count() == (1 to 3).map(m => 2L + m).sum)
+    assert(SnapshotCatalog.readTable(spark, cat, "t", Some(3))
+      .count() == (1 to 5).map(m => 2L + m).sum)
+    // the dropped catalog cut's pin (t@1) is reclaimed: both the
+    // catalog root and the table root are gone
+    assert(!new File(f"$t/_snapshots/v00001.txt").exists())
+    intercept[java.io.FileNotFoundException] {
+      SnapshotCatalog.pins(spark, cat, Some(1))
+    }
+  }
+
+  test("streamAppend is exactly-once: replayed batch ids skip; watermarks carry across other writers' commits; sinks are independent") {
+    val dir = s"$base/streamsink"
+    wipe(dir)
+    assert(SnapshotTable.streamAppend(spark, dir, rows(3, 1, "s0"),
+      "sinkA", 0L).contains(1))
+    // foreachBatch replay of batch 0: metadata-checked no-op
+    assert(SnapshotTable.streamAppend(spark, dir, rows(3, 1, "s0"),
+      "sinkA", 0L).isEmpty)
+    assert(SnapshotTable.read(spark, dir).count() == 3)
+    // an UNRELATED writer commits in between — the watermark carries
+    // forward through its root, so the replay check stays O(1) and true
+    SnapshotTable.append(spark, dir, rows(2, 2, "other"))
+    assert(SnapshotTable.lastStreamBatch(spark, dir, "sinkA").contains(0L))
+    assert(SnapshotTable.streamAppend(spark, dir, rows(3, 1, "s0"),
+      "sinkA", 0L).isEmpty)
+    // the next batch commits; a SECOND sink has its own watermark line
+    assert(SnapshotTable.streamAppend(spark, dir, rows(4, 3, "s1"),
+      "sinkA", 1L).nonEmpty)
+    assert(SnapshotTable.streamAppend(spark, dir, rows(1, 4, "t0"),
+      "sinkB", 0L).nonEmpty)
+    assert(SnapshotTable.lastStreamBatch(spark, dir, "sinkA").contains(1L))
+    assert(SnapshotTable.lastStreamBatch(spark, dir, "sinkB").contains(0L))
+    assert(SnapshotTable.read(spark, dir).count() == 3 + 2 + 4 + 1)
+  }
+
   test("partition evolution: metadata-only spec switch; old files keep their layout; reads and partition-scoped commits span both specs") {
     import spark.implicits._
     val dir = s"$base/pevolve"
