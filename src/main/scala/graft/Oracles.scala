@@ -3165,6 +3165,19 @@ FROM silver
 WHERE service_date BETWEEN DATE '1995-11-15' AND DATE '1996-02-14'
 GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // z-order clustering: a 2-D predicate (date range x amount band)
+    // answered through one planScan carrying two zone predicates over
+    // the z-clustered table; oracle = full-table recompute under the
+    // same row predicate (pruning lossless on both dimensions)
+    "q_zorder_scan" -> (ClaimsCte + """
+SELECT service_month, count(*) AS n_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
+FROM silver
+WHERE service_date BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
+  AND claim_amount BETWEEN 1000.0 AND 20000.0
+GROUP BY 1 ORDER BY 1"""),
+
     // exactly-once streaming sink: two silver drops drained through a
     // checkpointed file stream into snapshot commits carrying their
     // micro-batch id; a hand-replayed last batch must skip — the table

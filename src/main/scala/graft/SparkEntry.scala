@@ -177,6 +177,7 @@ object SparkEntry {
     "q_partition_evolution" -> SnapshotQueries.partitionEvolutionE2e _,
     "q_hidden_partitioning" -> SnapshotQueries.hiddenPartitioningE2e _,
     "q_stream_snapshot" -> SnapshotQueries.streamSnapshotE2e _,
+    "q_zorder_scan" -> SnapshotQueries.zorderScanE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -592,6 +592,39 @@ object SnapshotQueries {
         col("service_month"), col("claim_amount_category"))
   }
 
+  /** `q_zorder_scan`: multi-dimensional zone pruning from ONE file
+    * layout, as an oracle-checked query. The cached fixture Z-ORDERS
+    * the claims silver on (service_date, claim_amount) —
+    * [[SnapshotTable.clusterZOrder]] interleaves the two columns'
+    * bucket bits and rewrites each partition along the curve, with
+    * zone maps committed on BOTH columns and the sort order recorded
+    * in the root. The query then answers a 2-D predicate (a date range
+    * × an amount band) through one [[SnapshotTable.planScan]] carrying
+    * two ZonePredicates, so files are skipped on whichever dimension
+    * excludes them. The DuckDB oracle aggregates the FULL silver under
+    * the same row predicate — equality proves the 2-D pruning
+    * lossless; SnapshotSpec pins that it actually engages on both
+    * dimensions. */
+  def zorderScanE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val d = FixtureCache.cachedDir(spark, "snap_zorder", sfDir) { dir =>
+      append(spark, s"$dir/silver", FixtureCache.silverFull(spark, sfDir))
+      clusterZOrder(spark, s"$dir/silver",
+        Seq("service_date", "claim_amount"))
+    }
+    val (df, _, _) = planScan(spark, s"$d/silver", None, Seq(
+      ZonePredicate.str("service_date", "1996-04-01", "1996-06-30"),
+      ZonePredicate.num("claim_amount", 1000.0, 20000.0)))
+    df.filter(col("service_date") >= lit("1996-04-01").cast("date") &&
+        col("service_date") <= lit("1996-06-30").cast("date") &&
+        col("claim_amount") >= 1000.0 && col("claim_amount") <= 20000.0)
+      .groupBy(col("service_month"))
+      .agg(count(lit(1)).as("n_claims"),
+        countDistinct(col("member_id")).as("unique_members"),
+        graft.functions.Exact.dsum(col("claim_amount")).as("total_amount"))
+      .orderBy(col("service_month"))
+  }
+
   /** `q_stream_snapshot`: the NATIVE exactly-once streaming sink onto
     * the snapshot layer as an oracle-checked query. A file stream
     * drains two silver drops through foreachBatch into

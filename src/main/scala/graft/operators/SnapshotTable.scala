@@ -1028,7 +1028,8 @@ object SnapshotTable {
       df: DataFrame,
       parts: Option[Seq[(Option[Int], Option[Int])]] = None,
       op: String = "overwrite", statsColumns: Seq[String] = Nil,
-      readVersion: Option[Int] = None): Int = {
+      readVersion: Option[Int] = None,
+      extraMeta: Map[String, String] = Map.empty): Int = {
     val rv = readVersion.getOrElse(latestVersion(spark, tableDir))
     val ps = parts.getOrElse(
       df.select(col("service_year"), col("service_month")).distinct()
@@ -1039,7 +1040,7 @@ object SnapshotTable {
     val replacedPrefixes = ps.map(Upsert.partitionRelPath).map(_ + "/")
     val created = stagedWrite(spark, tableDir, df)
     commitRetrying(spark, tableDir, op, created, replacedPrefixes,
-      statsColumns, Some(rv), Some(df.schema))
+      statsColumns, Some(rv), Some(df.schema), extraMeta = extraMeta)
   }
 
   /** Read the table at `version` (default: latest): exactly the root's
@@ -1490,6 +1491,79 @@ object SnapshotTable {
       Some(verified), op = "delete", statsColumns = Seq(key),
       readVersion = Some(v))
     verified
+  }
+
+  // ------------------------------------------------------------------
+  // Z-order clustering: a maintenance rewrite interleaving the bucket
+  // bits of several columns so ONE file layout serves range predicates
+  // on ALL of them — the multi-dimensional extension of the 1-D
+  // repartitionByRange clustering the merge path already does. Zone
+  // maps on every z-dimension become selective simultaneously; a 2-D
+  // scan composes two ZonePredicates over the same planScan.
+  // ------------------------------------------------------------------
+
+  /** The Z-value column: each input column is bucketized into
+    * 2^`bitsPerDim` rank buckets (boundaries from one approxQuantile
+    * pass — driver-sized state), the bucket bits are interleaved
+    * low-to-high across dimensions. Dates map through their epoch-day
+    * rendering; everything else must be numeric. Codegen-friendly:
+    * boundary comparisons + bit ops, no UDF. */
+  private[graft] def zOrderValue(df: DataFrame, cols: Seq[String],
+      bitsPerDim: Int = 4): org.apache.spark.sql.Column = {
+    require(cols.size >= 2, "z-order needs at least two dimensions")
+    val buckets = 1 << bitsPerDim
+    val numeric = cols.map { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(c), lit("1970-01-01").cast("date")).cast("double")
+        case _ => col(c).cast("double")
+      }
+    }
+    val probed = df.select(numeric.zipWithIndex.map { case (c, i) =>
+      c.as(s"__zq$i") }: _*)
+    val bucketCols = numeric.zipWithIndex.map { case (c, i) =>
+      val bounds = probed.stat.approxQuantile(s"__zq$i",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      // bucket = #boundaries at or below the value (NULL -> bucket 0)
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(c >= lit(b), 1).otherwise(0)
+      }
+    }
+    (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, j) =>
+      bucketCols.zipWithIndex.foldLeft(acc) { case (a, (bc, d)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(bc.cast("long"), j).bitwiseAND(lit(1L)),
+          j * cols.size + d))
+      }
+    }
+  }
+
+  /** Z-ORDER the LATEST snapshot: rewrite every partition with its
+    * rows clustered along the (partition, z(cols)) curve and fresh
+    * zone maps on every z-dimension, committed copy-on-write with the
+    * sort order recorded in the root's metadata. One full rewrite
+    * (like any clustering maintenance pass) buys file-level pruning
+    * for range predicates on ALL `cols` at once. Returns the committed
+    * version. */
+  def clusterZOrder(spark: SparkSession, tableDir: String,
+      cols: Seq[String], rangeGroups: Int = 8, bitsPerDim: Int = 4): Int = {
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val df = read(spark, tableDir, Some(v))
+    val files = manifest(spark, tableDir, v).files
+    require(files.forall(f => partitionOf(f).nonEmpty),
+      s"clusterZOrder requires a partitioned table at $tableDir")
+    val parts = files.flatMap(partitionOf).distinct
+    val z = zOrderValue(df, cols, bitsPerDim)
+    val partExprs = currentPartCols(spark, tableDir)
+      .filter(df.columns.contains).map(col)
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(rangeGroups, partExprs :+ col("__z"): _*)
+      .sortWithinPartitions(partExprs :+ col("__z"): _*)
+      .drop("__z")
+    overwritePartitions(spark, tableDir, clustered, Some(parts),
+      op = s"zorder", statsColumns = cols, readVersion = Some(v),
+      extraMeta = Map("sortorder" -> s"zorder(${cols.mkString(",")})"))
   }
 
   /** Compact the given partitions of the LATEST snapshot into

@@ -487,6 +487,51 @@ class SnapshotProtocolSpec extends SparkSpec {
     }
   }
 
+  test("z-order clustering: one layout prunes on BOTH dimensions; sort order recorded; content preserved") {
+    import spark.implicits._
+    val dir = s"$base/zorder"
+    wipe(dir)
+    // two independent dimensions spread over one partition: amount
+    // grows with i, day cycles — z-ordering must make BOTH selective
+    val df = (0 until 4000).map { i =>
+      (s"Z$i", java.sql.Date.valueOf(f"2000-01-${1 + i % 28}%02d"),
+        i * 10.0, 2000, 1)
+    }.toDF("claim_id", "service_date", "claim_amount", "service_year",
+      "service_month")
+    SnapshotTable.append(spark, dir, df)
+    val contentBefore = SnapshotTable.read(spark, dir)
+      .collect().map(_.toSeq).toSet
+    SnapshotTable.clusterZOrder(spark, dir,
+      Seq("service_date", "claim_amount"), rangeGroups = 16)
+    assert(SnapshotTable.commitMeta(spark, dir)("sortorder") ==
+      "zorder(service_date,claim_amount)")
+    assert(SnapshotTable.read(spark, dir).collect().map(_.toSeq).toSet
+      == contentBefore, "clustering must not change content")
+    // a narrow 2-D probe: each single-dimension predicate must prune
+    // on its own, and the composed probe at least as hard
+    val (_, total, keptDate) = SnapshotTable.planScan(spark, dir, None,
+      Seq(SnapshotTable.ZonePredicate.str("service_date",
+        "2000-01-03", "2000-01-06")))
+    val (_, _, keptAmt) = SnapshotTable.planScan(spark, dir, None,
+      Seq(SnapshotTable.ZonePredicate.num("claim_amount", 100.0, 4000.0)))
+    val (df2, _, keptBoth) = SnapshotTable.planScan(spark, dir, None,
+      Seq(SnapshotTable.ZonePredicate.str("service_date",
+          "2000-01-03", "2000-01-06"),
+        SnapshotTable.ZonePredicate.num("claim_amount", 100.0, 4000.0)))
+    assert(total >= 16, s"need enough files to prune meaningfully: $total")
+    assert(keptDate < total, s"date pruning must engage: $keptDate/$total")
+    assert(keptAmt < total, s"amount pruning must engage: $keptAmt/$total")
+    assert(keptBoth <= math.min(keptDate, keptAmt))
+    // lossless: the pruned scan holds every qualifying row
+    val got = df2.filter(col("service_date").between(
+        "2000-01-03", "2000-01-06") &&
+      col("claim_amount").between(100.0, 4000.0)).count()
+    val want = SnapshotTable.read(spark, dir).filter(
+      col("service_date").between("2000-01-03", "2000-01-06") &&
+      col("claim_amount").between(100.0, 4000.0)).count()
+    assert(got == want && want > 0)
+  }
+
   test("streamAppend is exactly-once: replayed batch ids skip; watermarks carry across other writers' commits; sinks are independent") {
     val dir = s"$base/streamsink"
     wipe(dir)
