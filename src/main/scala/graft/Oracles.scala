@@ -3175,7 +3175,7 @@ SELECT service_month, count(*) AS n_claims,
   CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
 FROM silver
 WHERE service_date BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
-  AND claim_amount BETWEEN 1000.0 AND 20000.0
+  AND claim_amount BETWEEN 1000.0 AND 100000.0
 GROUP BY 1 ORDER BY 1"""),
 
     // exactly-once streaming sink: two silver drops drained through a

@@ -614,10 +614,10 @@ object SnapshotQueries {
     }
     val (df, _, _) = planScan(spark, s"$d/silver", None, Seq(
       ZonePredicate.str("service_date", "1996-04-01", "1996-06-30"),
-      ZonePredicate.num("claim_amount", 1000.0, 20000.0)))
+      ZonePredicate.num("claim_amount", 1000.0, 100000.0)))
     df.filter(col("service_date") >= lit("1996-04-01").cast("date") &&
         col("service_date") <= lit("1996-06-30").cast("date") &&
-        col("claim_amount") >= 1000.0 && col("claim_amount") <= 20000.0)
+        col("claim_amount") >= 1000.0 && col("claim_amount") <= 100000.0)
       .groupBy(col("service_month"))
       .agg(count(lit(1)).as("n_claims"),
         countDistinct(col("member_id")).as("unique_members"),
