@@ -502,12 +502,18 @@ object SnapshotQueries {
   def partitionEvolutionE2e(spark: SparkSession, sfDir: String)
       : DataFrame = {
     Engine.configure(spark)
-    val d = FixtureCache.cachedDir(spark, "snap_pevolve", sfDir) { dir =>
+    val d = FixtureCache.cachedDir(spark, "snap_pevolve_v2", sfDir) { dir =>
       val t = s"$dir/silver"
       append(spark, t, FixtureCache.silverPre1997(spark, sfDir))
       evolvePartitions(spark, t,
         Seq("service_year", "service_month", "service_day"))
-      append(spark, t, FixtureCache.silverPost1997(spark, sfDir))
+      // cluster the day-grain batch by its partition tuple first: each
+      // task then owns whole days, so a day directory gets ~1 file
+      // instead of one per (input task × day) — without this the
+      // mixed-layout verification read pays for ~20k tiny files
+      append(spark, t, FixtureCache.silverPost1997(spark, sfDir)
+        .repartition(col("service_year"), col("service_month"),
+          col("service_day")))
     }
     read(spark, s"$d/silver")
       .groupBy(col("service_year"), col("service_month"))

@@ -65,6 +65,21 @@ final class SnapshotConflictException(msg: String)
   *    gates it with a caller-supplied audit (e.g. [[DqEngine]]'s
   *    expectation suite), and fast-forwards `main` only on pass; a
   *    failing batch is rolled back and `main` never sees it.
+  *  - TABLE STATISTICS are commit metadata: exact per-file row counts
+  *    ride in every chunk (collected with the zone maps, one scan over
+  *    the change), so [[rowCount]]/[[readCbo]] answer from metadata;
+  *    NDV is an explicit [[analyzeTable]] pass persisting KMV sketches
+  *    version-pinned (the ANALYZE/Puffin model).
+  *  - The PARTITION SPEC is root metadata too: [[evolvePartitions]]
+  *    switches the layout new writes use without touching old files;
+  *    reads span every live spec, and [[planScanByDate]] hides the
+  *    layout behind a data-column predicate. [[clusterZOrder]] is the
+  *    multi-column clustering rewrite (zone maps selective on every
+  *    dimension at once).
+  *  - Free-form commit metadata carries forward ([[commitMeta]]) — the
+  *    channel [[streamAppend]]'s exactly-once micro-batch watermarks
+  *    ride in, atomic with the commit they describe. Cross-TABLE
+  *    atomicity is one level up: [[SnapshotCatalog]].
   *
   * At 100 TB the wins are the same as Iceberg's: O(1) file pruning from
   * the root, commits that write metadata proportional to the CHANGE,
