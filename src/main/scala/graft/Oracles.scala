@@ -3165,6 +3165,28 @@ FROM silver
 WHERE service_date BETWEEN DATE '1995-11-15' AND DATE '1996-02-14'
 GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // cross-table WAP: a silver-only repin (gold left stale) fails the
+    // staged-cut audit and rolls back; the republished pair passes and
+    // main fast-forwards — gold through main is the both-batch rollup
+    "q_catalog_wap" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)}
+SELECT service_year, service_month, claim_amount_category,
+  count(*) AS total_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount,
+  count(CASE WHEN data_quality_score < 1.0 THEN 1 END) AS n_flagged
+FROM (SELECT * FROM silver_b1 UNION ALL SELECT * FROM silver_b2) u
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+    },
+
     // z-order clustering: a 2-D predicate (date range x amount band)
     // answered through one planScan carrying two zone predicates over
     // the z-clustered table; oracle = full-table recompute under the

@@ -178,6 +178,7 @@ object SparkEntry {
     "q_hidden_partitioning" -> SnapshotQueries.hiddenPartitioningE2e _,
     "q_stream_snapshot" -> SnapshotQueries.streamSnapshotE2e _,
     "q_zorder_scan" -> SnapshotQueries.zorderScanE2e _,
+    "q_catalog_wap" -> SnapshotQueries.catalogWapE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -126,6 +126,93 @@ object SnapshotCatalog {
       s"catalog commit contention: $maxRetries CAS retries at $catalogDir")
   }
 
+  // ------------------------------------------------------------------
+  // Catalog refs (branch model over catalog versions) + cross-table
+  // write-audit-publish: stage a MULTI-TABLE transaction, audit the
+  // staged cut as a whole (e.g. "is gold exactly the rollup of its
+  // paired silver?"), fast-forward main on pass / roll the catalog
+  // back on fail — the WAP pattern lifted from one table to a
+  // transaction boundary.
+  // ------------------------------------------------------------------
+
+  private def refPath(catalogDir: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad ref name: $name")
+    new Path(new Path(catalogDir, "refs"), s"$name.txt")
+  }
+
+  /** Point catalog ref `name` at catalog version `version` (atomic
+    * replace — single-coordinator state, like a table ref). */
+  def setRef(spark: SparkSession, catalogDir: String, name: String,
+      version: Int): Unit = {
+    val dst = refPath(catalogDir, name)
+    val fs = fsOf(spark, dst)
+    fs.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent,
+      s"_tmp_${java.util.UUID.randomUUID()}.txt")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new IllegalStateException(s"catalog ref update failed: $dst")
+    }
+  }
+
+  def getRef(spark: SparkSession, catalogDir: String, name: String)
+      : Option[Int] = {
+    val p = refPath(catalogDir, name)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  def dropRef(spark: SparkSession, catalogDir: String, name: String)
+      : Unit = {
+    val p = refPath(catalogDir, name)
+    fsOf(spark, p).delete(p, false)
+  }
+
+  /** Cross-table write-audit-publish: stage `updates` as a real
+    * catalog commit, point ref `branch` at it, run the caller's
+    * `audit` against THAT catalog version (read the staged cut with
+    * `readTable(..., Some(stagedVersion))` — every table at its staged
+    * pin, one transaction boundary), then either fast-forward `main`
+    * (pass) or commit a catalog rollback restoring main's pins (fail)
+    * so followers of latest never advance past an unaudited cut.
+    * Member-table versions staged by a failing transaction stay
+    * time-travelable until their tables' vacuum. Single-coordinator
+    * between stage and publish, like the table-level WAP. Returns
+    * (stagedCatalogVersion, passed). */
+  def writeAuditPublish(spark: SparkSession, catalogDir: String,
+      updates: Seq[Pin], branch: String = "audit")(
+      audit: Int => Boolean): (Int, Boolean) = {
+    val mainV = getRef(spark, catalogDir, "main")
+      .getOrElse(latestVersion(spark, catalogDir))
+    require(mainV > 0, s"catalog WAP needs an existing catalog at " +
+      catalogDir)
+    setRef(spark, catalogDir, "main", mainV)
+    val staged = commit(spark, catalogDir, updates, op = s"wap-$branch")
+    setRef(spark, catalogDir, branch, staged)
+    val ok = audit(staged)
+    if (ok) setRef(spark, catalogDir, "main", staged)
+    else {
+      val restore = pins(spark, catalogDir, Some(mainV)).values.toSeq
+      commit(spark, catalogDir, restore, op = s"wap-$branch-rollback")
+    }
+    dropRef(spark, catalogDir, branch)
+    (staged, ok)
+  }
+
   /** Catalog-aware retention: drop catalog roots older than the
     * `retainLast` most recent, then vacuum every member table with the
     * RETAINED catalog roots' pins protected — each table gets a named
@@ -136,13 +223,29 @@ object SnapshotCatalog {
     * and break its consistent read. Returns deleted data files per
     * table. A table's own `retainLast` semantics still apply on top
     * (whichever floor is older wins). */
+  /** All catalog refs: name → catalog version. */
+  def listRefs(spark: SparkSession, catalogDir: String)
+      : Map[String, Int] = {
+    val d = new Path(catalogDir, "refs")
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".txt") && !n.startsWith("_tmp_") =>
+        n.stripSuffix(".txt") }
+      .flatMap(n => getRef(spark, catalogDir, n).map(n -> _)).toMap
+  }
+
   def vacuum(spark: SparkSession, catalogDir: String,
       retainLast: Int = 1, tableRetainLast: Int = 1)
       : Map[String, Seq[String]] = {
     val latest = latestVersion(spark, catalogDir)
     require(latest > 0, s"no catalog at $catalogDir")
     require(retainLast >= 1, "must retain at least the latest catalog root")
-    val keepFrom = math.max(1, latest - retainLast + 1)
+    // catalog refs (main, long-lived tags) floor the retention window,
+    // exactly as table refs floor the table vacuum's
+    val keepFrom = math.min(
+      math.max(1, latest - retainLast + 1),
+      listRefs(spark, catalogDir).values.minOption.getOrElse(Int.MaxValue))
     val fs = fsOf(spark, new Path(catalogDir))
     val retainedPins = (keepFrom to latest)
       .flatMap(v => pins(spark, catalogDir, Some(v)).values)

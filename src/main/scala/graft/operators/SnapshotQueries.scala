@@ -682,6 +682,70 @@ object SnapshotQueries {
     keyCols(read(spark, tableDir))
   }
 
+  /** `q_catalog_wap`: CROSS-TABLE write-audit-publish as an
+    * oracle-checked query. The cached fixture holds silver v1/v2 (the
+    * two batches) and gold v1/v2 (the rollup of each), with catalog v1
+    * pinning the consistent v1 pair. Each run then stages a BAD
+    * transaction — silver repinned to v2 while gold is left at v1 (the
+    * "forgot to republish" failure a single-table WAP cannot see) —
+    * whose audit recomputes the rollup OF THE STAGED CUT and fails, so
+    * the catalog rolls back and `main` never moves; then the GOOD pair
+    * stages, audits consistent, and `main` fast-forwards. The query
+    * reads gold through `main`; the DuckDB oracle recomputes the
+    * both-batch rollup — equality proves main only ever advanced to
+    * the audited consistent cut. */
+  def catalogWapE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import SnapshotCatalog.Pin
+    Engine.configure(spark)
+    val d = FixtureCache.cachedDir(spark, "snap_catalog_wap", sfDir) {
+      dir =>
+        val silverDir = s"$dir/silver"
+        val goldDir = s"$dir/gold"
+        val sv1 = append(spark, silverDir,
+          FixtureCache.silverPre1997(spark, sfDir))
+        append(spark, goldDir,
+          IncrementalGold.goldOf(read(spark, silverDir, Some(sv1))))
+        val sv2 = append(spark, silverDir,
+          FixtureCache.silverPost1997(spark, sfDir))
+        val changed = changedPartitionsBetween(spark, silverDir, sv1, sv2)
+        overwritePartitions(spark, goldDir,
+          IncrementalGold.goldOf(IncrementalGold.partitionSlice(
+            read(spark, silverDir, Some(sv2)), changed)),
+          Some(changed), op = "publish-2")
+    }
+    val silverDir = s"$d/silver"
+    val goldDir = s"$d/gold"
+    val cat = s"target/catalog_wap/${leafOf(sfDir)}"
+    wipe(spark, cat)
+    SnapshotCatalog.commit(spark, cat,
+      Seq(Pin("silver", silverDir, 1), Pin("gold", goldDir, 1)),
+      op = "publish-1")
+    SnapshotCatalog.setRef(spark, cat, "main", 1)
+    def consistent(cv: Int): Boolean = {
+      val silver = SnapshotCatalog.readTable(spark, cat, "silver", Some(cv))
+      val want = IncrementalGold.goldOf(silver)
+      // align by NAME: a parquet source surfaces partition columns
+      // last whatever the declared schema order, and exceptAll
+      // compares positionally
+      val gold = SnapshotCatalog.readTable(spark, cat, "gold", Some(cv))
+        .select(want.columns.map(col): _*)
+      gold.exceptAll(want).isEmpty && want.exceptAll(gold).isEmpty
+    }
+    val (_, okBad) = SnapshotCatalog.writeAuditPublish(spark, cat,
+      Seq(Pin("silver", silverDir, 2)))(consistent)
+    require(!okBad, "the silver-only repin must fail the pair audit")
+    val (_, okGood) = SnapshotCatalog.writeAuditPublish(spark, cat,
+      Seq(Pin("silver", silverDir, 2), Pin("gold", goldDir, 2)))(consistent)
+    require(okGood, "the republished pair must pass the audit")
+    val mainV = SnapshotCatalog.getRef(spark, cat, "main").get
+    SnapshotCatalog.readTable(spark, cat, "gold", Some(mainV))
+      .select(col("service_year"), col("service_month"),
+        col("claim_amount_category"), col("total_claims"),
+        col("unique_members"), col("total_amount"), col("n_flagged"))
+      .orderBy(col("service_year"), col("service_month"),
+        col("claim_amount_category"))
+  }
+
   /** `q_snapshot_cbo`: the metadata-driven broadcast decision as an
     * oracle-checked query. The fact side is the two-batch silver
     * snapshot; the dim side comes through [[SnapshotTable.readCbo]],

@@ -458,6 +458,44 @@ class SnapshotProtocolSpec extends SparkSpec {
     assert(p("a").version == av2 && p("b").version == bv2)
   }
 
+  test("catalog write-audit-publish: a failing cross-table cut rolls back (main and latest restored); a passing one fast-forwards main") {
+    import graft.operators.SnapshotCatalog
+    import graft.operators.SnapshotCatalog.Pin
+    val dir = s"$base/catwap"
+    wipe(dir)
+    val a = s"$dir/a"; val b = s"$dir/b"; val cat = s"$dir/_catalog"
+    SnapshotTable.append(spark, a, rows(4, 1, "a1"))
+    SnapshotTable.append(spark, b, rows(2, 1, "b1"))
+    SnapshotCatalog.commit(spark, cat,
+      Seq(Pin("a", a, 1), Pin("b", b, 1)))
+    SnapshotCatalog.setRef(spark, cat, "main", 1)
+    SnapshotTable.append(spark, a, rows(3, 2, "a2")) // a v2 staged
+    // audit demands the cut pins BOTH tables at the same generation —
+    // the a-only repin fails, catalog rolls back, main never moves
+    def pairAudit(cv: Int): Boolean = {
+      val p = SnapshotCatalog.pins(spark, cat, Some(cv))
+      p("a").version == p("b").version
+    }
+    val (stagedBad, okBad) = SnapshotCatalog.writeAuditPublish(spark, cat,
+      Seq(Pin("a", a, 2)))(pairAudit)
+    assert(!okBad)
+    assert(SnapshotCatalog.getRef(spark, cat, "main").contains(1))
+    // the rollback commit restored main's pins for followers of latest
+    assert(SnapshotCatalog.pins(spark, cat)("a").version == 1)
+    // the staged cut stays inspectable until catalog vacuum
+    assert(SnapshotCatalog.pins(spark, cat, Some(stagedBad))("a")
+      .version == 2)
+    assert(SnapshotCatalog.getRef(spark, cat, "audit").isEmpty)
+    // the complete pair passes and main fast-forwards to it
+    SnapshotTable.append(spark, b, rows(1, 2, "b2")) // b v2
+    val (stagedGood, okGood) = SnapshotCatalog.writeAuditPublish(spark,
+      cat, Seq(Pin("a", a, 2), Pin("b", b, 2)))(pairAudit)
+    assert(okGood)
+    assert(SnapshotCatalog.getRef(spark, cat, "main").contains(stagedGood))
+    assert(SnapshotCatalog.readTable(spark, cat, "a",
+      SnapshotCatalog.getRef(spark, cat, "main")).count() == 7)
+  }
+
   test("catalog-aware vacuum: retained catalog cuts keep their pinned table versions readable; unpinned history reclaims") {
     import graft.operators.SnapshotCatalog
     import graft.operators.SnapshotCatalog.Pin
