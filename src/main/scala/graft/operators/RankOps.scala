@@ -47,6 +47,15 @@ object RankOps {
     * `tie2` may be a constant column for call sites with one tiebreaker;
     * the (tie1, tie2) pair must make the total order strict (unique per
     * row) for deterministic ties. */
+  /** Hard bound on DISTINCT group keys: pass-1 state is partitions ×
+    * keys rows on the driver, which is metadata for the operator's
+    * design domain (languages, event types) but a silent driver flood
+    * for an id-like key. The guard fails the job loudly INSIDE pass 1
+    * (executor-side, before any collect materializes) — a range
+    * partition holds a contiguous key run, so any partition exceeding
+    * `MaxKeys` proves the whole frame does. */
+  val MaxKeys = 10000
+
   def decilesOf(spark: SparkSession, vals: DataFrame, keyCol: String,
       valueCol: String, tie1: String, tie2: Option[String],
       buckets: Int = 10): DataFrame = {
@@ -65,9 +74,23 @@ object RankOps {
     val runs: Array[(Int, String, Long)] = sortedDs.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      it.foreach { r => m.update(r._1, m.getOrElse(r._1, 0L) + 1L) }
+      it.foreach { r =>
+        m.update(r._1, m.getOrElse(r._1, 0L) + 1L)
+        if (m.size > MaxKeys)
+          throw new IllegalArgumentException(
+            s"decilesOf: more than $MaxKeys distinct values of a group " +
+              "key — this operator's driver state is partitions × keys; " +
+              "an id-like key needs approxQuantile or a per-key " +
+              "aggregation instead")
+      }
       m.iterator.map { case (k, c) => (pid, k, c) }
     }.collect()
+    // contiguous ranges mean k keys over p partitions yield at most
+    // k + p − 1 runs, so this enforces total distinct keys ≤ MaxKeys
+    require(runs.length < MaxKeys + parts,
+      s"decilesOf: ${runs.length} (partition, key) runs imply more than " +
+        s"$MaxKeys distinct group keys — use approxQuantile or a per-key " +
+        "aggregation for id-like keys")
     // driver arithmetic over partitions × keys rows
     val targets: Map[String, Map[Long, Seq[Int]]] =
       runs.groupBy(_._2).map { case (k, rs) =>

@@ -89,7 +89,25 @@ object SnapshotCatalog {
     * committed catalog version. */
   def commit(spark: SparkSession, catalogDir: String, updates: Seq[Pin],
       op: String = "txn", readVersion: Option[Int] = None,
-      maxRetries: Int = 20): Int = {
+      maxRetries: Int = 20): Int =
+    commitComposing(spark, catalogDir, updates, op, readVersion,
+      maxRetries, exact = false)
+
+  /** Commit a catalog version whose pin set is EXACTLY `updates` —
+    * tables absent from it are DROPPED, not carried forward. The undo
+    * primitive behind [[writeAuditPublish]]'s rollback: restoring an
+    * older cut must also un-pin any table the failed transaction pinned
+    * for the FIRST time (a composing commit would leave it live at its
+    * unaudited staged version — round-13 VERDICT #2). */
+  def commitExact(spark: SparkSession, catalogDir: String,
+      updates: Seq[Pin], op: String = "txn-exact",
+      maxRetries: Int = 20): Int =
+    commitComposing(spark, catalogDir, updates, op, None, maxRetries,
+      exact = true)
+
+  private def commitComposing(spark: SparkSession, catalogDir: String,
+      updates: Seq[Pin], op: String, readVersion: Option[Int],
+      maxRetries: Int, exact: Boolean): Int = {
     require(updates.nonEmpty, "a catalog commit must pin something")
     val d = new Path(catalogDir)
     val fs = fsOf(spark, d)
@@ -108,7 +126,9 @@ object SnapshotCatalog {
               s"${moved.mkString(",")} repinned by v$parent — recompute " +
               "against the current catalog and retry")
       }
-      val next = parentPins ++ updates.map(p => p.table -> p).toMap
+      val next =
+        if (exact) updates.map(p => p.table -> p).toMap
+        else parentPins ++ updates.map(p => p.table -> p).toMap
       val lines = Seq(s"version=${parent + 1}", s"parent=$parent",
         s"op=$op", "format=1") ++
         next.values.toSeq.sortBy(_.table).map(p =>
@@ -206,8 +226,11 @@ object SnapshotCatalog {
     val ok = audit(staged)
     if (ok) setRef(spark, catalogDir, "main", staged)
     else {
+      // restore EXACTLY main's pin set: a table the failed transaction
+      // pinned for the first time must drop out entirely, or followers
+      // of latest would read it at its unaudited staged version
       val restore = pins(spark, catalogDir, Some(mainV)).values.toSeq
-      commit(spark, catalogDir, restore, op = s"wap-$branch-rollback")
+      commitExact(spark, catalogDir, restore, op = s"wap-$branch-rollback")
     }
     dropRef(spark, catalogDir, branch)
     (staged, ok)

@@ -98,6 +98,50 @@ object Upsert {
     if (fs.exists(asideRoot)) fs.delete(asideRoot, true)
   }
 
+  /** Detect and repair leftover `__upsert_aside_*` trees from a writer
+    * that crashed MID-SWAP (round-13 VERDICT #5: a crash between
+    * retiring a partition aside and renaming the staged dir left the
+    * partition silently absent from every read until manually
+    * restored). Run at the start of every upsert — the same
+    * single-coordinator window the swap itself assumes. For each aside
+    * partition: if the table dir is MISSING the partition, the crash
+    * hit inside the window — the aside copy is the only live data, so
+    * it moves back; if the table HAS the partition, the staged rename
+    * completed and the aside copy is superseded garbage. Either way the
+    * aside root is gone afterwards. Returns the restored partitions'
+    * relative paths (empty = clean start). */
+  private[graft] def restoreAsideTrees(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Seq[String] = {
+    val cleanDir = tableDir.replaceAll("[/\\\\]+$", "")
+    val tablePath = new Path(cleanDir)
+    val parent = fs.makeQualified(tablePath).getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val leaf = tablePath.getName
+    val asideRoots = fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(s"${leaf}__upsert_aside_"))
+    val restored = Seq.newBuilder[String]
+    asideRoots.foreach { aside =>
+      if (fs.exists(aside)) {
+        fs.listStatus(aside).foreach { y => // service_year=... dirs
+          fs.listStatus(y.getPath).foreach { m => // service_month=...
+            val rel = s"${y.getPath.getName}/${m.getPath.getName}"
+            val dst = new Path(s"$cleanDir/$rel")
+            if (!fs.exists(dst)) {
+              fs.mkdirs(dst.getParent)
+              if (!fs.rename(m.getPath, dst))
+                throw new IllegalStateException(
+                  s"aside restore failed for $rel — data preserved at " +
+                    m.getPath)
+              restored += rel
+            }
+          }
+        }
+        fs.delete(aside, true)
+      }
+    }
+    restored.result()
+  }
+
   /** Upsert `updates` (silver-shaped rows carrying batch_id) into the
     * partitioned parquet table at `tableDir`. Latest batch_id wins per
     * claim_id; base wins ties (idempotent replay). Returns the affected
@@ -105,6 +149,10 @@ object Upsert {
   def scd1(spark: SparkSession, tableDir: String, updates: DataFrame,
       key: String = "claim_id", version: String = "batch_id")
       : Seq[(Option[Int], Option[Int])] = {
+    // heal any crash-window leftovers BEFORE reading the base: a
+    // partition retired aside by a dead writer must be live again
+    restoreAsideTrees(new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), tableDir)
     val parts = updates
       .select(col("service_year"), col("service_month")).distinct()
       .collect()
@@ -246,6 +294,8 @@ object Upsert {
       updates: DataFrame, key: String = "claim_id",
       version: String = "batch_id", mBits: Int = DefaultMBits)
       : Seq[(Option[Int], Option[Int])] = {
+    restoreAsideTrees(new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), tableDir)
     def toParts(rows: Array[org.apache.spark.sql.Row])
         : Seq[(Option[Int], Option[Int])] = rows.map(r => (
       Option(r.getAs[Integer]("service_year")).map(_.intValue),
