@@ -3282,6 +3282,101 @@ SELECT provider_tier, count(*) AS n_claims,
 FROM u JOIN dim USING (provider_name)
 GROUP BY 1 ORDER BY 1"""
     },
+
+    // merge-on-read row-level DELETE: the same doomed key set as
+    // q_snapshot_delete, erased by ONE equality-delete file (zero data
+    // files rewritten — the engine asserts that against the manifest);
+    // the oracle recomputes silver minus the keys over the full chain,
+    // so equality proves the sequence-scoped anti-join read erased
+    // every doomed row and nothing else
+    "q_snapshot_delete_mor" -> (ClaimsCte + """
+SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+  service_year, service_month
+FROM silver
+WHERE claim_id NOT IN (
+  SELECT 'C' || CAST(o_orderkey AS VARCHAR) FROM orders
+  WHERE o_orderkey % 10 = 0)
+ORDER BY claim_id"""),
+
+    // the snapshot table as a native streaming SOURCE: offsets are
+    // snapshot versions, each micro-batch a manifest diff — the oracle
+    // recomputes both committed batches through the cleanse chain, so
+    // equality proves streamed == batch CDC (and the stream saw only
+    // published commits)
+    "q_stream_source" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)}
+SELECT claim_id, batch_id, claim_amount, service_year, service_month
+FROM (
+  SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+    service_year, service_month FROM silver_b1
+  UNION ALL
+  SELECT claim_id, '20240102_000000' AS batch_id, claim_amount,
+    service_year, service_month FROM silver_b2) u
+ORDER BY claim_id"""
+    },
+
+    // catalog-transactional streaming: each micro-batch commits silver
+    // exactly-once, republishes gold's changed partitions and pins the
+    // pair in ONE catalog CAS — the oracle recomputes the rollup of
+    // batch 1 (catalog v1) and both batches (catalog v2), proving no
+    // published cut pairs silver vN with gold from vM≠N, across a
+    // checkpointed stream with a replayed batch
+    "q_stream_catalog_txn" -> {
+      val b1 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < DATE '1997-01-01'"
+      val b2 = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+      val rollup = (src: String, cv: Int) =>
+        s"""SELECT service_year, service_month, claim_amount_category,
+  count(*) AS total_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount,
+  count(CASE WHEN data_quality_score < 1.0 THEN 1 END) AS n_flagged,
+  $cv AS catalog_version
+FROM $src GROUP BY 1, 2, 3"""
+      s"""WITH ${claimsChainCtes("_b1", b1)},
+${claimsChainCtes("_b2", b2)},
+both_b AS (SELECT * FROM silver_b1 UNION ALL SELECT * FROM silver_b2)
+${rollup("silver_b1", 1)}
+UNION ALL
+${rollup("both_b", 2)}
+ORDER BY catalog_version, service_year, service_month,
+  claim_amount_category"""
+    },
+
+    // file-granular copy-on-write MERGE: corrections confined to the
+    // lowest eighth of the key range, merged on a 16-way key-clustered
+    // base — the engine asserts most files carry by reference; the
+    // oracle replays both batches through the cleanse CTEs and windows
+    // per key, proving the narrow rewrite merged every correction and
+    // lost nothing
+    "q_snapshot_merge_file_cow" -> {
+      val corrSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice + 500 AS o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1998-01-01' AND o_orderkey % 10 = 0 " +
+        "AND o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 8"
+      s"""$ClaimsCte,
+${claimsChainCtes("_n", corrSrc)},
+allv AS (
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240101_000000' AS batch_id, 1 AS src FROM silver
+  UNION ALL
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240102_000000' AS batch_id, 0 AS src FROM silver_n)
+SELECT claim_id, batch_id, claim_amount, service_year, service_month
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
+WHERE rn = 1 ORDER BY claim_id"""
+    },
   )
 
   /** The fused IVF-PQ ADC search pipeline, shared verbatim by

@@ -38,7 +38,10 @@ object SnapshotCommitBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val sizes = Seq(1000, 4000, 16000, 64000)
+    // 256k added in round 14 with the range-adjacent tier merge: the
+    // wide-range merged blobs that made overwrite cost creep 80→219 ms
+    // from 1k→64k are gone, so the curve must stay flat to here
+    val sizes = Seq(1000, 4000, 16000, 64000, 256000)
     val parts = 48 // 4 years of months
     val results = sizes.map { n =>
       val dir = s"target/commit_bench/n$n"

@@ -179,6 +179,12 @@ object SparkEntry {
     "q_stream_snapshot" -> SnapshotQueries.streamSnapshotE2e _,
     "q_zorder_scan" -> SnapshotQueries.zorderScanE2e _,
     "q_catalog_wap" -> SnapshotQueries.catalogWapE2e _,
+
+    // round-14 additions (appended — see ListMap note above)
+    "q_snapshot_delete_mor" -> SnapshotQueries.deleteMorE2e _,
+    "q_snapshot_merge_file_cow" -> SnapshotQueries.mergeFileCowE2e _,
+    "q_stream_source" -> SnapshotQueries.streamSourceE2e _,
+    "q_stream_catalog_txn" -> SnapshotQueries.streamCatalogTxnE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

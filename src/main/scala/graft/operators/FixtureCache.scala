@@ -119,6 +119,22 @@ object FixtureCache {
     s"$dir/silver"
   }
 
+  /** The KEY-NARROW correction batch (amount restated +500 for every
+    * 10th 1998+ order whose key falls in the LOWEST EIGHTH of the key
+    * range) — q_snapshot_merge_file_cow's update set: on a
+    * key-clustered base only the low-range files hold these keys, so a
+    * file-granular MERGE must carry the other files by reference. */
+  def narrowCorrectionBatch(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(silverBatchDir(spark, sfDir, "corrections_narrow",
+      Clock2, { o =>
+        val maxKey = o.agg(max(col("o_orderkey")).cast("long"))
+          .head().getLong(0)
+        o.filter(col("o_orderdate") >= lit("1998-01-01").cast("date") &&
+            col("o_orderkey") % 10 === 0 &&
+            col("o_orderkey") <= lit(maxKey / 8))
+          .withColumn("o_totalprice", col("o_totalprice") + 500)
+      }))
+
   /** The SCD1 correction batch (amount restated +500 for every 10th
     * 1998+ order, plus key-shifted inserts for every 17th) —
     * q_upsert_claims / q_time_travel's update set. */

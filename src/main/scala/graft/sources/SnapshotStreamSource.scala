@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{GraftSparkInternals, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.operators.SnapshotTable
+
+/** [[SnapshotTable]] as a NATIVE Structured Streaming SOURCE (round-12
+  * plan #4): `spark.readStream.format("graft-snapshot").option("path",
+  * dir).load()` — each micro-batch is the MANIFEST DIFF between two
+  * snapshot versions (offset = version number), so the stream gets the
+  * table's own isolation guarantees instead of a raw directory
+  * listing's races:
+  *
+  *  - an IN-FLIGHT writer's files (staged, moved into the tree, root
+  *    not yet CAS-published) are NEVER read — only a published root
+  *    names files, so the stream can't observe a torn commit (the
+  *    directory-listing file source has no such line);
+  *  - exactly the APPENDED files flow, resolved from two root reads —
+  *    no per-batch listing, no O(live files) work at 100 TB;
+  *  - offsets are checkpointable versions: restart resumes at the next
+  *    unseen commit.
+  *
+  * Reading uses Spark's own parquet machinery via
+  * [[org.apache.spark.sql.GraftSparkInternals]] (the closure
+  * FileSourceScanExec ships), with column pruning pushed into the scan
+  * (`SupportsPushDownRequiredColumns`). One file = one input partition
+  * (micro-batches are commit-sized; a 100 TB backfill would bin-pack —
+  * noted in the factory).
+  *
+  * Contract edges, stated: copy-on-write OVERWRITE commits stream
+  * their replacement files (full partition content — the same
+  * semantics as [[SnapshotTable.readFilesAdded]], whose docs own the
+  * rationale); a live MERGE-ON-READ delete reaching streamed files
+  * fails loudly (the per-file read can't anti-join — compact first or
+  * consume via batch CDC); partition-spec-evolved tables must stream
+  * from a version whose added files carry the current spec. */
+class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  private def dirOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-snapshot requires .option(\"path\", <snapshot table dir>)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val dir = dirOf(options)
+    SnapshotTable.tableSchema(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot schema at $dir — the table needs at least one " +
+          "data commit"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = CaseInsensitiveMap(properties.asScala.toMap)
+    new SnapshotSourceTable(opts.getOrElse("path",
+      throw new IllegalArgumentException("missing path")), schema)
+  }
+}
+
+private[sources] class SnapshotSourceTable(dir: String, schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot:`$dir`"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new SnapshotScanBuilder(dir, schema0)
+}
+
+private[sources] class SnapshotScanBuilder(dir: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // column pruning pushed into the parquet scan — an id-only consumer
+    // of a wide table never decodes the wide columns
+    if (requiredSchema.nonEmpty) required = requiredSchema
+  }
+  override def build(): Scan = new SnapshotScan(dir, full, required)
+}
+
+private[sources] class SnapshotScan(dir: String, full: StructType,
+    required: StructType) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-snapshot $dir [${required.fieldNames.mkString(",")}]"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new SnapshotMicroBatchStream(dir, full, required)
+}
+
+/** Offset = snapshot version (0 = before the first commit). */
+private[sources] case class SnapshotOffset(version: Int) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+private[sources] object SnapshotOffset {
+  private val Re = """\{\s*"version"\s*:\s*(\d+)\s*\}""".r
+  def parse(json: String): SnapshotOffset = json match {
+    case Re(v) => SnapshotOffset(v.toInt)
+    case other => throw new IllegalArgumentException(
+      s"bad graft-snapshot offset: $other")
+  }
+}
+
+/** One live data file of the batch's manifest diff. `partValues` are
+  * catalyst values (Int/Long/UTF8String/epoch-day Int) parsed from the
+  * file's partition path segments at PLAN time. */
+private[sources] case class SnapshotInputPartition(absPath: String,
+    length: Long, partValues: Array[Any]) extends InputPartition
+
+private[sources] class SnapshotMicroBatchStream(dir: String,
+    full: StructType, required: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val spark = SparkSession.active
+  // Trigger.AvailableNow pins the target version ONCE, so the run
+  // drains exactly the commits that existed at start and terminates
+  // even under concurrent writers
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  private def partCols: Seq[String] =
+    SnapshotTable.currentPartCols(spark, dir).filter(c =>
+      full.fieldNames.contains(c))
+
+  override def initialOffset(): Offset = SnapshotOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(SnapshotTable.latestVersion(spark, dir))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SnapshotOffset(availableNowTarget.getOrElse(
+      SnapshotTable.latestVersion(spark, dir)))
+
+  override def latestOffset(): Offset =
+    latestOffset(null, ReadLimit.allAvailable())
+
+  /** Catalyst value of one partition-path segment. */
+  private def partValue(raw: Option[String], dt: DataType): Any =
+    raw match {
+      case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+      case Some(v) => dt match {
+        case IntegerType => v.toInt
+        case LongType => v.toLong
+        case StringType => UTF8String.fromString(v)
+        case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+        case other => throw new UnsupportedOperationException(
+          s"graft-snapshot: unsupported partition column type $other")
+      }
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val from = start.asInstanceOf[SnapshotOffset].version
+    val to = end.asInstanceOf[SnapshotOffset].version
+    if (to <= from) return Array.empty
+    val files = SnapshotTable.addedFilesBetween(spark, dir, from, to)
+    val pcs = partCols.map(c => c -> full(c).dataType)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.map { rel =>
+      val segs = rel.split("/").init.collect {
+        case s if s.contains("=") =>
+          s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').tail
+      }.toMap
+      val values = pcs.map { case (c, dt) =>
+        partValue(segs.get(c), dt) }.toArray
+      val p = new Path(s"$dir/$rel")
+      SnapshotInputPartition(fs.makeQualified(p).toString,
+        fs.getFileStatus(p).getLen, values)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val pcs = partCols
+    val partReq = StructType(required.fields.filter(f =>
+      pcs.contains(f.name)))
+    val dataReq = StructType(required.fields.filterNot(f =>
+      pcs.contains(f.name)))
+    val dataSchema = StructType(full.fields.filterNot(f =>
+      pcs.contains(f.name)))
+    // rows come out of the parquet closure as dataReq ++ partReq; remap
+    // to the scan's declared order when they differ
+    val emitted = StructType(dataReq.fields ++ partReq.fields)
+    val readFunc = GraftSparkInternals.parquetReaderFunc(spark,
+      dataSchema, partReq, dataReq)
+    // one file = one partition: micro-batches are commit-sized; a
+    // large backfill would bin-pack several small files per partition
+    new SnapshotReaderFactory(readFunc, emitted, required,
+      // partValues arrive in partCols order; the closure expects them
+      // in partReq's order — same order by construction (both filter
+      // `required`/partCols consistently), but map defensively
+      pcs.zipWithIndex.filter { case (c, _) =>
+        partReq.fieldNames.contains(c) }.map(_._2).toArray)
+  }
+}
+
+private[sources] class SnapshotReaderFactory(
+    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[InternalRow],
+    emitted: StructType, required: StructType, partValueIdx: Array[Int])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapshotInputPartition]
+    val partRow = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(partValueIdx.map(p.partValues(_)))
+    val it = readFunc(GraftSparkInternals.partitionedFile(partRow,
+      p.absPath, p.length))
+    val identity = emitted.fieldNames.sameElements(required.fieldNames)
+    val project =
+      if (identity) null
+      else UnsafeProjection.create(required.fields.map { f =>
+        val i = emitted.fieldIndex(f.name)
+        BoundReference(i, emitted(i).dataType, nullable = true)
+      }.toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val r = it.next()
+          cur = if (project == null) r else project(r)
+          true
+        } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

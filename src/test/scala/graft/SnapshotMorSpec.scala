@@ -1,0 +1,229 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import graft.operators.SnapshotTable
+
+/** Round-14 pins for FILE-granular copy-on-write and MERGE-ON-READ
+  * equality deletes — the round-13 perf-weak (partition-granularity
+  * row-level DML) closed:
+  *
+  *  (a) a k-key merge-on-read delete commits ZERO rewritten data files
+  *      (one delete file, one metadata root);
+  *  (b) a copy-on-write merge/delete rewrites ONLY the files that hold
+  *      an affected key — untouched same-partition files survive by
+  *      reference, byte-identical;
+  *  (c) compaction folds a live delete into data: reads equal before
+  *      and after, and the obsolete delete ref auto-drops from the
+  *      root (per-chunk min data sequence);
+  *  plus the sequence semantics that make deletes safe under
+  *  concurrency: a key re-inserted AFTER the delete survives, time
+  *  travel to the pre-delete version still shows the rows, metadata
+  *  row counts go honest-unknown while a delete is live, CDC reports
+  *  delete-affected partitions, and vacuum reclaims unreferenced
+  *  delete files.
+  */
+class SnapshotMorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = "target/test_snapshot_mor"
+
+  private def wipe(dir: String): Unit = {
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+    }
+    val root = new File(dir)
+    if (root.exists()) del(root)
+  }
+
+  private def keyed(prefix: String, n: Int, month: Int, batch: String) =
+    (0 until n).map(i => (f"$prefix$i%02d", batch, i * 1.0, 2000, month))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+      .coalesce(1) // one file per append → known file↔key-range map
+
+  /** Two files in month 1 (disjoint key ranges A…, B…), one in month 2. */
+  private def threeFileTable(dir: String): Unit = {
+    SnapshotTable.append(spark, dir, keyed("A", 10, 1, "b1"),
+      statsColumns = Seq("claim_id"))
+    SnapshotTable.append(spark, dir, keyed("B", 10, 1, "b2"),
+      statsColumns = Seq("claim_id"))
+    SnapshotTable.append(spark, dir, keyed("C", 10, 2, "b3"),
+      statsColumns = Seq("claim_id"))
+  }
+
+  private def files(dir: String): Set[String] =
+    SnapshotTable.manifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir)).files.toSet
+
+  test("(a) merge-on-read delete: zero data files rewritten, one metadata commit, rows gone from the read") {
+    val dir = s"$base/mor_basic"
+    wipe(dir)
+    threeFileTable(dir)
+    val before = files(dir)
+    val vBefore = SnapshotTable.latestVersion(spark, dir)
+    val doomed = Seq("A03", "A05", "B07").toDF("claim_id")
+    val v = SnapshotTable.deleteKeysMor(spark, dir, doomed)
+    assert(v.contains(vBefore + 1))
+    // ZERO data files rewritten or removed — the file set is identical
+    assert(files(dir) == before,
+      "a MoR delete must not touch the data file set")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 27)
+    assert(now.filter(col("claim_id").isin("A03", "A05", "B07")).isEmpty)
+    // time travel to the pre-delete version still shows the rows
+    assert(SnapshotTable.read(spark, dir, Some(vBefore))
+      .filter(col("claim_id").isin("A03", "A05", "B07")).count() == 3)
+    // metadata row counts go honest-unknown while the delete is live
+    assert(SnapshotTable.rowCount(spark, dir).isEmpty)
+    assert(SnapshotTable.rowCountsByPartition(spark, dir).isEmpty)
+    // a no-op delete (keys provably absent by zone probe) commits nothing
+    val vNow = SnapshotTable.latestVersion(spark, dir)
+    assert(SnapshotTable.deleteKeysMor(spark, dir,
+      Seq("Z99").toDF("claim_id")).isEmpty)
+    assert(SnapshotTable.latestVersion(spark, dir) == vNow)
+  }
+
+  test("sequence semantics: a key re-inserted after the delete survives; the delete still erases the old row") {
+    val dir = s"$base/mor_reinsert"
+    wipe(dir)
+    threeFileTable(dir)
+    SnapshotTable.deleteKeysMor(spark, dir, Seq("A03").toDF("claim_id"))
+    // re-insert the key with a NEW row — its file carries a higher data
+    // sequence than the delete, so the delete must not reach it
+    SnapshotTable.append(spark, dir, keyed("A", 4, 1, "fresh")
+      .filter(col("claim_id") === "A03"), statsColumns = Seq("claim_id"))
+    val rows = SnapshotTable.read(spark, dir)
+      .filter(col("claim_id") === "A03").collect()
+    assert(rows.length == 1, s"exactly the re-inserted row: ${rows.toSeq}")
+    assert(rows.head.getAs[String]("batch_id") == "fresh")
+  }
+
+  test("(b) file-granular copy-on-write delete: only the key-holding file rewrites; same-partition sibling survives by reference") {
+    val dir = s"$base/cow_delete"
+    wipe(dir)
+    threeFileTable(dir)
+    val before = files(dir)
+    val fileB = before.find(_.contains("service_month=1")).get // any m1
+    // locate the A-file and B-file by reading each
+    val byFile = before.filter(_.contains("service_month=1")).map { f =>
+      val first = spark.read.parquet(s"$dir/$f")
+        .select(col("claim_id")).head().getString(0)
+      (f, first.take(1))
+    }.toMap
+    val aFile = byFile.collectFirst { case (f, "A") => f }.get
+    val bFile = byFile.collectFirst { case (f, "B") => f }.get
+    val bBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$bFile"))
+    SnapshotTable.deleteKeys(spark, dir, Seq("A03").toDF("claim_id"))
+    val after = files(dir)
+    // the sibling B-file (same partition) is still REFERENCED and its
+    // bytes never moved; the A-file left the live set
+    assert(after.contains(bFile),
+      "untouched same-partition file must carry by reference")
+    assert(!after.contains(aFile), "the key-holding file must rewrite")
+    assert(after.contains(before.find(_.contains("service_month=2")).get))
+    assert(java.util.Arrays.equals(bBytes,
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/$bFile"))),
+      "carried file must be byte-identical")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 29)
+    assert(now.filter(col("claim_id") === "A03").isEmpty)
+    assert(fileB.nonEmpty) // silence unused warning paranoia
+  }
+
+  test("(b) file-granular copy-on-write merge: only key-holding files rewrite; new keys append without touching siblings") {
+    val dir = s"$base/cow_merge"
+    wipe(dir)
+    threeFileTable(dir)
+    val before = files(dir)
+    val byFile = before.filter(_.contains("service_month=1")).map { f =>
+      (spark.read.parquet(s"$dir/$f").select(col("claim_id"))
+        .head().getString(0).take(1), f)
+    }.toMap
+    // update one A-key (correction) and insert one brand-new key
+    val updates = Seq(
+      ("A03", "b9", 999.0, 2000, 1),
+      ("N00", "b9", 5.0, 2000, 2))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    val parts = SnapshotTable.merge(spark, dir, updates)
+    assert(parts.toSet == Set((Some(2000), Some(1)), (Some(2000), Some(2))))
+    val after = files(dir)
+    assert(after.contains(byFile("B")),
+      "the B-file holds no update key — it must carry by reference")
+    assert(!after.contains(byFile("A")), "the A-file must rewrite")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 31)
+    assert(now.filter(col("claim_id") === "A03")
+      .head().getAs[Double]("claim_amount") == 999.0)
+    assert(now.filter(col("claim_id") === "N00").count() == 1)
+    // month-2's original file was NOT rewritten by the new-key insert
+    assert(after.contains(before.find(_.contains("service_month=2")).get),
+      "an insert into a partition must not rewrite its existing files")
+  }
+
+  test("(c) compaction folds the delete into data: reads equal, the obsolete delete ref auto-drops, counts exact again, vacuum reclaims the key set") {
+    val dir = s"$base/mor_fold"
+    wipe(dir)
+    threeFileTable(dir)
+    SnapshotTable.deleteKeysMor(spark, dir,
+      Seq("A03", "C02").toDF("claim_id"))
+    val preCompact = SnapshotTable.read(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // fold: rewrite both affected partitions (reads apply the delete,
+    // new files carry a sequence beyond it)
+    SnapshotTable.compactPartitions(spark, dir,
+      Seq((Some(2000), Some(1)), (Some(2000), Some(2))))
+    assert(SnapshotTable.read(spark, dir).collect().map(_.toSeq).toSet
+      == preCompact, "post-compaction reads must equal pre-compaction")
+    // the delete ref is obsolete (every live chunk's minSeq outran it)
+    // and auto-dropped, so metadata row counts are exact again
+    assert(SnapshotTable.rowCount(spark, dir).contains(28L))
+    // vacuum reclaims the now-unreferenced delete key set
+    SnapshotTable.vacuum(spark, dir, retainLast = 1)
+    val delRoot = new File(s"$dir/_snapshots/deletes")
+    assert(!delRoot.exists() || delRoot.listFiles().isEmpty,
+      "vacuum must reclaim unreferenced delete files")
+    assert(SnapshotTable.read(spark, dir).collect().map(_.toSeq).toSet
+      == preCompact)
+  }
+
+  test("CDC: a merge-on-read delete marks the partitions its sequence reaches as changed") {
+    val dir = s"$base/mor_cdc"
+    wipe(dir)
+    threeFileTable(dir)
+    val v0 = SnapshotTable.latestVersion(spark, dir)
+    val v1 = SnapshotTable.deleteKeysMor(spark, dir,
+      Seq("A03").toDF("claim_id")).get
+    // no file changed, but month-1 and month-2 files are within the
+    // delete's sequence reach → both report dirty (over-approximation
+    // is the documented contract; under-reporting would lose rows)
+    val changed = SnapshotTable.changedPartitionsBetween(spark, dir, v0, v1)
+    assert(changed.toSet == Set((Some(2000), Some(1)), (Some(2000), Some(2))))
+    // and a later append is NOT retroactively dirtied by the old delete
+    val v2 = SnapshotTable.append(spark, dir, keyed("D", 3, 3, "b4"))
+    assert(SnapshotTable.changedPartitionsBetween(spark, dir, v1, v2)
+      .toSet == Set((Some(2000), Some(3))))
+  }
+
+  test("deletes survive tier merges and manifest compaction (sequences travel with their chunks)") {
+    val dir = s"$base/mor_tiers"
+    wipe(dir)
+    // enough commits to force tier merging, then a MoR delete, then
+    // more commits → the delete must still apply through merged chunks
+    (1 to 12).foreach(m => SnapshotTable.append(spark, dir,
+      keyed(s"K$m-", 4, 1 + (m % 3), s"b$m"), statsColumns = Seq("claim_id")))
+    SnapshotTable.deleteKeysMor(spark, dir,
+      Seq("K3-01", "K7-02").toDF("claim_id"))
+    (13 to 20).foreach(m => SnapshotTable.append(spark, dir,
+      keyed(s"K$m-", 4, 1 + (m % 3), s"b$m"), statsColumns = Seq("claim_id")))
+    SnapshotTable.compactManifests(spark, dir, targetChunks = 2)
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 20 * 4 - 2)
+    assert(now.filter(col("claim_id").isin("K3-01", "K7-02")).isEmpty,
+      "the delete must keep applying through merged/compacted manifests")
+  }
+}

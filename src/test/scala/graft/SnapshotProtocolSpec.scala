@@ -93,16 +93,25 @@ class SnapshotProtocolSpec extends SparkSpec {
     assert(v6.count() == 4 * 3 + 2)
   }
 
-  test("tier merge bounds the root: many small appends never accumulate unbounded chunk references") {
+  test("tier merge bounds the root: many small appends never accumulate unbounded chunk references, and chunks stay partition-local") {
     val dir = s"$base/tiers"
     wipe(dir)
     (1 to 30).foreach(i =>
-      SnapshotTable.append(spark, dir, rows(2, 1 + (i % 12), s"b$i")))
+      SnapshotTable.append(spark, dir, rows(2, 1 + (i % 3), s"b$i")))
     val refs = chunksOf(dir, 30)
-    // 30 commits, but the size-tiered merge keeps the root bounded
-    // (maxPerTier=8 across ~5 active tiers)
-    assert(refs.size <= 20, s"root must stay bounded, got ${refs.size}")
+    // 30 commits into 3 partitions: the PER-PARTITION size-tiered merge
+    // (round 14 — partition-major metadata) keeps each partition's
+    // chunk list bounded, so the root holds O(partitions × tiers) refs
+    assert(refs.size <= 15, s"root must stay bounded, got ${refs.size}")
     assert(SnapshotTable.read(spark, dir).count() == 60)
+    // every chunk is partition-local: a partition-scoped commit/scan
+    // later touches only its own partition's slice of the metadata
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$dir/_snapshots/v${30}%05d.txt")), "UTF-8")
+    text.linesIterator.filter(_.startsWith("C\t")).foreach { l =>
+      val ps = l.split("\t")
+      assert(ps(3) == ps(4), s"chunk must span one partition: $l")
+    }
   }
 
   test("lost-update validation: an overwrite computed from a stale snapshot aborts with SnapshotConflictException") {
@@ -568,6 +577,40 @@ class SnapshotProtocolSpec extends SparkSpec {
       col("service_date").between("2000-01-03", "2000-01-06") &&
       col("claim_amount").between(100.0, 4000.0)).count()
     assert(got == want && want > 0)
+    // Z-ORDER ON WRITE: the curve's boundaries are commit metadata...
+    assert(SnapshotTable.commitMeta(spark, dir).keys
+      .count(_.startsWith("zorder.bounds.")) == 2)
+    // ...so an ORDINARY append clusters against the same curve: its
+    // amounts live in a band (50k+) the earlier probe excludes, so the
+    // probe must keep skipping — the appended files carry their own
+    // zone maps without the caller passing statsColumns
+    val appended = (0 until 2000).map { i =>
+      (s"W$i", java.sql.Date.valueOf(f"2000-01-${1 + i % 28}%02d"),
+        50000.0 + i * 10.0, 2000, 1)
+    }.toDF("claim_id", "service_date", "claim_amount", "service_year",
+      "service_month")
+    SnapshotTable.append(spark, dir, appended)
+    val (_, totalNow, keptAmtNow) = SnapshotTable.planScan(spark, dir, None,
+      Seq(SnapshotTable.ZonePredicate.num("claim_amount", 100.0, 4000.0)))
+    assert(totalNow > total, "append must add files")
+    assert(keptAmtNow == keptAmt,
+      s"appended out-of-band files must all be skipped " +
+        s"($keptAmtNow vs $keptAmt)")
+    // and WITHIN the appended band, date pruning engages on the new
+    // files too (they were z-clustered on write)
+    val (_, _, keptInBand) = SnapshotTable.planScan(spark, dir, None,
+      Seq(SnapshotTable.ZonePredicate.num("claim_amount", 50000.0, 1e9),
+        SnapshotTable.ZonePredicate.str("service_date",
+          "2000-01-03", "2000-01-04")))
+    assert(keptInBand < totalNow - total,
+      s"date pruning must engage on appended files: $keptInBand of " +
+        s"${totalNow - total}")
+    // lossless across both write paths
+    val (df3, _, _) = SnapshotTable.planScan(spark, dir, None,
+      Seq(SnapshotTable.ZonePredicate.num("claim_amount", 50000.0, 52000.0)))
+    assert(df3.filter(col("claim_amount").between(50000.0, 52000.0))
+      .count() == SnapshotTable.read(spark, dir)
+      .filter(col("claim_amount").between(50000.0, 52000.0)).count())
   }
 
   test("streamAppend is exactly-once: replayed batch ids skip; watermarks carry across other writers' commits; sinks are independent") {

@@ -1,0 +1,153 @@
+package graft
+
+import java.io.File
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.SnapshotTable
+
+/** Pins for the snapshot table as a NATIVE streaming source
+  * (graft-snapshot, round-12 plan #4): offsets are snapshot versions,
+  * micro-batches are manifest diffs, so the stream inherits the
+  * table's isolation —
+  *
+  *  - streamed rows == the batch read (two-append table);
+  *  - an IN-FLIGHT uncommitted write (files moved into the tree, root
+  *    never published) is NEVER read — the raw file-listing source
+  *    cannot make this promise;
+  *  - a checkpointed restart resumes at the next unseen commit and
+  *    drains exactly the newly committed files;
+  *  - column pruning reaches the parquet scan (id-only read works and
+  *    agrees with batch);
+  *  - a live merge-on-read delete inside the streamed range fails
+  *    LOUDLY instead of streaming deleted rows.
+  */
+class SnapshotSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = "target/test_snapshot_source"
+
+  private def wipe(dir: String): Unit = {
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+    }
+    val root = new File(dir)
+    if (root.exists()) del(root)
+  }
+
+  private def rows(n: Int, month: Int, batch: String) =
+    (0 until n).map(i => (s"K$month-$i", batch, i * 1.0, 2000, month))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+
+  private def drain(tableDir: String, out: String, ckpt: String,
+      selectCols: Seq[String] = Nil): Unit = {
+    val src = spark.readStream.format("graft-snapshot")
+      .option("path", tableDir).load()
+    val projected = if (selectCols.isEmpty) src
+      else src.select(selectCols.map(col): _*)
+    val q = projected.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def sink(out: String): DataFrame = spark.read.parquet(out)
+
+  test("streamed == batch: two appends drain completely, partition columns recovered from the path") {
+    val dir = s"$base/basic"
+    wipe(dir)
+    val t = s"$dir/t"
+    SnapshotTable.append(spark, t, rows(6, 1, "b1"))
+    SnapshotTable.append(spark, t, rows(4, 2, "b2"))
+    drain(t, s"$dir/out", s"$dir/ckpt")
+    val streamed = sink(s"$dir/out")
+      .select("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month").collect().map(_.toSeq).toSet
+    val batch = SnapshotTable.read(spark, t)
+      .select("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.size == 10)
+  }
+
+  test("an in-flight uncommitted write is never read; the same rows COMMITTED then flow") {
+    val dir = s"$base/inflight"
+    wipe(dir)
+    val t = s"$dir/t"
+    SnapshotTable.append(spark, t, rows(5, 1, "b1"))
+    // simulate a writer mid-commit: data files land in the table tree
+    // (post staging-move) but the root CAS never happened
+    val orphanSrc = s"$dir/orphan_src"
+    rows(3, 1, "ghost").drop("service_year", "service_month")
+      .coalesce(1).write.parquet(orphanSrc)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new File(orphanSrc).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new Path(s"$t/service_year=2000/service_month=1/" +
+      "part-orphan-in-flight.snappy.parquet")
+    assert(fs.rename(new Path(part.getAbsolutePath), dst))
+    drain(t, s"$dir/out", s"$dir/ckpt")
+    val streamed = sink(s"$dir/out")
+    assert(streamed.count() == 5, "uncommitted files must be invisible")
+    assert(streamed.filter(col("batch_id") === "ghost").isEmpty)
+    // commit the same rows properly → the checkpointed stream picks up
+    // EXACTLY the committed files on the next drain
+    SnapshotTable.append(spark, t, rows(3, 1, "ghost"))
+    drain(t, s"$dir/out", s"$dir/ckpt")
+    assert(sink(s"$dir/out").count() == 8)
+    assert(sink(s"$dir/out").filter(col("batch_id") === "ghost")
+      .count() == 3)
+  }
+
+  test("checkpointed resume: a second drain processes only commits after the stored offset") {
+    val dir = s"$base/resume"
+    wipe(dir)
+    val t = s"$dir/t"
+    SnapshotTable.append(spark, t, rows(6, 1, "b1"))
+    drain(t, s"$dir/out", s"$dir/ckpt")
+    assert(sink(s"$dir/out").count() == 6)
+    SnapshotTable.append(spark, t, rows(2, 2, "b2"))
+    SnapshotTable.append(spark, t, rows(3, 3, "b3"))
+    drain(t, s"$dir/out", s"$dir/ckpt")
+    val all = sink(s"$dir/out")
+    assert(all.count() == 11, "resume must add exactly the new commits")
+    // no duplication of the first batch
+    assert(all.filter(col("batch_id") === "b1").count() == 6)
+  }
+
+  test("column pruning: an id-only stream works and agrees with batch") {
+    val dir = s"$base/prune"
+    wipe(dir)
+    val t = s"$dir/t"
+    SnapshotTable.append(spark, t, rows(7, 1, "b1"))
+    drain(t, s"$dir/out", s"$dir/ckpt",
+      selectCols = Seq("claim_id", "service_month"))
+    val streamed = sink(s"$dir/out").collect().map(_.toSeq).toSet
+    val batch = SnapshotTable.read(spark, t)
+      .select("claim_id", "service_month").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.size == 7)
+  }
+
+  test("a live merge-on-read delete in the streamed range fails loudly instead of streaming deleted rows") {
+    val dir = s"$base/mor"
+    wipe(dir)
+    val t = s"$dir/t"
+    SnapshotTable.append(spark, t, rows(6, 1, "b1"),
+      statsColumns = Seq("claim_id"))
+    SnapshotTable.deleteKeysMor(spark, t, Seq("K1-2").toDF("claim_id"))
+    val ex = intercept[Exception] { drain(t, s"$dir/out", s"$dir/ckpt") }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(ex).exists(_.contains("merge-on-read")),
+      s"expected the MoR guard, got ${messages(ex)}")
+    // after compaction folds the delete, the stream flows again
+    SnapshotTable.compactPartitions(spark, t, Seq((Some(2000), Some(1))))
+    drain(t, s"$dir/out2", s"$dir/ckpt2")
+    val streamed = sink(s"$dir/out2")
+    assert(streamed.count() == 5)
+    assert(streamed.filter(col("claim_id") === "K1-2").isEmpty)
+  }
+}
