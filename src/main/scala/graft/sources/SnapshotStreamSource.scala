@@ -36,9 +36,10 @@ import graft.operators.SnapshotTable
   * Reading uses Spark's own parquet machinery via
   * [[org.apache.spark.sql.GraftSparkInternals]] (the closure
   * FileSourceScanExec ships), with column pruning pushed into the scan
-  * (`SupportsPushDownRequiredColumns`). One file = one input partition
-  * (micro-batches are commit-sized; a 100 TB backfill would bin-pack —
-  * noted in the factory).
+  * (`SupportsPushDownRequiredColumns`) and files BIN-PACKED into
+  * ~maxPartitionBytes input splits in partition-key order — a backfill
+  * batch over many small files schedules O(bytes / split) tasks, not
+  * O(files).
   *
   * Contract edges, stated: copy-on-write OVERWRITE commits stream
   * their replacement files (full partition content — the same
@@ -106,10 +107,10 @@ private[sources] class SnapshotScan(dir: String, full: StructType,
 }
 
 /** Offset = snapshot version (0 = before the first commit). */
-private[sources] case class SnapshotOffset(version: Int) extends Offset {
+private[graft] case class SnapshotOffset(version: Int) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
-private[sources] object SnapshotOffset {
+private[graft] object SnapshotOffset {
   private val Re = """\{\s*"version"\s*:\s*(\d+)\s*\}""".r
   def parse(json: String): SnapshotOffset = json match {
     case Re(v) => SnapshotOffset(v.toInt)
@@ -118,13 +119,19 @@ private[sources] object SnapshotOffset {
   }
 }
 
-/** One live data file of the batch's manifest diff. `partValues` are
+/** One data file of the batch's manifest diff. `partValues` are
   * catalyst values (Int/Long/UTF8String/epoch-day Int) parsed from the
   * file's partition path segments at PLAN time. */
-private[sources] case class SnapshotInputPartition(absPath: String,
-    length: Long, partValues: Array[Any]) extends InputPartition
+private[graft] case class SnapshotFileSlice(absPath: String,
+    length: Long, partValues: Array[Any])
 
-private[sources] class SnapshotMicroBatchStream(dir: String,
+/** One input split: BIN-PACKED file slices (files sorted by partition
+  * key then packed to ~maxPartitionBytes), so a large backfill batch
+  * doesn't schedule one task per small file. */
+private[graft] case class SnapshotInputPartition(
+    slices: Seq[SnapshotFileSlice]) extends InputPartition
+
+private[graft] class SnapshotMicroBatchStream(dir: String,
     full: StructType, required: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -179,7 +186,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     val pcs = partCols.map(c => c -> full(c).dataType)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    files.map { rel =>
+    val slices = files.sorted.map { rel => // partition-key path order
       val segs = rel.split("/").init.collect {
         case s if s.contains("=") =>
           s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').tail
@@ -187,9 +194,25 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       val values = pcs.map { case (c, dt) =>
         partValue(segs.get(c), dt) }.toArray
       val p = new Path(s"$dir/$rel")
-      SnapshotInputPartition(fs.makeQualified(p).toString,
+      SnapshotFileSlice(fs.makeQualified(p).toString,
         fs.getFileStatus(p).getLen, values)
-    }.toArray
+    }
+    // bin-pack path-ordered (≈ partition-ordered) files to the
+    // session's split size, so a backfill over many small files
+    // schedules O(bytes / maxPartitionBytes) tasks, not O(files)
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val bins = Seq.newBuilder[SnapshotInputPartition]
+    var cur = Vector.empty[SnapshotFileSlice]
+    var curBytes = 0L
+    slices.foreach { s =>
+      if (cur.nonEmpty && curBytes + s.length > maxBytes) {
+        bins += SnapshotInputPartition(cur); cur = Vector.empty
+        curBytes = 0L
+      }
+      cur :+= s; curBytes += s.length
+    }
+    if (cur.nonEmpty) bins += SnapshotInputPartition(cur)
+    bins.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -205,8 +228,6 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     val emitted = StructType(dataReq.fields ++ partReq.fields)
     val readFunc = GraftSparkInternals.parquetReaderFunc(spark,
       dataSchema, partReq, dataReq)
-    // one file = one partition: micro-batches are commit-sized; a
-    // large backfill would bin-pack several small files per partition
     new SnapshotReaderFactory(readFunc, emitted, required,
       // partValues arrive in partCols order; the closure expects them
       // in partReq's order — same order by construction (both filter
@@ -216,7 +237,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
   }
 }
 
-private[sources] class SnapshotReaderFactory(
+private[graft] class SnapshotReaderFactory(
     readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[InternalRow],
     emitted: StructType, required: StructType, partValueIdx: Array[Int])
@@ -225,10 +246,14 @@ private[sources] class SnapshotReaderFactory(
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotInputPartition]
-    val partRow = new org.apache.spark.sql.catalyst.expressions
-      .GenericInternalRow(partValueIdx.map(p.partValues(_)))
-    val it = readFunc(GraftSparkInternals.partitionedFile(partRow,
-      p.absPath, p.length))
+    // files of one split read sequentially (lazy concat — one open
+    // reader at a time); each file contributes its own partition values
+    val it = p.slices.iterator.flatMap { s =>
+      val partRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(partValueIdx.map(s.partValues(_)))
+      readFunc(GraftSparkInternals.partitionedFile(partRow,
+        s.absPath, s.length))
+    }
     val identity = emitted.fieldNames.sameElements(required.fieldNames)
     val project =
       if (identity) null

@@ -130,6 +130,33 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(streamed == batch && batch.size == 7)
   }
 
+  test("bin-packing: a many-small-file batch plans into few input splits, every file covered exactly once") {
+    import graft.sources.{SnapshotInputPartition, SnapshotMicroBatchStream, SnapshotOffset}
+    val dir = s"$base/binpack"
+    wipe(dir)
+    val t = s"$dir/t"
+    // 24 tiny files (8 appends x 3-way split months)
+    (1 to 8).foreach(i => SnapshotTable.append(spark, t,
+      rows(3, 1 + (i % 3), s"b$i").repartition(1)))
+    val stream = new SnapshotMicroBatchStream(t,
+      SnapshotTable.tableSchema(spark, t).get,
+      SnapshotTable.tableSchema(spark, t).get)
+    val splits = stream.planInputPartitions(SnapshotOffset(0),
+      SnapshotOffset(SnapshotTable.latestVersion(spark, t)))
+      .map(_.asInstanceOf[SnapshotInputPartition])
+    val nFiles = SnapshotTable.manifest(spark, t,
+      SnapshotTable.latestVersion(spark, t)).files.size
+    assert(splits.map(_.slices.size).sum == nFiles,
+      "every file exactly once across splits")
+    assert(splits.flatMap(_.slices.map(_.absPath)).distinct.length
+      == nFiles)
+    assert(splits.length < nFiles,
+      s"tiny files must pack: ${splits.length} splits for $nFiles files")
+    // and the packed stream still reads everything
+    drain(t, s"$dir/out", s"$dir/ckpt")
+    assert(sink(s"$dir/out").count() == SnapshotTable.read(spark, t).count())
+  }
+
   test("a live merge-on-read delete in the streamed range fails loudly instead of streaming deleted rows") {
     val dir = s"$base/mor"
     wipe(dir)
