@@ -3298,6 +3298,30 @@ WHERE claim_id NOT IN (
   WHERE o_orderkey % 10 = 0)
 ORDER BY claim_id"""),
 
+    // ATOMIC merge-on-read MERGE: one commit = equality-delete of the
+    // update keys + the update rows as a new chunk (zero reads, zero
+    // rewrites — asserted against the manifest); oracle identical to
+    // q_snapshot_merge's latest-wins chain, proving the in-commit
+    // delete+append composition equals the copy-on-write merge
+    "q_snapshot_merge_mor" -> {
+      val movedSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, CAST(o_orderdate + INTERVAL 40 DAY AS DATE) " +
+        "AS o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-07-01' AND o_orderkey % 10 = 0"
+      s"""$ClaimsCte,
+${claimsChainCtes("_m", movedSrc)},
+allv AS (
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240101_000000' AS batch_id, 1 AS src FROM silver
+  UNION ALL
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240102_000000' AS batch_id, 0 AS src FROM silver_m)
+SELECT claim_id, batch_id, claim_amount, service_year, service_month
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
+WHERE rn = 1 ORDER BY claim_id"""
+    },
+
     // the snapshot table as a native streaming SOURCE: offsets are
     // snapshot versions, each micro-batch a manifest diff — the oracle
     // recomputes both committed batches through the cleanse chain, so

@@ -185,6 +185,7 @@ object SparkEntry {
     "q_snapshot_merge_file_cow" -> SnapshotQueries.mergeFileCowE2e _,
     "q_stream_source" -> SnapshotQueries.streamSourceE2e _,
     "q_stream_catalog_txn" -> SnapshotQueries.streamCatalogTxnE2e _,
+    "q_snapshot_merge_mor" -> SnapshotQueries.mergeMorE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -343,6 +343,30 @@ object SnapshotQueries {
     keyCols(read(spark, tableDir))
   }
 
+  /** `q_snapshot_merge_mor`: the ATOMIC merge-on-read MERGE as an
+    * oracle-checked query — the CDC-apply shape at 100 TB: the same
+    * moving-correction batch as q_snapshot_merge, applied by
+    * [[SnapshotTable.mergeMor]] in ONE commit carrying an
+    * equality-delete for the update keys plus the update rows as a new
+    * chunk — zero data reads, zero rewrites (asserted: every pre-merge
+    * file still referenced), cost ∝ the batch. The DuckDB oracle is
+    * identical to q_snapshot_merge's replayed latest-wins chain, so
+    * equality proves the delete+append composition inside one commit
+    * yields exactly the merged table the copy-on-write path computes
+    * by reading and rewriting. */
+  def mergeMorE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    val before = manifest(spark, tableDir, 1).files.toSet
+    mergeMor(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
+    val after = manifest(spark, tableDir,
+      latestVersion(spark, tableDir)).files.toSet
+    require(before.subsetOf(after),
+      "a merge-on-read MERGE must not rewrite or drop any data file")
+    keyCols(read(spark, tableDir))
+  }
+
   /** `q_snapshot_rollback`: the metadata-only undo as an oracle-checked
     * query. The cached fixture holds v1 = pre-1997 silver and v2 = the
     * 1997+ batch; each run resets to v2, then ROLLS BACK to v1 —

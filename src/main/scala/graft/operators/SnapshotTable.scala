@@ -820,7 +820,9 @@ object SnapshotTable {
       extraMeta: Map[String, String] = Map.empty,
       metaGate: Map[String, String] => Boolean = _ => true,
       replacedFiles: Set[String] = Set.empty,
-      conflictPrefixes: Option[Seq[String]] = None): Option[Int] = {
+      conflictPrefixes: Option[Seq[String]] = None,
+      deletesOf: (Option[Root], Int) => Seq[DeleteRef] =
+        (p, _) => p.map(_.deletes).getOrElse(Nil)): Option[Int] = {
     val (rows, fresh) =
       if (countRows) collectFileMeta(spark, tableDir, added, statsColumns)
       else (Map.empty[String, Long], Map.empty[(String, String), ZoneStat])
@@ -830,7 +832,7 @@ object SnapshotTable {
     val conflictKeys = conflictScope
       .map(p => partKeyOfFile(p + "f")).distinct
     commitGated(spark, tableDir, op, extraMeta = extraMeta,
-        metaGate = metaGate) { parent =>
+        metaGate = metaGate, deletesOf = deletesOf) { parent =>
       for (rv <- readVersion if parent != rv && conflictScope.nonEmpty) {
         val before = filesUnder(spark, tableDir, rv, conflictScope,
           conflictKeys)
@@ -1887,6 +1889,50 @@ object SnapshotTable {
       val r = readRoot(spark, tableDir, parent)
       (r.chunks, r.schemaJson)
     }
+  }
+
+  /** MERGE-ON-READ MERGE: ONE commit carrying an equality-delete for
+    * the update keys AND the update rows as a new chunk — the atomic
+    * row-level UPSERT with ZERO data reads and zero rewrites, cost
+    * ∝ the update batch alone. The sequence mechanism makes the two
+    * halves compose inside the single commit: the delete scopes to
+    * files with seq ≤ parent, the appended files carry seq parent+1 —
+    * so the NEW row versions are untouched by their own delete, and a
+    * reader at any version sees either the old rows or the new ones,
+    * never both and never neither (single CAS). Semantics: the update
+    * batch WINS per key (duplicate keys within the batch resolve by
+    * `versionCol` descending). Replays converge: a second application
+    * deletes the first copy (its seq is now ≤ the new delete's) and
+    * lands an identical one. No conflict window exists — nothing is
+    * read, so this composes with ANY concurrent commit; two writers
+    * updating the same key resolve by commit order (last wins), the
+    * documented blind-merge contract. Compaction folds both halves
+    * away as with [[deleteKeysMor]].
+    *
+    * This is the CDC-apply shape at 100 TB: applying a k-row change
+    * batch costs O(k) write + one root CAS, and the read-side
+    * anti-join amortizes across batches until the next compaction.
+    * Returns the committed version. */
+  def mergeMor(spark: SparkSession, tableDir: String, updates: DataFrame,
+      key: String = "claim_id", versionCol: String = "batch_id",
+      statsColumns: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.expressions.Window
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
+    val latest = updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val name = s"deletes/del_${java.util.UUID.randomUUID()}"
+    val delDir = s"$tableDir/_snapshots/$name"
+    latest.select(col(key)).filter(col(key).isNotNull).distinct()
+      .write.mode("overwrite").parquet(delDir)
+    val nKeys = spark.read.parquet(delDir).count()
+    val created = stagedWrite(spark, tableDir, latest)
+    commitRetryingGated(spark, tableDir, "merge-mor", created, Nil,
+      if (statsColumns.isEmpty) Seq(key) else statsColumns,
+      None, Some(latest.schema),
+      deletesOf = (p, parent) => p.map(_.deletes).getOrElse(Nil) :+
+        DeleteRef(name, key, parent.toLong, nKeys)).get
   }
 
   // ------------------------------------------------------------------

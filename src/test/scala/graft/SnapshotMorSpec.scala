@@ -209,6 +209,49 @@ class SnapshotMorSpec extends SparkSpec {
       .toSet == Set((Some(2000), Some(3))))
   }
 
+  test("mergeMor: one commit upserts rows with zero reads and zero rewrites; replay converges; visibility is atomic") {
+    val dir = s"$base/merge_mor"
+    wipe(dir)
+    threeFileTable(dir)
+    val before = files(dir)
+    val vBefore = SnapshotTable.latestVersion(spark, dir)
+    // one correction (A03 restated) + one brand-new key, cross-partition
+    val updates = Seq(
+      ("A03", "b9", 999.0, 2000, 1),
+      ("N00", "b9", 5.0, 2000, 2))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    val v = SnapshotTable.mergeMor(spark, dir, updates)
+    assert(v == vBefore + 1, "exactly one commit")
+    // zero rewrites: every pre-merge file still referenced
+    assert(before.subsetOf(files(dir)),
+      "mergeMor must not rewrite or drop any existing file")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 31)
+    assert(now.filter(col("claim_id") === "A03").collect().toSeq
+      .map(r => (r.getAs[String]("batch_id"),
+        r.getAs[Double]("claim_amount"))) == Seq(("b9", 999.0)))
+    assert(now.filter(col("claim_id") === "N00").count() == 1)
+    // ATOMIC visibility: the pre-merge version still serves the OLD
+    // row; no version exists where A03 is absent or doubled
+    assert(SnapshotTable.read(spark, dir, Some(vBefore))
+      .filter(col("claim_id") === "A03").head()
+      .getAs[String]("batch_id") == "b1")
+    // replay converges: applying the same batch again yields the same
+    // table content (the first update copy is deleted by the second)
+    SnapshotTable.mergeMor(spark, dir, updates)
+    val again = SnapshotTable.read(spark, dir)
+    assert(again.count() == 31)
+    assert(again.filter(col("claim_id") === "A03").count() == 1)
+    // and compaction folds everything away, counts exact again
+    SnapshotTable.compactPartitions(spark, dir,
+      Seq((Some(2000), Some(1)), (Some(2000), Some(2))))
+    assert(SnapshotTable.rowCount(spark, dir).contains(31L))
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("claim_id") === "A03").head()
+      .getAs[Double]("claim_amount") == 999.0)
+  }
+
   test("deletes survive tier merges and manifest compaction (sequences travel with their chunks)") {
     val dir = s"$base/mor_tiers"
     wipe(dir)
