@@ -3387,7 +3387,7 @@ ORDER BY catalog_version, service_year, service_month,
       val corrSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
         "o_totalprice + 500 AS o_totalprice, o_orderdate FROM orders " +
         "WHERE o_orderdate >= DATE '1998-01-01' AND o_orderkey % 10 = 0 " +
-        "AND o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 8"
+        "AND CAST(o_orderkey AS VARCHAR) LIKE '19%'"
       s"""$ClaimsCte,
 ${claimsChainCtes("_n", corrSrc)},
 allv AS (

@@ -120,18 +120,22 @@ object FixtureCache {
   }
 
   /** The KEY-NARROW correction batch (amount restated +500 for every
-    * 10th 1998+ order whose key falls in the LOWEST EIGHTH of the key
-    * range) — q_snapshot_merge_file_cow's update set: on a
-    * key-clustered base only the low-range files hold these keys, so a
-    * file-granular MERGE must carry the other files by reference. */
+    * 10th 1998+ order whose DIGITS start with "19") —
+    * q_snapshot_merge_file_cow's update set. The narrowness must be in
+    * the CLUSTERED key order, which for the string claim_id ("C" +
+    * digits) is LEXICOGRAPHIC: a digit-prefix is one contiguous string
+    * range ["C19", "C1:") at every scale (~2% of keys), where a
+    * numeric "lowest eighth" scatters across most lexicographic range
+    * buckets as digit counts mix (it failed exactly that way at sf1).
+    * On the key-clustered base only the C19-range files hold these
+    * keys, so a file-granular MERGE must carry the rest by
+    * reference. */
   def narrowCorrectionBatch(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(silverBatchDir(spark, sfDir, "corrections_narrow",
+    spark.read.parquet(silverBatchDir(spark, sfDir, "corrections_c19",
       Clock2, { o =>
-        val maxKey = o.agg(max(col("o_orderkey")).cast("long"))
-          .head().getLong(0)
         o.filter(col("o_orderdate") >= lit("1998-01-01").cast("date") &&
             col("o_orderkey") % 10 === 0 &&
-            col("o_orderkey") <= lit(maxKey / 8))
+            col("o_orderkey").cast("string").startsWith("19"))
           .withColumn("o_totalprice", col("o_totalprice") + 500)
       }))
 

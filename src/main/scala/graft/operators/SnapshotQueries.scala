@@ -311,15 +311,16 @@ object SnapshotQueries {
     * an oracle-checked query (the round-13 perf-weak closed from the
     * write side): the base is the claims silver key-clustered into 16
     * range groups, the correction batch restates amounts for keys in
-    * the LOWEST EIGHTH of the key range only — so the key-zone probe +
-    * per-file verify names just the low-range files, the merge rewrites
-    * exactly those, and every other file of the same partitions carries
-    * by reference (asserted: a majority of the pre-merge manifest
-    * survives BY NAME — before round 14 the partition-granularity
-    * rewrite replaced every file of every 1998+ partition). The DuckDB
-    * oracle replays both batches through the cleanse CTEs and windows
-    * per key — row-level equality proves the narrow rewrite merged
-    * every correction and lost nothing. */
+    * ONE narrow lexicographic slice of the clustered key order (the
+    * "C19…" digit-prefix range, ~2% of keys at every scale) — so the
+    * key-zone probe + per-file verify names just that slice's files,
+    * the merge rewrites exactly those, and every other file of the
+    * same partitions carries by reference (asserted: a majority of the
+    * pre-merge manifest survives BY NAME — before round 14 the
+    * partition-granularity rewrite replaced every file of every 1998+
+    * partition). The DuckDB oracle replays both batches through the
+    * cleanse CTEs and windows per key — row-level equality proves the
+    * narrow rewrite merged every correction and lost nothing. */
   def mergeFileCowE2e(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
     val d = FixtureCache.cachedDir(spark, "snap_key_clustered16", sfDir) {

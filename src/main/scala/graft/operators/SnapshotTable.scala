@@ -1129,7 +1129,8 @@ object SnapshotTable {
     * planning prunes FILES, not rows. */
   def planScan(spark: SparkSession, tableDir: String,
       parts: Option[Seq[(Option[Int], Option[Int])]] = None,
-      zones: Seq[ZonePredicate] = Nil, version: Option[Int] = None)
+      zones: Seq[ZonePredicate] = Nil, version: Option[Int] = None,
+      pathFilter: String => Boolean = _ => true)
       : (DataFrame, Int, Int) = {
     val v = version.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no snapshot at $tableDir")
@@ -1144,6 +1145,7 @@ object SnapshotTable {
         val ce = chunkEntry(spark, tableDir, cr.name)
         ce.files.filter { f =>
           prefixes.forall(_.exists(f.startsWith)) &&
+            pathFilter(f) &&
             zones.forall(zp =>
               ce.stats.get((zp.column, f)).forall(zp.matches))
         }
@@ -1187,16 +1189,38 @@ object SnapshotTable {
   def planScanByDate(spark: SparkSession, tableDir: String,
       dateCol: String, lo: String, hi: String, version: Option[Int] = None)
       : (DataFrame, Int, Int) = {
-    val from = java.time.LocalDate.parse(lo).withDayOfMonth(1)
-    val to = java.time.LocalDate.parse(hi).withDayOfMonth(1)
+    val loD = java.time.LocalDate.parse(lo)
+    val hiD = java.time.LocalDate.parse(hi)
+    val from = loD.withDayOfMonth(1)
+    val to = hiD.withDayOfMonth(1)
     require(!from.isAfter(to), s"empty date range [$lo, $hi]")
     val months = Iterator.iterate(from)(_.plusMonths(1))
       .takeWhile(!_.isAfter(to))
       .map(d => (Some(d.getYear): Option[Int],
         Some(d.getMonthValue): Option[Int]))
       .toSeq
+    // files under a DAY-GRAIN evolved spec additionally prune by their
+    // `service_day=` path segment in the range's PARTIAL months
+    // (round-13 seed #1) — pure path metadata, independent of whether
+    // date zone stats were ever committed; month-grain files (no day
+    // segment) always pass and fall to the zone predicate
+    def dayOf(rel: String): Option[(Int, Int, Int)] = for {
+      p <- partitionOf(rel); y <- p._1; m <- p._2
+      d <- rel.split("/").collectFirst {
+        case s if s.startsWith("service_day=") =>
+          s.stripPrefix("service_day=").toIntOption
+      }.flatten
+    } yield (y, m, d)
+    val dayFilter: String => Boolean = rel => dayOf(rel) match {
+      case Some((y, m, d)) =>
+        scala.util.Try(java.time.LocalDate.of(y, m, d)).toOption match {
+          case Some(date) => !date.isBefore(loD) && !date.isAfter(hiD)
+          case None => true // unparseable day segment: always read
+        }
+      case None => true
+    }
     planScan(spark, tableDir, Some(months),
-      Seq(ZonePredicate.str(dateCol, lo, hi)), version)
+      Seq(ZonePredicate.str(dateCol, lo, hi)), version, dayFilter)
   }
 
   /** PARTITION EVOLUTION: a metadata-only commit switching the spec

@@ -709,6 +709,40 @@ class SnapshotProtocolSpec extends SparkSpec {
     assert(got == Set(2, 3), s"read months $got")
   }
 
+  test("hidden partitioning under a day-grain spec: partial-month files prune by their service_day path segment alone (no zone stats needed)") {
+    import spark.implicits._
+    val dir = s"$base/hidden_day"
+    wipe(dir)
+    // day-grain spec from the start; commit WITHOUT date zone stats so
+    // any sub-month pruning must come from the PATH
+    SnapshotTable.append(spark, dir,
+      (0 until 3).map(i => (s"seed$i", 2000, 1, 1))
+        .toDF("claim_id", "service_year", "service_month", "service_day"))
+    SnapshotTable.evolvePartitions(spark, dir,
+      Seq("service_year", "service_month", "service_day"))
+    val days = (1 to 20).flatMap(d => (0 until 2).map(i =>
+      (s"D$d-$i", java.sql.Date.valueOf(f"2000-02-$d%02d"), 2000, 2, d)))
+      .toDF("claim_id", "service_date", "service_year", "service_month",
+        "service_day")
+    SnapshotTable.append(spark, dir,
+      days.repartition(col("service_day")))
+    // the range covers Feb 5..9 only: day files outside prune by path
+    val (df, total, kept) = SnapshotTable.planScanByDate(spark, dir,
+      "service_date", "2000-02-05", "2000-02-09")
+    val dayFiles = SnapshotTable.manifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir)).files
+      .count(_.contains("service_day="))
+    assert(dayFiles >= 20, s"need day-grain files to prune: $dayFiles")
+    assert(kept < total, s"day-path pruning must engage: $kept/$total")
+    // lossless AND tight: exactly the 5 in-range days' rows
+    assert(df.filter(col("service_date").between("2000-02-05",
+      "2000-02-09")).count() == 10)
+    val got = df.select(col("service_day")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(got.subsetOf((5 to 9).toSet),
+      s"out-of-range day files must be skipped, read days $got")
+  }
+
   test("truncateTo resets the table to a version: later roots, chunks, files and refs gone; content restored") {
     val dir = s"$base/trunc"
     wipe(dir)
