@@ -3298,6 +3298,17 @@ WHERE claim_id NOT IN (
   WHERE o_orderkey % 10 = 0)
 ORDER BY claim_id"""),
 
+    // positional (deletion-vector) DELETE BY PREDICATE: every claim
+    // over 300k erased via one DV sidecar commit (zero data files
+    // rewritten — asserted against the manifest); the oracle keeps
+    // exactly the non-matching rows over the full chain
+    "q_snapshot_delete_where" -> (ClaimsCte + """
+SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+  service_year, service_month
+FROM silver
+WHERE claim_amount <= 300000.0 OR claim_amount IS NULL
+ORDER BY claim_id"""),
+
     // ATOMIC merge-on-read MERGE: one commit = equality-delete of the
     // update keys + the update rows as a new chunk (zero reads, zero
     // rewrites — asserted against the manifest); oracle identical to

@@ -368,6 +368,27 @@ object SnapshotQueries {
     keyCols(read(spark, tableDir))
   }
 
+  /** `q_snapshot_delete_where`: POSITIONAL (deletion-vector) delete by
+    * PREDICATE as an oracle-checked query — the purge shape equality
+    * deletes can't express ("erase every claim over 300k"), in
+    * O(matched rows) with ZERO data files rewritten (asserted against
+    * the manifest): one scan records the matches' (file, row-index)
+    * positions, the commit publishes the DV sidecar, the read funnel
+    * anti-joins it. The DuckDB oracle recomputes silver keeping only
+    * rows that do NOT match — equality proves the positional erase got
+    * every matching row and nothing else. */
+  def deleteWhereE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    val filesBefore = manifest(spark, tableDir, 1).files.toSet
+    val v = deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
+    require(v.contains(2), "the positional delete must commit once")
+    require(manifest(spark, tableDir, 2).files.toSet == filesBefore,
+      "a positional delete must rewrite ZERO data files")
+    keyCols(read(spark, tableDir))
+  }
+
   /** `q_snapshot_rollback`: the metadata-only undo as an oracle-checked
     * query. The cached fixture holds v1 = pre-1997 silver and v2 = the
     * 1997+ batch; each run resets to v2, then ROLLS BACK to v1 —

@@ -117,6 +117,19 @@ object SnapshotTable {
   final case class DeleteRef(name: String, keyCol: String, seq: Long,
       rows: Long)
 
+  /** One POSITIONAL-delete file reference (the deletion-vector shape —
+    * Iceberg v2 positional deletes / Delta DVs): `name` is a parquet
+    * directory under `_snapshots/` holding (`__rel`, `__ri`) rows —
+    * the doomed positions, addressed by the data file's TABLE-RELATIVE
+    * PATH and in-file row index. (The path, not the file name: one
+    * write job reuses its per-task part names across every partition
+    * directory it touches, so names alone collide table-wide.)
+    * Sequence-scoped like [[DeleteRef]]; positions refer to immutable
+    * file content, so they stay valid until the file leaves the live
+    * set. This is what makes an arbitrary-PREDICATE delete O(matched
+    * rows): no key column needed, no rewrite. */
+  final case class PosDeleteRef(name: String, seq: Long, rows: Long)
+
   /** A parsed root: version lineage + schema + chunk references +
     * live equality-delete references (merge-on-read row-level DML;
     * carried forward until every live chunk's minSeq outruns them or a
@@ -132,7 +145,8 @@ object SnapshotTable {
       schemaJson: Option[String], chunks: Seq[ChunkRef],
       partCols: Seq[String] = IncrementalGold.PartCols,
       meta: Map[String, String] = Map.empty,
-      deletes: Seq[DeleteRef] = Nil)
+      deletes: Seq[DeleteRef] = Nil,
+      posDeletes: Seq[PosDeleteRef] = Nil)
 
   /** A resolved chunk: its files, their zone stats ((column, file)
     * keyed, exactly the slice of table stats this chunk owns), their
@@ -303,7 +317,7 @@ object SnapshotTable {
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val lines = text.linesIterator.toSeq
     val meta = lines.filterNot(l => l.startsWith("C\t") ||
-        l.startsWith("M\t") || l.startsWith("D\t"))
+        l.startsWith("M\t") || l.startsWith("D\t") || l.startsWith("P\t"))
       .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap
     require(meta.get("format").contains("2"),
       s"unsupported snapshot root format at $p (pre-chunked table — rebuild)")
@@ -317,6 +331,10 @@ object SnapshotTable {
       val Array(_, name, kc, seq, nr) = l.split("\t", 5)
       DeleteRef(dec(name), dec(kc), seq.toLong, nr.toLong)
     }
+    val posDeletes = lines.filter(_.startsWith("P\t")).map { l =>
+      val Array(_, name, seq, nr) = l.split("\t", 4)
+      PosDeleteRef(dec(name), seq.toLong, nr.toLong)
+    }
     val extra = lines.filter(_.startsWith("M\t")).map { l =>
       val Array(_, k, v2) = l.split("\t", 3)
       // keys are enc()'d since round 14 (a tab/newline in a sinkId would
@@ -327,7 +345,7 @@ object SnapshotTable {
     Some(Root(meta("version").toInt, meta("parent").toInt, meta("op"),
       meta.get("schema").map(dec), chunks,
       meta.get("partcols").map(_.split(",").toSeq)
-        .getOrElse(IncrementalGold.PartCols), extra, deletes))
+        .getOrElse(IncrementalGold.PartCols), extra, deletes, posDeletes))
   }
 
   private def readRoot(spark: SparkSession, tableDir: String, v: Int): Root =
@@ -386,7 +404,8 @@ object SnapshotTable {
     val cLines = r.chunks.map(c =>
       s"C\t${c.name}\t${c.fileCount}\t${c.minPart}\t${c.maxPart}\t${c.minSeq}")
     val dLines = r.deletes.map(d =>
-      s"D\t${enc(d.name)}\t${enc(d.keyCol)}\t${d.seq}\t${d.rows}")
+      s"D\t${enc(d.name)}\t${enc(d.keyCol)}\t${d.seq}\t${d.rows}") ++
+      r.posDeletes.map(d => s"P\t${enc(d.name)}\t${d.seq}\t${d.rows}")
     val mLines = r.meta.toSeq.sortBy(_._1).map { case (k, v2) =>
       s"M\t${enc(k)}\t${enc(v2)}" } // keys enc()'d too: a tab/newline in
       // a sinkId or extraMeta key must never corrupt the root format
@@ -444,9 +463,9 @@ object SnapshotTable {
     val v = version.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no snapshot at $tableDir")
     val root = readRoot(spark, tableDir, v)
-    // a live equality delete makes per-file counts an upper bound, not
-    // the truth — report UNKNOWN until a rewrite folds the delete away
-    if (root.deletes.nonEmpty) return None
+    // a live delete (equality or positional) makes per-file counts an
+    // upper bound, not the truth — UNKNOWN until a rewrite folds it
+    if (root.deletes.nonEmpty || root.posDeletes.nonEmpty) return None
     val entries = root.chunks
       .map(c => chunkEntry(spark, tableDir, c.name))
     if (entries.exists(e => e.files.exists(f => !e.rows.contains(f)))) None
@@ -462,7 +481,8 @@ object SnapshotTable {
     val v = version.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no snapshot at $tableDir")
     val root = readRoot(spark, tableDir, v)
-    if (root.deletes.nonEmpty) return None // see rowCount
+    if (root.deletes.nonEmpty || root.posDeletes.nonEmpty)
+      return None // see rowCount
     val entries = root.chunks
       .map(c => chunkEntry(spark, tableDir, c.name))
     if (entries.exists(e => e.files.exists(f => !e.rows.contains(f)))) None
@@ -730,7 +750,9 @@ object SnapshotTable {
       extraMeta: Map[String, String] = Map.empty,
       metaGate: Map[String, String] => Boolean = _ => true,
       deletesOf: (Option[Root], Int) => Seq[DeleteRef] =
-        (p, _) => p.map(_.deletes).getOrElse(Nil))(
+        (p, _) => p.map(_.deletes).getOrElse(Nil),
+      posDeletesOf: (Option[Root], Int) => Seq[PosDeleteRef] =
+        (p, _) => p.map(_.posDeletes).getOrElse(Nil))(
       build: Int => (Seq[ChunkRef], Option[String])): Option[Int] = {
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -753,8 +775,10 @@ object SnapshotTable {
       // away) it can never match a row again — O(chunk refs) to decide
       val deletes = deletesOf(parentRoot, parent)
         .filter(d => liveChunks.exists(_.minSeq <= d.seq))
+      val posDeletes = posDeletesOf(parentRoot, parent)
+        .filter(d => liveChunks.exists(_.minSeq <= d.seq))
       val r = Root(parent + 1, parent, op, schema,
-        liveChunks, partCols, meta, deletes)
+        liveChunks, partCols, meta, deletes, posDeletes)
       if (tryWriteRoot(spark, tableDir, r)) return Some(r.version)
       attempt += 1
       Thread.sleep(5L * attempt) // linear backoff under contention
@@ -1318,19 +1342,34 @@ object SnapshotTable {
     * away — the standard MoR trade, chosen so the DELETE itself is
     * O(deleted keys), never a partition rewrite. */
   private def readFileGroups(spark: SparkSession, tableDir: String,
-      root: Root, files: Seq[String], mergeSchema: Boolean = false)
-      : DataFrame = {
-    if (root.deletes.isEmpty)
+      root: Root, files: Seq[String], mergeSchema: Boolean = false,
+      keepPos: Boolean = false): DataFrame = {
+    if (root.deletes.isEmpty && root.posDeletes.isEmpty && !keepPos)
       return readFileGroupsRaw(spark, tableDir, root, files, mergeSchema)
     val seqOf: Map[String, Long] = root.chunks.flatMap { c =>
       val ce = chunkEntry(spark, tableDir, c.name)
       ce.files.map(f => f -> ce.seqs.getOrElse(f, 0L))
     }.toMap
-    val byDeletes = files.groupBy(f =>
-      root.deletes.filter(_.seq >= seqOf.getOrElse(f, 0L)))
-    val frames = byDeletes.toSeq.map { case (dels, fs) =>
-      val raw = readFileGroupsRaw(spark, tableDir, root, fs, mergeSchema)
-      dels.groupBy(_.keyCol).foldLeft(raw) { case (df, (kc, ds)) =>
+    val byDeletes = files.groupBy { f =>
+      val s = seqOf.getOrElse(f, 0L)
+      (root.deletes.filter(_.seq >= s), root.posDeletes.filter(_.seq >= s))
+    }
+    val frames = byDeletes.toSeq.map { case ((dels, pds), fs) =>
+      val raw = readFileGroupsRaw(spark, tableDir, root, fs, mergeSchema,
+        withPos = keepPos || pds.nonEmpty)
+      val posApplied =
+        if (pds.isEmpty) raw
+        else {
+          val dv = pds.map(d => spark.read
+              .parquet(s"$tableDir/_snapshots/${d.name}")
+              .select(col("__rel"), col("__ri")))
+            .reduce(_.unionByName(_)).distinct()
+          val rhs = if (pds.map(_.rows).sum <= 1000000L) broadcast(dv)
+            else dv
+          val anti = raw.join(rhs, Seq("__rel", "__ri"), "left_anti")
+          if (keepPos) anti else anti.drop("__rel", "__ri")
+        }
+      dels.groupBy(_.keyCol).foldLeft(posApplied) { case (df, (kc, ds)) =>
         val keys = ds.map(d => spark.read
             .parquet(s"$tableDir/_snapshots/${d.name}").select(col(kc)))
           .reduce(_.unionByName(_)).distinct()
@@ -1343,8 +1382,8 @@ object SnapshotTable {
   }
 
   private def readFileGroupsRaw(spark: SparkSession, tableDir: String,
-      root: Root, files: Seq[String], mergeSchema: Boolean = false)
-      : DataFrame = {
+      root: Root, files: Seq[String], mergeSchema: Boolean = false,
+      withPos: Boolean = false): DataFrame = {
     val groups = files.groupBy(specOf).values.toSeq
     val frames = groups.map { g =>
       val reader = root.schemaJson match {
@@ -1353,7 +1392,22 @@ object SnapshotTable {
         case None => spark.read.option("basePath", tableDir)
           .option("mergeSchema", mergeSchema.toString)
       }
-      reader.parquet(g.map(f => s"$tableDir/$f"): _*)
+      val base = reader.parquet(g.map(f => s"$tableDir/$f"): _*)
+      if (!withPos) base
+      else {
+        // positional-delete addressing: (table-relative path, in-file
+        // row index). NOT the bare file name — a write job reuses its
+        // per-task part names across every partition dir it touches.
+        // The URI prefix is stripped in both file:/ renderings.
+        val qual = fsOf(spark, new Path(tableDir))
+          .makeQualified(new Path(tableDir)).toString
+        val pat = "^(" + Seq(qual + "/",
+            qual.replaceFirst("^file:/", "file:///") + "/")
+          .distinct.map(java.util.regex.Pattern.quote).mkString("|") + ")"
+        base.withColumn("__rel",
+            regexp_replace(col("_metadata.file_path"), pat, ""))
+          .withColumn("__ri", col("_metadata.row_index"))
+      }
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1486,7 +1540,8 @@ object SnapshotTable {
     val referenced = keptRoots
       .flatMap(r => resolveFiles(spark, tableDir, r)).toSet
     val keptChunks = keptRoots.flatMap(_.chunks.map(_.name)).toSet
-    val keptDeletes = keptRoots.flatMap(_.deletes.map(_.name)).toSet
+    val keptDeletes = keptRoots.flatMap(r =>
+      r.deletes.map(_.name) ++ r.posDeletes.map(_.name)).toSet
     val root = new Path(tableDir)
     val fs = fsOf(spark, root)
     val doomed = (listDataFiles(spark, tableDir) -- referenced).toSeq.sorted
@@ -1541,7 +1596,8 @@ object SnapshotTable {
     if (latest > v) {
       val keptRoots = (1 to v).flatMap(r => rootOption(spark, tableDir, r))
       val keptChunks = keptRoots.flatMap(_.chunks.map(_.name)).toSet
-      val keptDeletes = keptRoots.flatMap(_.deletes.map(_.name)).toSet
+      val keptDeletes = keptRoots.flatMap(r =>
+        r.deletes.map(_.name) ++ r.posDeletes.map(_.name)).toSet
       val keptFiles = keptRoots
         .flatMap(r => resolveFiles(spark, tableDir, r)).toSet
       ((v + 1) to latest).foreach(i =>
@@ -1638,13 +1694,16 @@ object SnapshotTable {
     // too (over-approximate by max new-delete seq: consumers recompute
     // changed partitions, so over-reporting is safe, under-reporting
     // loses rows)
-    val fromDel = fromRoot.map(_.deletes.map(_.name).toSet)
+    val fromDel = fromRoot.map(r => (r.deletes.map(_.name) ++
+        r.posDeletes.map(_.name)).toSet)
       .getOrElse(Set.empty[String])
-    val newDeletes = toRoot.deletes.filterNot(d => fromDel.contains(d.name))
+    val newSeqs = toRoot.deletes.filterNot(d => fromDel.contains(d.name))
+        .map(_.seq) ++
+      toRoot.posDeletes.filterNot(d => fromDel.contains(d.name)).map(_.seq)
     val delParts =
-      if (newDeletes.isEmpty) Set.empty[(Option[Int], Option[Int])]
+      if (newSeqs.isEmpty) Set.empty[(Option[Int], Option[Int])]
       else {
-        val maxSeq = newDeletes.map(_.seq).max
+        val maxSeq = newSeqs.max
         toRoot.chunks.filter(_.minSeq <= maxSeq).flatMap { c =>
           val ce = chunkEntry(spark, tableDir, c.name)
           ce.files.filter(f => ce.seqs.getOrElse(f, 0L) <= maxSeq)
@@ -1694,13 +1753,14 @@ object SnapshotTable {
         .getOrElse(Set.empty[String])
     val toRoot = readRoot(spark, tableDir, toVersion)
     val added = resolveFiles(spark, tableDir, toRoot).filterNot(before)
-    if (toRoot.deletes.nonEmpty) {
+    if (toRoot.deletes.nonEmpty || toRoot.posDeletes.nonEmpty) {
       val seqOf = toRoot.chunks.flatMap { c =>
         val ce = chunkEntry(spark, tableDir, c.name)
         ce.files.map(f => f -> ce.seqs.getOrElse(f, 0L))
       }.toMap
-      val reached = toRoot.deletes.exists(d =>
-        added.exists(f => seqOf.getOrElse(f, 0L) <= d.seq))
+      val seqs = toRoot.deletes.map(_.seq) ++ toRoot.posDeletes.map(_.seq)
+      val reached = seqs.exists(ds =>
+        added.exists(f => seqOf.getOrElse(f, 0L) <= ds))
       if (reached) throw new UnsupportedOperationException(
         s"streaming read at $tableDir v$toVersion: a merge-on-read " +
           "delete reaches files in the streamed range — compact the " +
@@ -1910,6 +1970,55 @@ object SnapshotTable {
         DeleteRef(name, key, parent.toLong, nKeys)) { parent =>
       // content = the winning parent's chunks BY REFERENCE — a racing
       // append's files land with seq parent+1, beyond this delete
+      val r = readRoot(spark, tableDir, parent)
+      (r.chunks, r.schemaJson)
+    }
+  }
+
+  /** POSITIONAL (deletion-vector) DELETE BY PREDICATE: erase every
+    * visible row matching an arbitrary `predicate` in O(matched rows) —
+    * no key column, no rewrite (the capability equality deletes can't
+    * express: "purge all claims over X in period Y"). One scan locates
+    * the matches' (table-relative path, in-file row index) positions
+    * (parquet's `_metadata` columns), the positions commit as a
+    * DV-shaped sidecar, and the read funnel
+    * anti-joins them per reachable file group. Sequence-scoped and
+    * compaction-folded exactly like [[deleteKeysMor]]; positions refer
+    * to immutable file content, so they stay valid until their file
+    * leaves the live set, after which the ref auto-drops. Rows
+    * appended concurrently (or after) are untouched — the delete
+    * applies to the snapshot it read, the same contract as every MoR
+    * op here. Returns the committed version, or None when nothing
+    * matches (no commit made). */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Option[Int] = {
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val root = readRoot(spark, tableDir, v)
+    val files = resolveFiles(spark, tableDir, root)
+    if (files.isEmpty) return None
+    val name = s"deletes/del_${java.util.UUID.randomUUID()}"
+    val delDir = s"$tableDir/_snapshots/$name"
+    val matched = readFileGroups(spark, tableDir, root, files,
+        keepPos = true)
+      .filter(predicate)
+      .select(col("__rel"), col("__ri")).distinct()
+    // positions must be table-relative — an unstripped URI means the
+    // read-side anti-join could never match, silently un-deleting
+    matched.filter(col("__rel").startsWith("file:"))
+      .limit(1).collect().headOption.foreach { r =>
+      throw new IllegalStateException(
+        s"deleteWhere: unstripped file path ${r.getString(0)}")
+    }
+    matched.write.mode("overwrite").parquet(delDir)
+    val n = spark.read.parquet(delDir).count()
+    if (n == 0) {
+      fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
+      return None
+    }
+    commitGated(spark, tableDir, "delete-where",
+      posDeletesOf = (p, parent) => p.map(_.posDeletes).getOrElse(Nil) :+
+        PosDeleteRef(name, parent.toLong, n)) { parent =>
       val r = readRoot(spark, tableDir, parent)
       (r.chunks, r.schemaJson)
     }

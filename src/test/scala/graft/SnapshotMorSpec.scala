@@ -252,6 +252,84 @@ class SnapshotMorSpec extends SparkSpec {
       .getAs[Double]("claim_amount") == 999.0)
   }
 
+  test("deleteWhere (positional/DV): predicate rows vanish with zero rewrites; later matching appends survive; fold restores exact counts") {
+    val dir = s"$base/del_where"
+    wipe(dir)
+    threeFileTable(dir)
+    val before = files(dir)
+    val vBefore = SnapshotTable.latestVersion(spark, dir)
+    // amounts are i*1.0 per file (0..9): >= 7.0 matches 3 rows per file
+    val v = SnapshotTable.deleteWhere(spark, dir,
+      col("claim_amount") >= 7.0)
+    assert(v.contains(vBefore + 1))
+    assert(files(dir) == before,
+      "a positional delete must not touch the data file set")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 30 - 9)
+    assert(now.filter(col("claim_amount") >= 7.0).isEmpty)
+    // time travel still shows the purged rows; counts honest-unknown
+    assert(SnapshotTable.read(spark, dir, Some(vBefore))
+      .filter(col("claim_amount") >= 7.0).count() == 9)
+    assert(SnapshotTable.rowCount(spark, dir).isEmpty)
+    // a LATER append of matching rows is untouched (the delete applies
+    // to the snapshot it read — positions, not predicates, persist)
+    SnapshotTable.append(spark, dir, keyed("Z", 9, 1, "late"))
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("claim_amount") >= 7.0).count() == 2) // Z07, Z08
+    // no-match predicate: no commit
+    val vNow = SnapshotTable.latestVersion(spark, dir)
+    assert(SnapshotTable.deleteWhere(spark, dir,
+      col("claim_amount") >= 999.0).isEmpty)
+    assert(SnapshotTable.latestVersion(spark, dir) == vNow)
+    // compaction folds the DV away; counts exact again, content stable
+    val preFold = SnapshotTable.read(spark, dir)
+      .collect().map(_.toSeq).toSet
+    SnapshotTable.compactPartitions(spark, dir,
+      Seq((Some(2000), Some(1)), (Some(2000), Some(2))))
+    assert(SnapshotTable.read(spark, dir).collect().map(_.toSeq).toSet
+      == preFold)
+    assert(SnapshotTable.rowCount(spark, dir).contains(30L - 9 + 9))
+    SnapshotTable.vacuum(spark, dir, retainLast = 1)
+    val delRoot = new java.io.File(s"$dir/_snapshots/deletes")
+    assert(!delRoot.exists() || delRoot.listFiles().isEmpty)
+  }
+
+  test("deleteWhere under colliding part names: one write job spanning partitions x range tasks deletes exactly the matches") {
+    val dir = s"$base/del_where_collide"
+    wipe(dir)
+    // ONE append whose staged write fans 4 range tasks over 3 months —
+    // each task reuses ITS part name in every month dir, the exact
+    // name-collision shape that over-deleted before round 14's
+    // relative-path DV addressing (sf0.01 verify caught it)
+    val df = (0 until 1200).map { i =>
+      (f"K$i%05d", "b1", (i % 100) * 1.0, 2000, 1 + i % 3)
+    }.toDF("claim_id", "batch_id", "claim_amount", "service_year",
+      "service_month")
+    SnapshotTable.append(spark, dir,
+      df.repartitionByRange(4, col("claim_id")))
+    val nFiles = SnapshotTable.manifest(spark, dir, 1).files.size
+    assert(nFiles >= 12, s"need the fan-out shape: $nFiles files")
+    SnapshotTable.deleteWhere(spark, dir, col("claim_amount") >= 90.0)
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 1200 - 120,
+      "exactly the matching rows must vanish — no cross-file collateral")
+    assert(now.filter(col("claim_amount") >= 90.0).isEmpty)
+    assert(now.filter(col("claim_amount") === 89.0).count() == 12)
+  }
+
+  test("positional + equality deletes compose on one table") {
+    val dir = s"$base/both_kinds"
+    wipe(dir)
+    threeFileTable(dir)
+    SnapshotTable.deleteKeysMor(spark, dir, Seq("A03").toDF("claim_id"))
+    SnapshotTable.deleteWhere(spark, dir, col("claim_amount") >= 9.0)
+    val now = SnapshotTable.read(spark, dir)
+    // A03 by key (-1); A09/B09/C09 by predicate (-3)
+    assert(now.count() == 30 - 1 - 3)
+    assert(now.filter(col("claim_id") === "A03").isEmpty)
+    assert(now.filter(col("claim_amount") >= 9.0).isEmpty)
+  }
+
   test("deletes survive tier merges and manifest compaction (sequences travel with their chunks)") {
     val dir = s"$base/mor_tiers"
     wipe(dir)
