@@ -98,12 +98,18 @@ object SnapshotCatalog {
     * primitive behind [[writeAuditPublish]]'s rollback: restoring an
     * older cut must also un-pin any table the failed transaction pinned
     * for the FIRST time (a composing commit would leave it live at its
-    * unaudited staged version — round-13 VERDICT #2). */
+    * unaudited staged version — round-13 VERDICT #2). Because the pin
+    * map is replaced WHOLESALE, `readVersion` (the catalog version this
+    * exact set was derived against) is the lost-update guard: any pin
+    * committed by a concurrent transaction after it would be silently
+    * reverted or dropped, so a moved pin map aborts with
+    * [[SnapshotConflictException]] instead (round-14 ADVICE, low). */
   def commitExact(spark: SparkSession, catalogDir: String,
       updates: Seq[Pin], op: String = "txn-exact",
+      readVersion: Option[Int] = None,
       maxRetries: Int = 20): Int =
-    commitComposing(spark, catalogDir, updates, op, None, maxRetries,
-      exact = true)
+    commitComposing(spark, catalogDir, updates, op, readVersion,
+      maxRetries, exact = true)
 
   private def commitComposing(spark: SparkSession, catalogDir: String,
       updates: Seq[Pin], op: String, readVersion: Option[Int],
@@ -118,7 +124,14 @@ object SnapshotCatalog {
       val parentPins = pins(spark, catalogDir, Some(parent))
       for (rv <- readVersion if parent != rv) {
         val readPins = pins(spark, catalogDir, Some(rv))
-        val moved = updates.map(_.table).filter(t =>
+        // an EXACT commit replaces the whole pin map, so EVERY table's
+        // pin is at stake (a concurrent first-pin would be dropped, a
+        // concurrent repin reverted); a composing commit only loses
+        // updates to the tables it repins itself
+        val atStake =
+          if (exact) (parentPins.keySet ++ readPins.keySet).toSeq
+          else updates.map(_.table)
+        val moved = atStake.filter(t =>
           parentPins.get(t).map(_.version) != readPins.get(t).map(_.version))
         if (moved.nonEmpty)
           throw new SnapshotConflictException(
@@ -228,9 +241,13 @@ object SnapshotCatalog {
     else {
       // restore EXACTLY main's pin set: a table the failed transaction
       // pinned for the first time must drop out entirely, or followers
-      // of latest would read it at its unaudited staged version
+      // of latest would read it at its unaudited staged version.
+      // readVersion = the staged commit this WAP itself published: any
+      // OTHER commit landing between audit failure and rollback would
+      // be silently reverted by the wholesale restore — abort instead
       val restore = pins(spark, catalogDir, Some(mainV)).values.toSeq
-      commitExact(spark, catalogDir, restore, op = s"wap-$branch-rollback")
+      commitExact(spark, catalogDir, restore,
+        op = s"wap-$branch-rollback", readVersion = Some(staged))
     }
     dropRef(spark, catalogDir, branch)
     (staged, ok)

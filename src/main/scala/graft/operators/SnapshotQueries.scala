@@ -372,18 +372,36 @@ object SnapshotQueries {
     * PREDICATE as an oracle-checked query — the purge shape equality
     * deletes can't express ("erase every claim over 300k"), in
     * O(matched rows) with ZERO data files rewritten (asserted against
-    * the manifest): one scan records the matches' (file, row-index)
-    * positions, the commit publishes the DV sidecar, the read funnel
-    * anti-joins it. The DuckDB oracle recomputes silver keeping only
-    * rows that do NOT match — equality proves the positional erase got
-    * every matching row and nothing else. */
+    * the manifest). The matching scan is ZONE-PRUNED (round-14's one
+    * perf-weak closed): the fixture is amount-clustered with
+    * claim_amount zone maps, the delete passes the predicate's bound as
+    * a ZonePredicate hint, and the run asserts it SCANNED strictly
+    * fewer files than the table holds — at 100 TB a bounded purge reads
+    * the intersecting files, never the table. The scan records the
+    * matches' (file, row-index) positions, the commit publishes the DV
+    * sidecar, the read funnel anti-joins it. The DuckDB oracle
+    * recomputes silver keeping only rows that do NOT match — equality
+    * proves the pruned positional erase got every matching row and
+    * nothing else. */
   def deleteWhereE2e(spark: SparkSession, sfDir: String): DataFrame = {
     Engine.configure(spark)
-    val tableDir = keyClusteredBase(spark, sfDir)
+    // a MUTABLE amount-clustered base of its own (q_data_skipping's
+    // amount-clustered fixture stays read-only — shared-fixture rule)
+    val d = FixtureCache.cachedDir(spark, "snap_dw_amount", sfDir)(
+      dir => buildClusteredSilver(spark, sfDir, s"$dir/silver"))
+    val tableDir = s"$d/silver"
     truncateTo(spark, tableDir, 1)
     val filesBefore = manifest(spark, tableDir, 1).files.toSet
-    val v = deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
-    require(v.contains(2), "the positional delete must commit once")
+    val planned = deleteWherePlanned(spark, tableDir,
+      col("claim_amount") > 300000.0,
+      zones = Seq(ZonePredicate.num("claim_amount", 300000.0,
+        Double.MaxValue)))
+    val (v, total, scanned) = planned.getOrElse(
+      throw new IllegalStateException("the positional delete must commit"))
+    require(v == 2, "the positional delete must commit exactly once")
+    require(scanned < total,
+      s"the bounded predicate's matching scan must be zone-pruned " +
+        s"(scanned $scanned of $total files)")
     require(manifest(spark, tableDir, 2).files.toSet == filesBefore,
       "a positional delete must rewrite ZERO data files")
     keyCols(read(spark, tableDir))

@@ -36,18 +36,30 @@ import graft.operators.SnapshotTable
   * Reading uses Spark's own parquet machinery via
   * [[org.apache.spark.sql.GraftSparkInternals]] (the closure
   * FileSourceScanExec ships), with column pruning pushed into the scan
-  * (`SupportsPushDownRequiredColumns`) and files BIN-PACKED into
+  * (`SupportsPushDownRequiredColumns`), files BIN-PACKED into
   * ~maxPartitionBytes input splits in partition-key order — a backfill
   * batch over many small files schedules O(bytes / split) tasks, not
-  * O(files).
+  * O(files) — and VECTORIZED decode (round-15): splits read whole
+  * ColumnarBatches whenever ParquetFileFormat guarantees them for the
+  * schema (the same `supportBatch` gate FileSourceScanExec runs),
+  * falling back to the row closure otherwise.
   *
-  * Contract edges, stated: copy-on-write OVERWRITE commits stream
-  * their replacement files (full partition content — the same
+  * MERGE-ON-READ composition (round-15, replacing the round-14 loud
+  * failure): a live equality/positional delete reaching files in the
+  * streamed range is APPLIED — planning computes the doomed row
+  * positions per file ([[SnapshotTable.deletePositionsFor]]) and ships
+  * them with the split, whose reader skips those row indices (those
+  * splits decode row-based; unreached splits stay columnar). So a
+  * backfill of a mergeMor-fed table emits exactly its merged content.
+  * Deletes committed AFTER a file was streamed are not retracted —
+  * append streams don't un-emit; retraction is the batch CDC path's
+  * job ([[SnapshotTable.changedPartitionsBetween]]).
+  *
+  * Remaining contract edges, stated: copy-on-write OVERWRITE commits
+  * stream their replacement files (full partition content — the same
   * semantics as [[SnapshotTable.readFilesAdded]], whose docs own the
-  * rationale); a live MERGE-ON-READ delete reaching streamed files
-  * fails loudly (the per-file read can't anti-join — compact first or
-  * consume via batch CDC); partition-spec-evolved tables must stream
-  * from a version whose added files carry the current spec. */
+  * rationale); partition-spec-evolved tables must stream from a
+  * version whose added files carry the current spec. */
 class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
@@ -121,9 +133,13 @@ private[graft] object SnapshotOffset {
 
 /** One data file of the batch's manifest diff. `partValues` are
   * catalyst values (Int/Long/UTF8String/epoch-day Int) parsed from the
-  * file's partition path segments at PLAN time. */
+  * file's partition path segments at PLAN time. `doomed` are the
+  * SORTED in-file row indices live MoR deletes erase from this file
+  * (empty for files no delete reaches — the overwhelmingly common
+  * case); the reader skips them at decode time. */
 private[graft] case class SnapshotFileSlice(absPath: String,
-    length: Long, partValues: Array[Any])
+    length: Long, partValues: Array[Any],
+    doomed: Array[Long] = Array.empty)
 
 /** One input split: BIN-PACKED file slices (files sorted by partition
   * key then packed to ~maxPartitionBytes), so a large backfill batch
@@ -183,6 +199,9 @@ private[graft] class SnapshotMicroBatchStream(dir: String,
     val to = end.asInstanceOf[SnapshotOffset].version
     if (to <= from) return Array.empty
     val files = SnapshotTable.addedFilesBetween(spark, dir, from, to)
+    // live MoR deletes reaching the range: doomed row indices per file,
+    // shipped with the split (empty map when the table carries none)
+    val doomedOf = SnapshotTable.deletePositionsFor(spark, dir, to, files)
     val pcs = partCols.map(c => c -> full(c).dataType)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -195,7 +214,8 @@ private[graft] class SnapshotMicroBatchStream(dir: String,
         partValue(segs.get(c), dt) }.toArray
       val p = new Path(s"$dir/$rel")
       SnapshotFileSlice(fs.makeQualified(p).toString,
-        fs.getFileStatus(p).getLen, values)
+        fs.getFileStatus(p).getLen, values,
+        doomedOf.getOrElse(rel, Array.empty))
     }
     // bin-pack path-ordered (≈ partition-ordered) files to the
     // session's split size, so a backfill over many small files
@@ -228,7 +248,11 @@ private[graft] class SnapshotMicroBatchStream(dir: String,
     val emitted = StructType(dataReq.fields ++ partReq.fields)
     val readFunc = GraftSparkInternals.parquetReaderFunc(spark,
       dataSchema, partReq, dataReq)
-    new SnapshotReaderFactory(readFunc, emitted, required,
+    // the vectorized closure — None when the format can't guarantee
+    // whole batches for this schema (then every split reads row-based)
+    val batchFunc = GraftSparkInternals.parquetBatchReaderFunc(spark,
+      dataSchema, partReq, dataReq)
+    new SnapshotReaderFactory(readFunc, batchFunc, emitted, required,
       // partValues arrive in partCols order; the closure expects them
       // in partReq's order — same order by construction (both filter
       // `required`/partCols consistently), but map defensively
@@ -240,8 +264,59 @@ private[graft] class SnapshotMicroBatchStream(dir: String,
 private[graft] class SnapshotReaderFactory(
     readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[InternalRow],
+    batchFunc: Option[
+      org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
     emitted: StructType, required: StructType, partValueIdx: Array[Int])
     extends PartitionReaderFactory {
+
+  private def partRowOf(s: SnapshotFileSlice) =
+    new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(partValueIdx.map(s.partValues(_)))
+
+  /** Columnar decode whenever the format guarantees batches AND no
+    * slice carries doomed positions (a MoR-reached split filters
+    * per-row, so it decodes row-based; unreached splits — the common
+    * case — stay vectorized). */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    batchFunc.nonEmpty && partition.asInstanceOf[SnapshotInputPartition]
+      .slices.forall(_.doomed.isEmpty)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[SnapshotInputPartition]
+    val f = batchFunc.get
+    val it = p.slices.iterator.flatMap { s =>
+      f(GraftSparkInternals.partitionedFile(partRowOf(s),
+        s.absPath, s.length))
+    }
+    // batches come out as emitted order (dataReq ++ partReq); when the
+    // scan declared a different column order, re-wrap the batch with
+    // its vectors permuted — zero-copy, the vectors themselves move
+    val identity = emitted.fieldNames.sameElements(required.fieldNames)
+    val remap =
+      if (identity) null
+      else required.fieldNames.map(emitted.fieldIndex)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val b = it.next()
+          cur =
+            if (remap == null) b
+            else {
+              val wrapped = new org.apache.spark.sql.vectorized
+                .ColumnarBatch(remap.map(b.column(_)))
+              wrapped.setNumRows(b.numRows())
+              wrapped
+            }
+          true
+        } else false
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = cur
+      override def close(): Unit = ()
+    }
+  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -249,10 +324,20 @@ private[graft] class SnapshotReaderFactory(
     // files of one split read sequentially (lazy concat — one open
     // reader at a time); each file contributes its own partition values
     val it = p.slices.iterator.flatMap { s =>
-      val partRow = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(partValueIdx.map(s.partValues(_)))
-      readFunc(GraftSparkInternals.partitionedFile(partRow,
+      val rows = readFunc(GraftSparkInternals.partitionedFile(partRowOf(s),
         s.absPath, s.length))
+      if (s.doomed.isEmpty) rows
+      else {
+        // a MoR delete reaches this file: skip exactly the doomed
+        // in-file row indices (sequential decode order IS the parquet
+        // row index — same addressing deleteWhere records)
+        var idx = -1L
+        val doomed = s.doomed
+        rows.filter { _ =>
+          idx += 1
+          java.util.Arrays.binarySearch(doomed, idx) < 0
+        }
+      }
     }
     val identity = emitted.fieldNames.sameElements(required.fieldNames)
     val project =

@@ -20,8 +20,13 @@ import graft.operators.SnapshotTable
   *    drains exactly the newly committed files;
   *  - column pruning reaches the parquet scan (id-only read works and
   *    agrees with batch);
-  *  - a live merge-on-read delete inside the streamed range fails
-  *    LOUDLY instead of streaming deleted rows.
+  *  - a live merge-on-read delete inside the streamed range is APPLIED
+  *    (round-15): the backfill emits exactly the merged content —
+  *    equality deletes, positional (deleteWhere) deletes, and a full
+  *    mergeMor upsert all compose; deletes landing AFTER rows were
+  *    streamed are not retracted (append streams don't un-emit);
+  *  - splits decode VECTORIZED (ColumnarBatch) when the schema
+  *    supports it; a MoR-reached split falls back to the row path.
   */
 class SnapshotSourceSpec extends SparkSpec {
 
@@ -157,24 +162,90 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(sink(s"$dir/out").count() == SnapshotTable.read(spark, t).count())
   }
 
-  test("a live merge-on-read delete in the streamed range fails loudly instead of streaming deleted rows") {
+  test("a live merge-on-read delete in the streamed range is APPLIED: the backfill emits exactly the merged content") {
     val dir = s"$base/mor"
     wipe(dir)
     val t = s"$dir/t"
     SnapshotTable.append(spark, t, rows(6, 1, "b1"),
       statsColumns = Seq("claim_id"))
     SnapshotTable.deleteKeysMor(spark, t, Seq("K1-2").toDF("claim_id"))
-    val ex = intercept[Exception] { drain(t, s"$dir/out", s"$dir/ckpt") }
-    def messages(x: Throwable): Seq[String] =
-      if (x == null) Nil
-      else Option(x.getMessage).toSeq ++ messages(x.getCause)
-    assert(messages(ex).exists(_.contains("merge-on-read")),
-      s"expected the MoR guard, got ${messages(ex)}")
-    // after compaction folds the delete, the stream flows again
+    drain(t, s"$dir/out", s"$dir/ckpt")
+    val streamed = sink(s"$dir/out")
+    assert(streamed.count() == 5, "the equality delete must be applied")
+    assert(streamed.filter(col("claim_id") === "K1-2").isEmpty)
+    // and after compaction folds the delete, a fresh backfill agrees
     SnapshotTable.compactPartitions(spark, t, Seq((Some(2000), Some(1))))
     drain(t, s"$dir/out2", s"$dir/ckpt2")
-    val streamed = sink(s"$dir/out2")
-    assert(streamed.count() == 5)
-    assert(streamed.filter(col("claim_id") === "K1-2").isEmpty)
+    assert(sink(s"$dir/out2").count() == 5)
+  }
+
+  test("a mergeMor-fed table streams its merged content; positional (deleteWhere) deletes compose too") {
+    val dir = s"$base/mor_merge"
+    wipe(dir)
+    val t = s"$dir/t"
+    SnapshotTable.append(spark, t, rows(6, 1, "b1"),
+      statsColumns = Seq("claim_id"))
+    // an upsert restating one key + inserting a new one, then a
+    // predicate (DV) delete — a CDC-consumer's worst case pre-round-15
+    val upd = Seq(("K1-2", "b9", 999.0, 2000, 1),
+        ("K1-new", "b9", 7.0, 2000, 1))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    SnapshotTable.mergeMor(spark, t, upd)
+    SnapshotTable.deleteWhere(spark, t, col("claim_id") === "K1-4")
+    drain(t, s"$dir/out", s"$dir/ckpt")
+    val streamed = sink(s"$dir/out")
+      .select("claim_id", "batch_id", "claim_amount")
+      .collect().map(_.toSeq).toSet
+    val batch = SnapshotTable.read(spark, t)
+      .select("claim_id", "batch_id", "claim_amount")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "backfill must equal the merged batch read")
+    assert(streamed.size == 6) // 6 - old K1-2 + new K1-2 + K1-new - K1-4
+    // deletes landing AFTER rows were streamed are NOT retracted
+    // (append streams don't un-emit) and add no batch of their own
+    SnapshotTable.deleteKeysMor(spark, t, Seq("K1-0").toDF("claim_id"))
+    drain(t, s"$dir/out", s"$dir/ckpt")
+    assert(sink(s"$dir/out").count() == 6,
+      "a files-less delete commit must not re-emit or retract")
+  }
+
+  test("vectorized decode: clean splits read ColumnarBatch; a MoR-reached split falls back to rows — same content") {
+    import graft.sources.{SnapshotInputPartition, SnapshotMicroBatchStream, SnapshotOffset}
+    val dir = s"$base/columnar"
+    wipe(dir)
+    val t = s"$dir/t"
+    SnapshotTable.append(spark, t, rows(6, 1, "b1"),
+      statsColumns = Seq("claim_id"))
+    val schema = SnapshotTable.tableSchema(spark, t).get
+    val stream = new SnapshotMicroBatchStream(t, schema, schema)
+    val splits = stream.planInputPartitions(SnapshotOffset(0),
+      SnapshotOffset(SnapshotTable.latestVersion(spark, t)))
+    val factory = stream.createReaderFactory()
+    assert(splits.forall(factory.supportColumnarReads),
+      "an all-atomic schema with no reaching delete must read columnar")
+    val nCols = schema.fields.length
+    val rowsRead = splits.map { p =>
+      val r = factory.createColumnarReader(p)
+      var n = 0L
+      while (r.next()) {
+        val b = r.get()
+        assert(b.numCols() == nCols)
+        n += b.numRows()
+      }
+      r.close(); n
+    }.sum
+    assert(rowsRead == 6L, s"columnar decode must yield all rows, got $rowsRead")
+    // a reaching delete forces the affected split onto the row path
+    SnapshotTable.deleteKeysMor(spark, t, Seq("K1-2").toDF("claim_id"))
+    val stream2 = new SnapshotMicroBatchStream(t, schema, schema)
+    val splits2 = stream2.planInputPartitions(SnapshotOffset(0),
+      SnapshotOffset(SnapshotTable.latestVersion(spark, t)))
+    val factory2 = stream2.createReaderFactory()
+    val reached = splits2.filter(p =>
+      p.asInstanceOf[SnapshotInputPartition].slices.exists(_.doomed.nonEmpty))
+    assert(reached.nonEmpty, "the delete must reach some split")
+    assert(reached.forall(p => !factory2.supportColumnarReads(p)),
+      "MoR-reached splits must decode row-based")
   }
 }
