@@ -3333,6 +3333,31 @@ FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
 WHERE rn = 1 ORDER BY claim_id"""
     },
 
+    // the streaming source over a table taking MERGE-ON-READ traffic
+    // (round-15): a mergeMor upsert + a positional deleteWhere purge,
+    // then a fresh backfill — the oracle replays the latest-wins merge
+    // chain and applies the purge predicate, proving the per-split
+    // doomed-position application equals the batch read's anti-join
+    "q_stream_cdc" -> {
+      val movedSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, CAST(o_orderdate + INTERVAL 40 DAY AS DATE) " +
+        "AS o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-07-01' AND o_orderkey % 10 = 0"
+      s"""$ClaimsCte,
+${claimsChainCtes("_m", movedSrc)},
+allv AS (
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240101_000000' AS batch_id, 1 AS src FROM silver
+  UNION ALL
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240102_000000' AS batch_id, 0 AS src FROM silver_m)
+SELECT claim_id, batch_id, claim_amount, service_year, service_month
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
+WHERE rn = 1 AND (claim_amount <= 300000.0 OR claim_amount IS NULL)
+ORDER BY claim_id"""
+    },
+
     // the snapshot table as a native streaming SOURCE: offsets are
     // snapshot versions, each micro-batch a manifest diff — the oracle
     // recomputes both committed batches through the cleanse chain, so

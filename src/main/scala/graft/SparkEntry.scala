@@ -187,6 +187,9 @@ object SparkEntry {
     "q_stream_catalog_txn" -> SnapshotQueries.streamCatalogTxnE2e _,
     "q_snapshot_merge_mor" -> SnapshotQueries.mergeMorE2e _,
     "q_snapshot_delete_where" -> SnapshotQueries.deleteWhereE2e _,
+
+    // round-15 additions
+    "q_stream_cdc" -> SnapshotQueries.streamCdcE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -913,6 +913,40 @@ object SnapshotQueries {
     keyCols(spark.read.parquet(s"$base/out"))
   }
 
+  /** `q_stream_cdc`: the streaming source over a table taking
+    * MERGE-ON-READ traffic, as an oracle-checked query (round-14
+    * VERDICT #4's done-criteria — this composition used to fail
+    * loudly). The shared key-clustered base takes a [[SnapshotTable
+    * .mergeMor]] upsert (equality delete + new rows in ONE commit) AND
+    * a positional [[SnapshotTable.deleteWhere]] purge; a fresh
+    * AvailableNow backfill then streams the table — planning ships
+    * each split the doomed row positions its files carry
+    * ([[SnapshotTable.deletePositionsFor]]), so the stream emits
+    * EXACTLY the merged content while unreached splits keep the
+    * vectorized path. The DuckDB oracle replays the latest-wins merge
+    * chain and applies the purge predicate — row-level equality proves
+    * the per-split delete application matches the batch read's
+    * anti-join exactly. */
+  def streamCdcE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    mergeMor(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
+    deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
+    val base = s"target/stream_cdc/${leafOf(sfDir)}"
+    wipe(spark, base)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", tableDir).load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    keyCols(spark.read.parquet(s"$base/out"))
+  }
+
   /** One catalog-transactional micro-batch: silver lands exactly-once
     * via [[SnapshotTable.streamAppend]] (the batch id rides in the
     * CAS'd root), gold republishes the manifest-diff-changed

@@ -2225,10 +2225,18 @@ object SnapshotTable {
     * This is the CDC-apply shape at 100 TB: applying a k-row change
     * batch costs O(k) write + one root CAS, and the read-side
     * anti-join amortizes across batches until the next compaction.
-    * Returns the committed version. */
+    * `debtRatio` opts into the in-line [[autoCompactMor]] policy: after
+    * the commit, partitions whose accumulated delete debt crossed the
+    * ratio are folded immediately, so a sustained apply stream bounds
+    * its own read amplification. (The policy compaction is a separate
+    * commit; racing concurrent DML it can abort with
+    * [[SnapshotConflictException]] AFTER the merge itself committed —
+    * rerun or leave it to the next batch's policy pass.) Returns the
+    * committed merge version. */
   def mergeMor(spark: SparkSession, tableDir: String, updates: DataFrame,
       key: String = "claim_id", versionCol: String = "batch_id",
-      statsColumns: Seq[String] = Nil): Int = {
+      statsColumns: Seq[String] = Nil,
+      debtRatio: Option[Double] = None): Int = {
     import org.apache.spark.sql.expressions.Window
     val v = latestVersion(spark, tableDir)
     require(v > 0, s"no snapshot at $tableDir")
@@ -2250,9 +2258,16 @@ object SnapshotTable {
       } else (p, parent) => p.map(_.deletes).getOrElse(Nil) :+
         DeleteRef(name, key, parent.toLong, nKeys)
     val created = stagedWrite(spark, tableDir, latest)
-    commitRetryingGated(spark, tableDir, "merge-mor", created, Nil,
+    val committed = commitRetryingGated(spark, tableDir, "merge-mor",
+      created, Nil,
       if (statsColumns.isEmpty) Seq(key) else statsColumns,
       None, Some(latest.schema), deletesOf = deletesOf).get
+    // in-line maintenance policy (opt-in): when the accumulated delete
+    // debt of any partition crosses the ratio, fold it NOW — a
+    // sustained CDC-apply stream then self-limits its per-read
+    // anti-join count without a separate maintenance job
+    debtRatio.foreach(r => autoCompactMor(spark, tableDir, r))
+    committed
   }
 
   // ------------------------------------------------------------------
@@ -2420,6 +2435,114 @@ object SnapshotTable {
       .repartition(targetFileCount)
     overwritePartitions(spark, tableDir, slice, Some(parts), op = "compact",
       readVersion = Some(v))
+  }
+
+  /** Per-partition MERGE-ON-READ debt at `version`, metadata-only: the
+    * live delete rows (equality + positional) whose sequence reaches
+    * any file of the partition, next to the partition's pre-delete row
+    * count (an upper bound while deletes are live; None when any file
+    * predates row-count recording). Every reachable delete's rows
+    * count against every partition it can reach (equality deletes are
+    * key-scoped, not partition-scoped — conservative is the only
+    * honest read of the metadata). The read-amplification signal
+    * [[autoCompactMor]] triggers on. */
+  def morDebtByPartition(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None)
+      : Map[(Option[Int], Option[Int]), (Long, Option[Long])] = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    val root = readRoot(spark, tableDir, v)
+    val refSeqs = root.deletes.map(d => (d.seq, d.rows)) ++
+      root.posDeletes.map(d => (d.seq, d.rows))
+    val perFile = root.chunks.flatMap { c =>
+      val ce = chunkEntry(spark, tableDir, c.name)
+      ce.files.map(f => (f, ce.seqs.getOrElse(f, 0L), ce.rows.get(f)))
+    }
+    perFile.groupBy(e => partitionOf(e._1).getOrElse((None, None)))
+      .view.mapValues { es =>
+        val minSeq = es.map(_._2).min
+        val debt = refSeqs.collect { case (s, n) if s >= minSeq => n }.sum
+        val rows =
+          if (es.exists(_._3.isEmpty)) None
+          else Some(es.flatMap(_._3).sum)
+        (debt, rows)
+      }.toMap
+  }
+
+  /** MoR-debt maintenance: compact every partition whose live delete
+    * rows exceed `maxDebtRatio` of its (pre-delete) row count — the
+    * read-amplification trigger that keeps a sustained
+    * [[mergeMor]]/[[deleteKeysMor]] stream from accreting one
+    * anti-join per read forever without anyone calling
+    * [[compactPartitions]] by hand (round-14 VERDICT #5). The
+    * compaction read applies the deletes, so the rewritten partitions'
+    * new files outrun every folded ref's sequence and the commit
+    * protocol auto-drops refs nothing can reach anymore. Victim
+    * selection is metadata-only; a partition with an unknown row count
+    * but nonzero debt is conservatively compacted. Returns the
+    * compacted partitions (empty = debt within budget, no commit). */
+  def autoCompactMor(spark: SparkSession, tableDir: String,
+      maxDebtRatio: Double = 0.2, targetFileCount: Int = 1)
+      : Seq[(Option[Int], Option[Int])] = {
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val root = readRoot(spark, tableDir, v)
+    if (root.deletes.isEmpty && root.posDeletes.isEmpty) return Nil
+    val victims = morDebtByPartition(spark, tableDir, Some(v)).collect {
+      case (p, (debt, rowsOpt)) if debt > 0 &&
+          rowsOpt.forall(r => debt > maxDebtRatio * r) => p
+    }.toSeq
+    if (victims.nonEmpty)
+      compactPartitions(spark, tableDir, victims, targetFileCount)
+    victims
+  }
+
+  /** Fold the live POSITIONAL-delete sidecars into ONE (round-14
+    * VERDICT #7): every deleteWhere commit adds a sidecar, and reads
+    * union+distinct all of them per file group — after k purges that's
+    * k parquet opens per read until a data compaction folds them. The
+    * union is computed once here, positions addressing files no longer
+    * live drop out (they can never match again), and one consolidated
+    * ref replaces the consumed ones at seq = max(consumed seqs) —
+    * LOSSLESS because a position only ever matches the one immutable
+    * file its path names, whose sequence was ≤ its original ref's.
+    * (Equality deletes are NOT foldable this way: merging seqs would
+    * let an old key-delete reach a later re-insert.) Refs committed
+    * concurrently carry forward untouched. Metadata + O(delete rows);
+    * no data file is read or written. Returns the committed version,
+    * or None when fewer than two live refs exist (nothing to fold). */
+  def consolidatePosDeletes(spark: SparkSession, tableDir: String)
+      : Option[Int] = {
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val root = readRoot(spark, tableDir, v)
+    if (root.posDeletes.size < 2) return None
+    val consumed = root.posDeletes.map(_.name).toSet
+    val live = resolveFiles(spark, tableDir, root)
+    import spark.implicits._
+    val liveDf = broadcast(live.toDF("__rel"))
+    val merged = root.posDeletes.map(d => spark.read
+        .parquet(s"$tableDir/_snapshots/${d.name}")
+        .select(col("__rel"), col("__ri")))
+      .reduce(_.unionByName(_)).distinct()
+      .join(liveDf, Seq("__rel"), "leftsemi")
+    val name = s"deletes/del_${java.util.UUID.randomUUID()}"
+    val delDir = s"$tableDir/_snapshots/$name"
+    merged.write.mode("overwrite").parquet(delDir)
+    val n = spark.read.parquet(delDir).count()
+    if (n == 0) // every position was dead — pure ref cleanup
+      fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
+    val maxSeq = root.posDeletes.map(_.seq).max
+    commitGated(spark, tableDir, "consolidate-pos-deletes",
+      posDeletesOf = (p, _) => {
+        val carried = p.map(_.posDeletes).getOrElse(Nil)
+          .filterNot(d => consumed.contains(d.name))
+        if (n == 0) carried
+        else carried :+ PosDeleteRef(name, maxSeq, n)
+      }) { parent =>
+      val r = readRoot(spark, tableDir, parent)
+      (r.chunks, r.schemaJson)
+    }
   }
 
   /** Live file count per partition, from the ROOT's chunks alone — the

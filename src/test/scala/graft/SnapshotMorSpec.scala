@@ -330,6 +330,68 @@ class SnapshotMorSpec extends SparkSpec {
     assert(now.filter(col("claim_amount") >= 9.0).isEmpty)
   }
 
+  test("sustained mergeMor stream with the debt policy self-compacts: refs fold without a manual compact, content exact") {
+    val dir = s"$base/mor_debt_policy"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, keyed("A", 20, 1, "b0"),
+      statsColumns = Seq("claim_id"))
+    var foldedDuringStream = false
+    (1 to 6).foreach { i =>
+      val upd = (0 until 4).map(k =>
+          (f"A$k%02d", s"b$i", 100.0 * i + k, 2000, 1))
+        .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+          "service_month")
+      // the ratio trips once accumulated delete rows exceed 20% of the
+      // partition's rows — no compactPartitions call anywhere in sight
+      SnapshotTable.mergeMor(spark, dir, upd, debtRatio = Some(0.2))
+      if (SnapshotTable.liveDeletes(spark, dir) == ((Nil, Nil)))
+        foldedDuringStream = true
+    }
+    assert(foldedDuringStream,
+      "the policy must fold the delete debt during the stream")
+    val out = SnapshotTable.read(spark, dir)
+    assert(out.count() == 20, "restating upserts must not change row count")
+    val a0 = out.filter(col("claim_id") === "A00").collect()
+    assert(a0.length == 1 && a0.head.getAs[String]("batch_id") == "b6",
+      s"latest batch must win per key, got ${a0.toSeq}")
+    assert(out.filter(col("claim_id") === "A07")
+      .head().getAs[String]("batch_id") == "b0",
+      "untouched keys keep their original row")
+  }
+
+  test("consolidatePosDeletes folds the DV sidecars into one ref; reads identical; dead positions drop") {
+    val dir = s"$base/dv_consolidate"
+    wipe(dir)
+    SnapshotTable.append(spark, dir, keyed("A", 10, 1, "b1"))
+    SnapshotTable.append(spark, dir, keyed("B", 10, 2, "b2"))
+    (1 to 3).foreach(a => SnapshotTable.deleteWhere(spark, dir,
+      col("claim_amount") === a * 1.0))
+    assert(SnapshotTable.liveDeletes(spark, dir)._2.size == 3)
+    val before = SnapshotTable.read(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(before.size == 14) // 20 - (amounts 1,2,3) x 2 partitions
+    assert(SnapshotTable.consolidatePosDeletes(spark, dir).nonEmpty)
+    val (eqRefs, posRefs) = SnapshotTable.liveDeletes(spark, dir)
+    assert(eqRefs.isEmpty && posRefs.size == 1 && posRefs.head.rows == 6,
+      s"3 refs must fold into one carrying all 6 positions: $posRefs")
+    assert(SnapshotTable.read(spark, dir)
+      .collect().map(_.toSeq).toSet == before,
+      "consolidation must not change a single visible row")
+    // fewer than two refs → nothing to fold
+    assert(SnapshotTable.consolidatePosDeletes(spark, dir).isEmpty)
+    // positions whose file left the live set are dead weight — a later
+    // consolidation drops them: compact month 1 (its 3 positions fold
+    // into data), purge one more amount, consolidate again
+    SnapshotTable.compactPartitions(spark, dir, Seq((Some(2000), Some(1))))
+    SnapshotTable.deleteWhere(spark, dir, col("claim_amount") === 4.0)
+    assert(SnapshotTable.consolidatePosDeletes(spark, dir).nonEmpty)
+    val posNow = SnapshotTable.liveDeletes(spark, dir)._2
+    assert(posNow.size == 1 && posNow.head.rows == 5,
+      s"month-1's 3 dead positions must drop (3 live month-2 + 2 new): " +
+        s"$posNow")
+    assert(SnapshotTable.read(spark, dir).count() == 12) // 20 - 4x2
+  }
+
   test("deletes survive tier merges and manifest compaction (sequences travel with their chunks)") {
     val dir = s"$base/mor_tiers"
     wipe(dir)
