@@ -373,11 +373,12 @@ object SnapshotQueries {
     * deletes can't express ("erase every claim over 300k"), in
     * O(matched rows) with ZERO data files rewritten (asserted against
     * the manifest). The matching scan is ZONE-PRUNED (round-14's one
-    * perf-weak closed): the fixture is amount-clustered with
-    * claim_amount zone maps, the delete passes the predicate's bound as
-    * a ZonePredicate hint, and the run asserts it SCANNED strictly
-    * fewer files than the table holds — at 100 TB a bounded purge reads
-    * the intersecting files, never the table. The scan records the
+    * perf-weak closed) with bounds DERIVED from the predicate itself
+    * ([[SnapshotTable.pruningHintsOf]] — no hints passed): the fixture
+    * is amount-clustered with claim_amount zone maps, and the run
+    * asserts the scan read strictly fewer files than the table holds —
+    * at 100 TB a bounded purge reads the intersecting files, never the
+    * table. The scan records the
     * matches' (file, row-index) positions, the commit publishes the DV
     * sidecar, the read funnel anti-joins it. The DuckDB oracle
     * recomputes silver keeping only rows that do NOT match — equality
@@ -393,9 +394,7 @@ object SnapshotQueries {
     truncateTo(spark, tableDir, 1)
     val filesBefore = manifest(spark, tableDir, 1).files.toSet
     val planned = deleteWherePlanned(spark, tableDir,
-      col("claim_amount") > 300000.0,
-      zones = Seq(ZonePredicate.num("claim_amount", 300000.0,
-        Double.MaxValue)))
+      col("claim_amount") > 300000.0) // bounds derived, no hints
     val (v, total, scanned) = planned.getOrElse(
       throw new IllegalStateException("the positional delete must commit"))
     require(v == 2, "the positional delete must commit exactly once")

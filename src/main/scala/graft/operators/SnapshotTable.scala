@@ -1187,6 +1187,79 @@ object SnapshotTable {
       ZonePredicate(column, _.intersectsStr(lo, hi))
   }
 
+  /** Pruning hints DERIVED from a row predicate's own expression tree —
+    * what lets [[deleteWhere]] (and any predicate-driven op) prune
+    * files without the caller restating its bounds as hints: top-level
+    * CONJUNCTS of the form `column <cmp> literal` become zone
+    * intervals (numeric literals probe the numeric domain, string /
+    * DATE literals the lexicographic ISO domain — mismatched zone
+    * kinds pass, so a wrong guess is lossless by [[ZoneStat]]'s
+    * contract), and `service_year = Y [AND service_month = M]`
+    * equalities become a partition hint (Y alone enumerates the 12
+    * months). Anything else — ORs, function calls, casts of columns,
+    * IN-sets — contributes nothing: derivation must only ever SHRINK
+    * the scanned set for rows the predicate could match, never assume
+    * structure it can't see. */
+  private[graft] def pruningHintsOf(
+      predicate: org.apache.spark.sql.Column)
+      : (Option[Seq[(Option[Int], Option[Int])]], Seq[ZonePredicate]) = {
+    import org.apache.spark.sql.GraftSparkInternals.PredBound
+    val found =
+      org.apache.spark.sql.GraftSparkInternals.predicateBounds(predicate)
+    // accumulate per-column bounds in both domains
+    final case class B(var nLo: Double = Double.NegativeInfinity,
+      var nHi: Double = Double.PositiveInfinity,
+      var sLo: String = "", var sHi: String = "￿" * 8,
+      var numeric: Boolean = false, var string: Boolean = false)
+    val bounds = scala.collection.mutable.Map.empty[String, B]
+    var yearEq: Option[Int] = None
+    var monthEq: Option[Int] = None
+    found.foreach { case PredBound(c, op, isNum, nv, sv) =>
+      if (c == "service_year" && op == "=" && isNum && nv == nv.floor)
+        yearEq = Some(nv.toInt)
+      else if (c == "service_month" && op == "=" && isNum &&
+          nv == nv.floor)
+        monthEq = Some(nv.toInt)
+      else {
+        val b = bounds.getOrElseUpdate(c, B())
+        if (isNum) {
+          b.numeric = true
+          op match {
+            case ">" | ">=" => b.nLo = math.max(b.nLo, nv)
+            case "<" | "<=" => b.nHi = math.min(b.nHi, nv)
+            case "=" =>
+              b.nLo = math.max(b.nLo, nv)
+              b.nHi = math.min(b.nHi, nv)
+          }
+        } else {
+          b.string = true
+          op match {
+            case ">" | ">=" => if (sv > b.sLo) b.sLo = sv
+            case "<" | "<=" => if (sv < b.sHi) b.sHi = sv
+            case "=" =>
+              if (sv > b.sLo) b.sLo = sv
+              if (sv < b.sHi) b.sHi = sv
+          }
+        }
+      }
+    }
+    val zones = bounds.toSeq.sortBy(_._1).flatMap { case (c, b) =>
+      val num = if (b.numeric) Some(ZonePredicate.num(c, b.nLo, b.nHi))
+        else None
+      val str = if (b.string) Some(ZonePredicate.str(c, b.sLo, b.sHi))
+        else None
+      num.toSeq ++ str.toSeq
+    }
+    val parts = (yearEq, monthEq) match {
+      case (Some(y), Some(m)) => Some(Seq((Some(y), Some(m))))
+      case (Some(y), None) =>
+        Some((1 to 12).map(m => (Some(y): Option[Int],
+          Some(m): Option[Int])))
+      case _ => None
+    }
+    (parts, zones)
+  }
+
   /** Plan a pruned scan at `version`: chunks outside the requested
     * partitions' key range are skipped unread (root summary), surviving
     * chunks' files are filtered by partition prefix, then by EVERY zone
@@ -2132,14 +2205,19 @@ object SnapshotTable {
     val root = readRoot(spark, tableDir, v)
     // the matching scan prunes through the SAME partition + zone
     // machinery as planScan (round-14's one perf-weak: it read every
-    // live file) — the caller's parts/zones are HINTS that must be
-    // IMPLIED by the predicate (exactly planScan's contract: pruning
-    // skips whole files, the row predicate still decides rows), so a
-    // bounded purge ("claims over X in period Y") scans only the files
-    // whose partition range and zone stats intersect the bounds.
+    // live file). Bounds are DERIVED from the predicate's own
+    // column-vs-literal conjuncts ([[pruningHintsOf]] — a bounded
+    // purge like "claims over X in period Y" prunes with no hints at
+    // all); explicit `parts`/`zones` compose on top and must be
+    // IMPLIED by the predicate (planScan's contract: pruning skips
+    // whole files, the row predicate still decides rows).
+    val (derivedParts, derivedZones) = pruningHintsOf(predicate)
+    val effParts = parts.orElse(derivedParts)
+    val effZones = zones ++ derivedZones
     val total = root.chunks.map(_.fileCount).sum
-    val partKeys = parts.map(_.map(partKeyOf).distinct)
-    val prefixes = parts.map(_.map(Upsert.partitionRelPath).map(_ + "/"))
+    val partKeys = effParts.map(_.map(partKeyOf).distinct)
+    val prefixes = effParts.map(_.map(Upsert.partitionRelPath)
+      .map(_ + "/"))
     val files = root.chunks
       .filter(cr => partKeys.forall(_.exists(k =>
         cr.minPart <= k && k <= cr.maxPart)))
@@ -2147,7 +2225,7 @@ object SnapshotTable {
         val ce = chunkEntry(spark, tableDir, cr.name)
         ce.files.filter(f =>
           prefixes.forall(_.exists(f.startsWith)) &&
-            zones.forall(zp =>
+            effZones.forall(zp =>
               ce.stats.get((zp.column, f)).forall(zp.matches)))
       }
     if (files.isEmpty) return None

@@ -83,6 +83,73 @@ object GraftSparkInternals { // public: graft.sources is the one caller
     }
   }
 
+  /** One `column <op> literal` bound found in a predicate's top-level
+    * conjuncts. `op` ∈ {">", ">=", "<", "<=", "="} with the column on
+    * the LEFT (flipped if the literal was). Numeric literals carry
+    * `num`; strings and DATE literals carry their lexicographic ISO
+    * rendering in `str`. */
+  final case class PredBound(column: String, op: String,
+      numeric: Boolean, num: Double, str: String)
+
+  /** The derivable bounds of a predicate [[Column]], read from its
+    * ColumnNode tree (Spark 4 hides the expression behind the node
+    * indirection; the node classes are private[sql], hence this
+    * file's package). Only shapes whose semantics are certain yield a
+    * bound — `AND` splits, `column <cmp> literal` (either order)
+    * records, everything else (OR, casts of columns, function calls,
+    * IN) contributes nothing, so a consumer pruning by these bounds
+    * can only over-read, never drop a matching row. */
+  def predicateBounds(c: Column): Seq[PredBound] = {
+    import org.apache.spark.sql.internal._
+    def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: UnresolvedFunction
+          if f.functionName.equalsIgnoreCase("and") =>
+        f.arguments.flatMap(conjuncts)
+      case other => Seq(other)
+    }
+    def nameOf(n: ColumnNode): Option[String] = n match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    def litOf(n: ColumnNode): Option[(Boolean, Double, String)] = n match {
+      case l: Literal => l.value match {
+        case null => None
+        case v: java.lang.Number =>
+          Some((true, v.doubleValue(), v.toString))
+        case v: String => Some((false, Double.NaN, v))
+        case v: java.sql.Date =>
+          Some((false, Double.NaN, v.toLocalDate.toString))
+        case v: java.time.LocalDate => Some((false, Double.NaN, v.toString))
+        case _ => None
+      }
+      case cast: Cast
+          if cast.dataType == org.apache.spark.sql.types.DateType =>
+        litOf(cast.child).flatMap { case (_, _, s) =>
+          scala.util.Try(java.time.LocalDate.parse(s)).toOption
+            .map(d => (false, Double.NaN, d.toString))
+        }
+      case _ => None
+    }
+    val flip = Map(">" -> "<", "<" -> ">", ">=" -> "<=", "<=" -> ">=",
+      "=" -> "=", "==" -> "=")
+    conjuncts(c.node).flatMap {
+      case f: UnresolvedFunction if flip.contains(f.functionName) &&
+          f.arguments.size == 2 =>
+        val a = f.arguments.head
+        val b = f.arguments(1)
+        val op = if (f.functionName == "==") "=" else f.functionName
+        (nameOf(a), litOf(b), nameOf(b), litOf(a)) match {
+          case (Some(n), Some(v), _, _) =>
+            Seq(PredBound(n, op, v._1, v._2, v._3))
+          case (_, _, Some(n), Some(v)) =>
+            Seq(PredBound(n, flip(op), v._1, v._2, v._3))
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+  }
+
   def partitionedFile(partitionValues: InternalRow, absolutePath: String,
       length: Long): PartitionedFile =
     PartitionedFile(partitionValues, SparkPath.fromPathString(absolutePath),

@@ -202,6 +202,54 @@ class Round15FixesSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(spark, dir) == v)
   }
 
+  test("pruning hints derive from the predicate: a hintless bounded purge prunes files it cannot match") {
+    import SnapshotTable.ZoneStat
+    // numeric bound + partition equalities + a DATE literal bound
+    val (parts, zones) = SnapshotTable.pruningHintsOf(
+      col("claim_amount") > 300000.0 &&
+        col("service_year") === 1996 && col("service_month") === 2 &&
+        col("service_date") >= lit("1996-04-01").cast("date"))
+    assert(parts.contains(Seq((Some(1996), Some(2)))))
+    val amount = zones.find(_.column == "claim_amount").get
+    assert(!amount.matches(ZoneStat("num", "0.0", "100.0")))
+    assert(amount.matches(ZoneStat("num", "250000.0", "400000.0")))
+    assert(amount.matches(ZoneStat("str", "a", "b")),
+      "a mismatched zone kind must pass (lossless)")
+    val dt = zones.find(_.column == "service_date").get
+    assert(!dt.matches(ZoneStat("date", "1996-01-01", "1996-03-31")))
+    assert(dt.matches(ZoneStat("date", "1996-03-01", "1996-05-31")))
+    // year-only equality enumerates the 12 months
+    val (pYear, _) = SnapshotTable.pruningHintsOf(
+      col("service_year") === 1997)
+    assert(pYear.exists(_.size == 12))
+    // non-derivable shapes contribute NOTHING (ORs, casts of columns)
+    val (pNone, zNone) = SnapshotTable.pruningHintsOf(
+      col("a") > 1.0 || col("b") < 2.0)
+    assert(pNone.isEmpty && zNone.isEmpty)
+    // e2e: a hintless deleteWhere on an amount-clustered table scans
+    // only the intersecting files — and still deletes exactly right
+    val dir = s"$base/hintless_prune"
+    wipe(dir)
+    val df = (0 until 4000).map(i =>
+        (f"K$i%05d", "b1", (i % 1000) * 1.0, 2000, 1 + i % 2))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    SnapshotTable.append(spark, dir,
+      df.repartitionByRange(4, col("claim_amount"))
+        .sortWithinPartitions(col("claim_amount")),
+      statsColumns = Seq("claim_amount"))
+    val (_, total, scanned) = SnapshotTable.deleteWherePlanned(spark, dir,
+      col("claim_amount") >= 900.0 && col("service_month") === 1).get
+    assert(scanned < total,
+      s"derived bounds must prune ($scanned of $total scanned)")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 4000 - 200)
+    assert(now.filter(col("claim_amount") >= 900.0 &&
+      col("service_month") === 1).isEmpty)
+    assert(now.filter(col("claim_amount") >= 900.0).count() == 200,
+      "month 2's matching rows must survive")
+  }
+
   test("append onto a legacy z-ordered root (sortorder without persisted bounds) passes through unchanged") {
     val dir = s"$base/legacy_zorder"
     wipe(dir)
