@@ -2839,6 +2839,20 @@ WHERE rn = 1 ORDER BY claim_id"""
     // per-file min/max stats; the engine's range aggregate reads only
     // zone-intersecting files, the oracle scans the full table —
     // equality proves skipping never dropped a qualifying row
+    // predicate-pruned READ (round-15): readWhere derives the
+    // file-skipping bounds from the caller's own filter conjuncts; the
+    // oracle computes the banded rollup over the FULL table, proving
+    // the derivation never skipped a qualifying file
+    "q_read_where" -> (ClaimsCte + """
+SELECT claim_amount_category,
+  count(*) AS n_claims,
+  count(DISTINCT member_id) AS unique_members,
+  CAST(sum(CAST(claim_amount AS DECIMAL(38,4))) AS DOUBLE) AS total_amount
+FROM silver
+WHERE claim_amount >= 50000.0 AND claim_amount <= 120000.0
+GROUP BY claim_amount_category
+ORDER BY claim_amount_category"""),
+
     "q_data_skipping" -> (ClaimsCte + """
 SELECT count(*) AS n_claims,
   count(DISTINCT member_id) AS unique_members,

@@ -111,6 +111,33 @@ object SnapshotQueries {
         graft.functions.Exact.dsum(col("claim_amount")).as("total_amount"))
   }
 
+  /** `q_read_where`: the predicate-pruned READ as an oracle-checked
+    * query (round-15 — [[SnapshotTable.readWhere]]): the caller writes
+    * exactly the row filter they mean, the file-skipping bounds derive
+    * from the predicate's own conjuncts ([[SnapshotTable
+    * .pruningHintsOf]]), and the scan hands the parquet reader only
+    * the intersecting files (asserted: fewer files than the table
+    * holds, via the same derived hints through planScan). The DuckDB
+    * oracle computes the banded rollup over the FULL table — equality
+    * proves the automatic derivation never skipped a qualifying
+    * file. */
+  def readWhereE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val tableDir = amountClusteredTable(spark, sfDir)
+    val pred = col("claim_amount") >= 50000.0 &&
+      col("claim_amount") <= 120000.0
+    val (parts, zones) = pruningHintsOf(pred)
+    val (_, total, kept) = planScan(spark, tableDir, parts, zones)
+    require(kept < total,
+      s"derived bounds must prune the scan ($kept of $total files)")
+    readWhere(spark, tableDir, pred)
+      .groupBy(col("claim_amount_category"))
+      .agg(count(lit(1)).as("n_claims"),
+        countDistinct(col("member_id")).as("unique_members"),
+        graft.functions.Exact.dsum(col("claim_amount")).as("total_amount"))
+      .orderBy(col("claim_amount_category"))
+  }
+
   /** `q_date_skipping`: typed (DATE) zone-map pruning as an oracle-
     * checked query — lexicographic compare of ISO strings ==
     * chronological, so the 1996 aggregate reads only files whose date

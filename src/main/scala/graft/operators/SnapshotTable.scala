@@ -1265,11 +1265,20 @@ object SnapshotTable {
     * chunks' files are filtered by partition prefix, then by EVERY zone
     * predicate. Returns (frame, filesTotal, filesRead) so callers can
     * pin effectiveness; the caller still applies its row-level filter —
-    * planning prunes FILES, not rows. */
+    * planning prunes FILES, not rows.
+    *
+    * `keepUnparsed` is the DERIVED-hint mode ([[readWhere]],
+    * [[deleteWhere]]): a partition bound inferred from a row predicate
+    * may only exclude files whose PATH proves a non-matching (or NULL
+    * — which an equality can never match) partition value, so files
+    * encoding no (year, month) at all are conservatively kept. The
+    * default (false) is the explicit-partition contract: the caller
+    * named partitions, unpartitioned files are out of scope. */
   def planScan(spark: SparkSession, tableDir: String,
       parts: Option[Seq[(Option[Int], Option[Int])]] = None,
       zones: Seq[ZonePredicate] = Nil, version: Option[Int] = None,
-      pathFilter: String => Boolean = _ => true)
+      pathFilter: String => Boolean = _ => true,
+      keepUnparsed: Boolean = false)
       : (DataFrame, Int, Int) = {
     val v = version.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no snapshot at $tableDir")
@@ -1279,11 +1288,13 @@ object SnapshotTable {
     val prefixes = parts.map(_.map(Upsert.partitionRelPath).map(_ + "/"))
     val keep = root.chunks
       .filter(cr => partKeys.forall(_.exists(k =>
-        cr.minPart <= k && k <= cr.maxPart)))
+        cr.minPart <= k && k <= cr.maxPart)) ||
+        (keepUnparsed && cr.maxPart >= "~~")) // range holds unparsed files
       .flatMap { cr =>
         val ce = chunkEntry(spark, tableDir, cr.name)
         ce.files.filter { f =>
-          prefixes.forall(_.exists(f.startsWith)) &&
+          (prefixes.forall(_.exists(f.startsWith)) ||
+            (keepUnparsed && partitionOf(f).isEmpty)) &&
             pathFilter(f) &&
             zones.forall(zp =>
               ce.stats.get((zp.column, f)).forall(zp.matches))
@@ -1293,6 +1304,24 @@ object SnapshotTable {
       if (keep.nonEmpty) readFileGroups(spark, tableDir, root, keep)
       else read(spark, tableDir, Some(v)).filter(lit(false))
     (df, total, keep.size)
+  }
+
+  /** Predicate-pruned read: [[read]] with the file-skipping bounds
+    * DERIVED from the predicate itself ([[pruningHintsOf]] — its
+    * column-vs-literal conjuncts become zone intervals, its
+    * service_year/month equalities the partition hint) and the row
+    * predicate applied on top, so callers get partition + zone file
+    * skipping by writing exactly the filter they meant. A predicate
+    * with no derivable bound degrades to the full manifest-resolved
+    * read (never wrong, just unpruned). The SQL-user surface of the
+    * scan-planning machinery: `readWhere(t, $"amount" > 300000 &&
+    * $"service_year" === 1997)` reads the intersecting files only. */
+  def readWhere(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Int] = None): DataFrame = {
+    val (parts, zones) = pruningHintsOf(predicate)
+    planScan(spark, tableDir, parts, zones, version,
+      keepUnparsed = true)._1.filter(predicate)
   }
 
   /** Range scan with zone-map skipping: read ONLY the live files whose
@@ -2220,11 +2249,13 @@ object SnapshotTable {
       .map(_ + "/"))
     val files = root.chunks
       .filter(cr => partKeys.forall(_.exists(k =>
-        cr.minPart <= k && k <= cr.maxPart)))
+        cr.minPart <= k && k <= cr.maxPart)) ||
+        cr.maxPart >= "~~") // derived-hint mode: unparsed paths stay in
       .flatMap { cr =>
         val ce = chunkEntry(spark, tableDir, cr.name)
         ce.files.filter(f =>
-          prefixes.forall(_.exists(f.startsWith)) &&
+          (prefixes.forall(_.exists(f.startsWith)) ||
+            partitionOf(f).isEmpty) &&
             effZones.forall(zp =>
               ce.stats.get((zp.column, f)).forall(zp.matches)))
       }

@@ -250,6 +250,27 @@ class Round15FixesSpec extends SparkSpec {
       "month 2's matching rows must survive")
   }
 
+  test("derived-hint scans keep files whose path proves nothing: unpartitioned files survive a partition hint") {
+    val dir = s"$base/unparsed_keep"
+    wipe(dir)
+    // a dimension-style commit: no year/month columns → files land
+    // unpartitioned, keyed "~~" in the chunk ranges
+    val dim = (0 until 5).map(i => (s"D$i", i * 1.0))
+      .toDF("dim_id", "weight")
+    SnapshotTable.append(spark, dir, dim)
+    val hint = Some(Seq((Some(2000): Option[Int], Some(1): Option[Int])))
+    // the explicit-partition contract excludes them (caller named
+    // partitions; unpartitioned files are out of scope)...
+    val (_, total, strict) = SnapshotTable.planScan(spark, dir, hint)
+    assert(strict == 0 && total > 0)
+    // ...the derived-hint mode must NOT: a bound inferred from a row
+    // predicate may only exclude files whose path disproves a match
+    val (df, _, kept) = SnapshotTable.planScan(spark, dir, hint,
+      keepUnparsed = true)
+    assert(kept == total, s"unparsed files must stay in ($kept of $total)")
+    assert(df.count() == 5)
+  }
+
   test("append onto a legacy z-ordered root (sortorder without persisted bounds) passes through unchanged") {
     val dir = s"$base/legacy_zorder"
     wipe(dir)
