@@ -973,6 +973,30 @@ object SnapshotQueries {
     keyCols(spark.read.parquet(s"$base/out"))
   }
 
+  /** `q_change_feed`: the row-level BATCH change feed as an
+    * oracle-checked query ([[SnapshotTable.changeRowsBetween]] — the
+    * retraction path the append-only streaming source hands off to).
+    * The shared key-clustered base takes the same mergeMor +
+    * deleteWhere traffic as q_stream_cdc; the feed over (v1, v3] must
+    * emit: INSERTs = the update batch's rows still visible at v3 (a
+    * row upserted then purged in-window nets out), DELETEs = the exact
+    * pre-images — the base rows of every restated key (time-traveled
+    * to v1) plus the merged view's rows the purge erased (time-
+    * traveled to v2). The DuckDB oracle reconstructs all three sets
+    * from the raw chain — row-level equality proves the feed's
+    * markers and pre-images are exact. */
+  def changeFeedE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    mergeMor(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
+    deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
+    changeRowsBetween(spark, tableDir, 1, latestVersion(spark, tableDir))
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"), col("_change_type"))
+      .orderBy(col("claim_id"), col("_change_type"), col("batch_id"))
+  }
+
   /** One catalog-transactional micro-batch: silver lands exactly-once
     * via [[SnapshotTable.streamAppend]] (the batch id rides in the
     * CAS'd root), gold republishes the manifest-diff-changed

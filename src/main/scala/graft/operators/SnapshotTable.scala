@@ -1880,6 +1880,120 @@ object SnapshotTable {
     readFileGroups(spark, tableDir, toRoot, added)
   }
 
+  /** Row-level CHANGE FEED between two versions (the Delta
+    * CDF / Iceberg changelog shape — the batch retraction path the
+    * append-only streaming source hands off to): every row carries
+    * `_change_type` ∈ ('insert' | 'delete').
+    *
+    *  - INSERT rows are the content of every file added in
+    *    (from, to], as visible at `to` — a row inserted and erased
+    *    within the window nets out, matching what a reader at `to`
+    *    sees.
+    *  - DELETE rows are the exact PRE-IMAGES erased by the
+    *    merge-on-read delete refs committed in the range,
+    *    reconstructed by TIME TRAVEL: an equality delete's keys
+    *    semi-join the rows visible at its commit's parent (candidate
+    *    files zone-probed, so the scan is ∝ affected files); a
+    *    positional delete's (file, row-index) pairs address their
+    *    files directly. Files are immutable and prior roots readable
+    *    until vacuum, so pre-images are exact — including a key
+    *    deleted and re-inserted in-window (one delete of the old row,
+    *    one insert of the new).
+    *
+    * Supported when every commit in the range is row-monotone
+    * (appends, streaming appends, mergeMor/deleteKeysMor/deleteWhere,
+    * ref consolidation, partition evolution). A COPY-ON-WRITE
+    * rewrite — overwrite/compact/COW merge/COW delete/z-order — has
+    * no row-level delta by construction, and a rollback rewrites
+    * history: both fail LOUDLY here; consumers recompute those
+    * partitions instead ([[changedPartitionsBetween]] +
+    * [[readFilesAdded]], the documented coarse contract). A vacuumed
+    * root inside the range also fails loudly (pre-images gone) —
+    * retention windows bound how far back a changelog reaches,
+    * exactly as in the real formats. */
+  def changeRowsBetween(spark: SparkSession, tableDir: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"empty change range v$fromVersion..v$toVersion")
+    val roots = (fromVersion to toVersion).map { v =>
+      v -> rootOption(spark, tableDir, v).getOrElse(
+        if (v == 0) null
+        else throw new IllegalStateException(
+          s"changeRowsBetween at $tableDir: root v$v was vacuumed — " +
+            "the changelog cannot reach past the retention window"))
+    }.toMap
+    val RowMonotone = Set("merge-mor", "delete-mor", "delete-where",
+      "consolidate-pos-deletes", "evolve-partitions")
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val op = roots(v).op
+      if (!op.startsWith("append") && !op.startsWith("stream-") &&
+          !RowMonotone.contains(op))
+        throw new UnsupportedOperationException(
+          s"changeRowsBetween at $tableDir: commit v$v is '$op' — a " +
+            "rewrite has no row-level delta; consume those partitions " +
+            "via changedPartitionsBetween + readFilesAdded instead")
+    }
+    val toRoot = roots(toVersion)
+    val inserted = {
+      val before =
+        if (fromVersion == 0) Set.empty[String]
+        else resolveFiles(spark, tableDir, roots(fromVersion)).toSet
+      val added = resolveFiles(spark, tableDir, toRoot).filterNot(before)
+      if (added.isEmpty) None
+      else Some(readFileGroups(spark, tableDir, toRoot, added)
+        .withColumn("_change_type", lit("insert")))
+    }
+    // pre-images per delete commit: refs present at v but not v-1
+    // (consolidation renames refs without changing semantics — it is
+    // whitelisted above and skipped here)
+    val deleted = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val root = roots(v)
+      if (root.op == "consolidate-pos-deletes") Nil
+      else {
+        val prev = if (v - 1 == 0) (Nil, Nil)
+          else (roots(v - 1).deletes, roots(v - 1).posDeletes)
+        val prevNames = (prev._1.map(_.name) ++ prev._2.map(_.name)).toSet
+        val parentRoot = if (v - 1 == 0) null else roots(v - 1)
+        val newEq = root.deletes.filterNot(d => prevNames.contains(d.name))
+        val newPos = root.posDeletes
+          .filterNot(d => prevNames.contains(d.name))
+        if ((newEq.isEmpty && newPos.isEmpty) || parentRoot == null) Nil
+        else {
+          val eqFrames = newEq.map { d =>
+            val keys = spark.read
+              .parquet(s"$tableDir/_snapshots/${d.name}")
+              .select(col(d.keyCol))
+            val cands = candidateFilesByKeyZone(spark, tableDir, keys,
+              d.keyCol, v - 1)
+            if (cands.isEmpty) None
+            else Some(readFileGroups(spark, tableDir, parentRoot, cands)
+              .join(if (d.rows <= 1000000L) broadcast(keys) else keys,
+                Seq(d.keyCol), "leftsemi"))
+          }
+          val posFrames = newPos.map { d =>
+            val pos = spark.read
+              .parquet(s"$tableDir/_snapshots/${d.name}")
+              .select(col("__rel"), col("__ri"))
+            val refFiles = pos.select(col("__rel")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            if (refFiles.isEmpty) None
+            else Some(readFileGroups(spark, tableDir, parentRoot,
+                refFiles, keepPos = true)
+              .join(if (d.rows <= 1000000L) broadcast(pos) else pos,
+                Seq("__rel", "__ri"), "leftsemi")
+              .drop("__rel", "__ri"))
+          }
+          (eqFrames ++ posFrames).flatten
+            .map(_.withColumn("_change_type", lit("delete")))
+        }
+      }
+    }
+    val frames = inserted.toSeq ++ deleted
+    require(frames.nonEmpty,
+      s"no row-level changes between v$fromVersion and v$toVersion")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Live files ADDED between two versions — the streaming source's
     * plan input ([[graft.sources.SnapshotSourceProvider]]): pure
     * root/chunk diff, no listing, no data read. A vacuumed

@@ -392,6 +392,48 @@ class SnapshotMorSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 12) // 20 - 4x2
   }
 
+  test("changeRowsBetween: exact insert/delete markers, pre-images by time travel, rewrites fail loudly") {
+    val dir = s"$base/change_feed"
+    wipe(dir)
+    threeFileTable(dir) // v1..v3: A00-09 + B00-09 (m1), C00-09 (m2)
+    // v4: mergeMor restates A03 and inserts D00
+    val upd = Seq(("A03", "b9", 999.0, 2000, 1), ("D00", "b9", 7.0, 2000, 2))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    SnapshotTable.mergeMor(spark, dir, upd)
+    // v5: DV purge of every amount == 5.0 (A05, B05, C05)
+    SnapshotTable.deleteWhere(spark, dir, col("claim_amount") === 5.0)
+    val feed = SnapshotTable.changeRowsBetween(spark, dir, 3, 5)
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("_change_type"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getString(3))).toSet
+    assert(feed == Set(
+      ("A03", "b9", 999.0, "insert"), ("D00", "b9", 7.0, "insert"),
+      ("A03", "b1", 3.0, "delete"), // pre-image of the restated key
+      ("A05", "b1", 5.0, "delete"), ("B05", "b2", 5.0, "delete"),
+      ("C05", "b3", 5.0, "delete")), s"got $feed")
+    // a key deleted and re-inserted in-window: one delete of the OLD
+    // row, one insert of the NEW — exact CDC, no conflation
+    SnapshotTable.deleteKeysMor(spark, dir, Seq("A07").toDF("claim_id"))
+    SnapshotTable.append(spark, dir, Seq(("A07", "fresh", 70.0, 2000, 1))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month"))
+    val feed2 = SnapshotTable.changeRowsBetween(spark, dir, 5, 7)
+      .select(col("claim_id"), col("batch_id"), col("_change_type"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(feed2 == Set(("A07", "b1", "delete"), ("A07", "fresh", "insert")),
+      s"got $feed2")
+    // a rewrite in range has no row-level delta — loud, never wrong
+    SnapshotTable.compactPartitions(spark, dir, Seq((Some(2000), Some(1))))
+    val ex = intercept[UnsupportedOperationException] {
+      SnapshotTable.changeRowsBetween(spark, dir, 5,
+        SnapshotTable.latestVersion(spark, dir))
+    }
+    assert(ex.getMessage.contains("row-level delta"))
+  }
+
   test("deletes survive tier merges and manifest compaction (sequences travel with their chunks)") {
     val dir = s"$base/mor_tiers"
     wipe(dir)
