@@ -2046,17 +2046,26 @@ object SnapshotTable {
         import spark.implicits._
         val fsDf = broadcast(fs.toDF("__rel"))
         val eq = if (dels.isEmpty) Nil else {
-          val raw = readFileGroupsRaw(spark, tableDir, root, fs,
-            withPos = true)
-          dels.groupBy(_.keyCol).toSeq.map { case (kc, ds) =>
+          dels.groupBy(_.keyCol).toSeq.flatMap { case (kc, ds) =>
             val keys = ds.map(d => spark.read
                 .parquet(s"$tableDir/_snapshots/${d.name}")
                 .select(col(kc)))
               .reduce(_.unionByName(_)).distinct()
-            val rhs = if (ds.map(_.rows).sum <= 1000000L) broadcast(keys)
-              else keys
-            raw.join(rhs, Seq(kc), "leftsemi")
-              .select(col("__rel"), col("__ri"))
+            // zone-probe first: only files whose key zones can hold a
+            // doomed key get scanned (a key-clustered table's backfill
+            // then decodes a slice, not every reached file)
+            val cands = candidateFilesByKeyZone(spark, tableDir, keys,
+              kc, version).toSet
+            val scan = fs.filter(cands.contains)
+            if (scan.isEmpty) Nil
+            else {
+              val raw = readFileGroupsRaw(spark, tableDir, root, scan,
+                withPos = true)
+              val rhs = if (ds.map(_.rows).sum <= 1000000L)
+                broadcast(keys) else keys
+              Seq(raw.join(rhs, Seq(kc), "leftsemi")
+                .select(col("__rel"), col("__ri")))
+            }
           }
         }
         val pos = pds.map(d => spark.read
