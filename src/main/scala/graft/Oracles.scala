@@ -2853,6 +2853,16 @@ WHERE claim_amount >= 50000.0 AND claim_amount <= 120000.0
 GROUP BY claim_amount_category
 ORDER BY claim_amount_category"""),
 
+    // Bloom-index point lookup: the engine opens only the files whose
+    // per-file Bloom can hold one of the member's claim ids; the
+    // oracle scans the full silver — equality proves a Bloom (no false
+    // negatives) never skipped a matching file
+    "q_bloom_lookup" -> (ClaimsCte + """
+SELECT claim_id, member_id, claim_amount, service_year, service_month
+FROM silver
+WHERE member_id = (SELECT max(member_id) FROM silver)
+ORDER BY claim_id"""),
+
     "q_data_skipping" -> (ClaimsCte + """
 SELECT count(*) AS n_claims,
   count(DISTINCT member_id) AS unique_members,

@@ -191,6 +191,7 @@ object SparkEntry {
     // round-15 additions
     "q_stream_cdc" -> SnapshotQueries.streamCdcE2e _,
     "q_read_where" -> SnapshotQueries.readWhereE2e _,
+    "q_bloom_lookup" -> SnapshotQueries.bloomLookupE2e _,
     "q_change_feed" -> SnapshotQueries.changeFeedE2e _,
   )
 

@@ -138,6 +138,56 @@ object SnapshotQueries {
       .orderBy(col("claim_amount_category"))
   }
 
+  /** The HASH-distributed claims silver with a per-file Bloom index
+    * over claim_id + member_id — the table shape zone maps cannot
+    * prune (every file spans the whole key domain) and the Bloom
+    * sidecar can. Read-only; base version 2 (v1 = data, v2 = the
+    * bloom-index metadata commit). */
+  private def bloomIndexedTable(spark: SparkSession, sfDir: String)
+      : String = {
+    val d = FixtureCache.cachedDir(spark, "snap_hash_bloom", sfDir) {
+      dir =>
+        append(spark, s"$dir/silver",
+          FixtureCache.silverFull(spark, sfDir)
+            .repartition(32, col("claim_id")),
+          statsColumns = Seq("claim_id"))
+        buildFileBlooms(spark, s"$dir/silver",
+          Seq("claim_id", "member_id"))
+        ()
+    }
+    s"$d/silver"
+  }
+
+  /** `q_bloom_lookup`: per-file BLOOM-INDEX point lookup as an
+    * oracle-checked query (the Puffin-sidecar shape). The fixture is
+    * HASH-distributed by claim_id — every file's claim_id zone spans
+    * the whole domain, so min/max skipping is blind here — with a
+    * Bloom index built over claim_id and member_id. The query looks up
+    * every claim of ONE deterministic member (the lexicographic max)
+    * by its claim-id set via [[SnapshotTable.readKeys]] and asserts
+    * the probe opened strictly fewer files than the table holds: at
+    * 100 TB, a k-key lookup on an unclustered table opens ~k files,
+    * not the table. The DuckDB oracle recomputes the member's claims
+    * over the FULL silver — equality proves the Bloom never dropped a
+    * matching file. */
+  def bloomLookupE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val tableDir = bloomIndexedTable(spark, sfDir)
+    val silver = FixtureCache.silverFull(spark, sfDir)
+    val maxMember = silver.agg(max(col("member_id"))).collect()(0)
+      .getString(0)
+    val keys = silver.filter(col("member_id") === maxMember)
+      .select(col("claim_id"))
+    val (df, live, scanned) =
+      readKeysPlanned(spark, tableDir, keys, "claim_id")
+    require(scanned < live,
+      s"the Bloom probe must prune the unclustered lookup " +
+        s"(scanned $scanned of $live files)")
+    df.select(col("claim_id"), col("member_id"), col("claim_amount"),
+        col("service_year"), col("service_month"))
+      .orderBy(col("claim_id"))
+  }
+
   /** `q_date_skipping`: typed (DATE) zone-map pruning as an oracle-
     * checked query — lexicographic compare of ISO strings ==
     * chronological, so the 1996 aggregate reads only files whose date

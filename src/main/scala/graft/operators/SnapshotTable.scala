@@ -1686,6 +1686,7 @@ object SnapshotTable {
     val keptChunks = keptRoots.flatMap(_.chunks.map(_.name)).toSet
     val keptDeletes = keptRoots.flatMap(r =>
       r.deletes.map(_.name) ++ r.posDeletes.map(_.name)).toSet
+    val keptBlooms = keptRoots.flatMap(_.meta.get("bloom.index")).toSet
     val root = new Path(tableDir)
     val fs = fsOf(spark, root)
     val doomed = (listDataFiles(spark, tableDir) -- referenced).toSeq.sorted
@@ -1719,6 +1720,11 @@ object SnapshotTable {
             if (!keptDeletes.contains(s"deletes/${d.getPath.getName}"))
               fs.delete(d.getPath, true)
           }
+        else if (n == "blooms") // Bloom sidecars: keep only the ones
+          fs.listStatus(s.getPath).foreach { b => // kept roots point at
+            if (!keptBlooms.contains(s"blooms/${b.getPath.getName}"))
+              fs.delete(b.getPath, true)
+          }
       }
     doomed
   }
@@ -1742,6 +1748,7 @@ object SnapshotTable {
       val keptChunks = keptRoots.flatMap(_.chunks.map(_.name)).toSet
       val keptDeletes = keptRoots.flatMap(r =>
         r.deletes.map(_.name) ++ r.posDeletes.map(_.name)).toSet
+      val keptBlooms = keptRoots.flatMap(_.meta.get("bloom.index")).toSet
       val keptFiles = keptRoots
         .flatMap(r => resolveFiles(spark, tableDir, r)).toSet
       ((v + 1) to latest).foreach(i =>
@@ -1763,6 +1770,11 @@ object SnapshotTable {
           fs.listStatus(s.getPath).foreach { d =>
             if (!keptDeletes.contains(s"deletes/${d.getPath.getName}"))
               fs.delete(d.getPath, true)
+          }
+        else if (n == "blooms")
+          fs.listStatus(s.getPath).foreach { b =>
+            if (!keptBlooms.contains(s"blooms/${b.getPath.getName}"))
+              fs.delete(b.getPath, true)
           }
       }
       (listDataFiles(spark, tableDir) -- keptFiles).foreach(f =>
@@ -1963,7 +1975,7 @@ object SnapshotTable {
             val keys = spark.read
               .parquet(s"$tableDir/_snapshots/${d.name}")
               .select(col(d.keyCol))
-            val cands = candidateFilesByKeyZone(spark, tableDir, keys,
+            val cands = candidateFilesForKeys(spark, tableDir, keys,
               d.keyCol, v - 1)
             if (cands.isEmpty) None
             else Some(readFileGroups(spark, tableDir, parentRoot, cands)
@@ -2054,7 +2066,7 @@ object SnapshotTable {
             // zone-probe first: only files whose key zones can hold a
             // doomed key get scanned (a key-clustered table's backfill
             // then decodes a slice, not every reached file)
-            val cands = candidateFilesByKeyZone(spark, tableDir, keys,
+            val cands = candidateFilesForKeys(spark, tableDir, keys,
               kc, version).toSet
             val scan = fs.filter(cands.contains)
             if (scan.isEmpty) Nil
@@ -2142,6 +2154,240 @@ object SnapshotTable {
     hits ++ numHits ++ zoneless
   }
 
+  // ------------------------------------------------------------------
+  // Per-file Bloom filter index (the Puffin-sidecar shape): zone maps
+  // prune RANGE-clustered keys, but a hash-distributed key column's
+  // every file spans the whole key domain — min/max prunes nothing.
+  // A per-file Bloom answers the equality question zones can't:
+  // "can this file hold THIS key?" — so a point lookup / keyed DML on
+  // an unclustered 100 TB table names the handful of files that might
+  // match instead of verify-scanning them all. Version-pinned like
+  // ANALYZE: an explicit build pass writes one parquet sidecar of
+  // (column, file, word-index, 64-bit word) rows plus a coverage
+  // marker per (column, file); the root's commit metadata carries the
+  // pointer + geometry, so a historic probe consults the index that
+  // was live AT THAT VERSION. Files appended after the build have no
+  // marker and stay always-candidates (lossless); [[refreshFileBlooms]]
+  // covers them O(new files). False positives only ever ADD candidate
+  // files — the verify semi-join downstream stays the truth.
+  // ------------------------------------------------------------------
+
+  private final case class BloomMeta(name: String, mBits: Long, k: Int,
+      columns: Seq[String])
+
+  private def bloomMetaOf(meta: Map[String, String]): Option[BloomMeta] =
+    for {
+      name <- meta.get("bloom.index")
+      m <- meta.get("bloom.mbits").map(_.toLong)
+      k <- meta.get("bloom.k").map(_.toInt)
+      cols <- meta.get("bloom.columns")
+        .map(_.split(",").filter(_.nonEmpty).map(dec).toSeq)
+    } yield BloomMeta(name, m, k, cols)
+
+  /** Distributed sidecar build over `newFiles` (raw file content —
+    * a Bloom bit for a MoR-deleted row is just a false positive), one
+    * scan for all `columns`, merged with `reuse` (still-live rows of a
+    * prior sidecar) and written under a writer-unique name. Only a
+    * published root meta makes it live. */
+  private def writeBloomSidecar(spark: SparkSession, tableDir: String,
+      name: String, newFiles: Seq[String], columns: Seq[String],
+      mBits: Long, k: Int, reuse: Option[DataFrame]): Unit = {
+    import spark.implicits._
+    val out = s"$tableDir/_snapshots/$name"
+    val seeds = array((0 until k).map(lit): _*)
+    val markers = columns.flatMap(c => newFiles.map(f => (c, f, -1, 0L)))
+      .toDF("__c", "__f", "__wi", "__mask")
+    val words: DataFrame =
+      if (newFiles.isEmpty)
+        markers.limit(0)
+      else {
+        val base = spark.read.option("basePath", tableDir)
+          .parquet(newFiles.map(f => s"$tableDir/$f"): _*)
+        val qual = fsOf(spark, new Path(tableDir))
+          .makeQualified(new Path(tableDir)).toString
+        val pat = "^(" + Seq(qual + "/",
+            qual.replaceFirst("^file:/", "file:///") + "/")
+          .distinct.map(java.util.regex.Pattern.quote).mkString("|") + ")"
+        val pairs = array(columns.map(c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)
+        base.select(
+            regexp_replace(col("_metadata.file_path"), pat, "").as("__f"),
+            explode(pairs).as("__p"))
+          .select(col("__f"), col("__p.c").as("__c"), col("__p.v").as("__v"))
+          .filter(col("__v").isNotNull)
+          .select(col("__c"), col("__f"), col("__v"),
+            explode(seeds).as("__s"))
+          .select(col("__c"), col("__f"),
+            pmod(xxhash64(col("__s"), col("__v")), lit(mBits)).as("__pos"))
+          .select(col("__c"), col("__f"),
+            (col("__pos") / 64).cast("int").as("__wi"),
+            expr("shiftleft(1L, cast(pmod(__pos, 64) as int))").as("__b"))
+          .groupBy(col("__c"), col("__f"), col("__wi"))
+          .agg(expr("bit_or(__b)").as("__mask"))
+      }
+    val all = reuse match {
+      case Some(r) => words.unionByName(markers)
+        .unionByName(r.select("__c", "__f", "__wi", "__mask"))
+      case None => words.unionByName(markers)
+    }
+    all.coalesce(1).write.mode("overwrite").parquet(out)
+  }
+
+  /** Build (or rebuild) the per-file Bloom index over `columns` at
+    * `version` (default latest): one distributed scan collects every
+    * live file's word rows, the sidecar lands under a unique name, and
+    * ONE metadata-only commit publishes the pointer + geometry (chunks
+    * carried by reference — no data touched at commit). Geometry is
+    * sized from the chunks' per-file row counts: mBits = the power of
+    * two nearest `bitsPerRow` × the largest file's rows (clamped
+    * 2¹³..2²³ — at 16 bits/row and k=4 the false-positive rate is
+    * ~0.24%), so the sidecar stays metadata-sized: ≤ k·rows set bits
+    * per file per column, stored sparse. Returns the committed
+    * version. */
+  def buildFileBlooms(spark: SparkSession, tableDir: String,
+      columns: Seq[String], version: Option[Int] = None,
+      bitsPerRow: Int = 16, k: Int = 4): Int = {
+    require(columns.nonEmpty, "buildFileBlooms: no columns")
+    require(k >= 1 && k <= 8, s"buildFileBlooms: k=$k out of range")
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    val root = readRoot(spark, tableDir, v)
+    val files = resolveFiles(spark, tableDir, root)
+    val maxRows = root.chunks
+      .flatMap(c => chunkEntry(spark, tableDir, c.name).rows.values)
+      .maxOption.getOrElse(1L << 20)
+    val mBits = math.min(1L << 23, math.max(1L << 13,
+      java.lang.Long.highestOneBit(
+        math.max(1L, bitsPerRow * maxRows - 1)) * 2))
+    val name = s"blooms/bloom_${java.util.UUID.randomUUID()}"
+    writeBloomSidecar(spark, tableDir, name, files, columns, mBits, k,
+      reuse = None)
+    commitGated(spark, tableDir, "bloom-index", extraMeta = Map(
+      "bloom.index" -> name,
+      "bloom.mbits" -> mBits.toString,
+      "bloom.k" -> k.toString,
+      "bloom.columns" -> columns.map(enc).mkString(","))) { parent =>
+      val r = readRoot(spark, tableDir, parent)
+      (r.chunks, r.schemaJson)
+    }.get
+  }
+
+  /** Incremental index maintenance: cover the live files the current
+    * index does NOT cover (appended or rewritten since the last
+    * build), reusing the existing sidecar's rows for still-live files
+    * — cost ∝ NEW data, never ∝ table. Same geometry as the published
+    * index (one probe, one geometry). Returns the committed version,
+    * or None when there is no index or nothing is uncovered. */
+  def refreshFileBlooms(spark: SparkSession, tableDir: String)
+      : Option[Int] = {
+    import spark.implicits._
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val root = readRoot(spark, tableDir, v)
+    val bm = bloomMetaOf(root.meta).getOrElse(return None)
+    val live = resolveFiles(spark, tableDir, root)
+    val old = spark.read.parquet(s"$tableDir/_snapshots/${bm.name}")
+    val liveSet = live.toSet
+    val covered = old.filter(col("__wi") === -1).select(col("__f"))
+      .distinct().collect().map(_.getString(0)).filter(liveSet.contains)
+      .toSet
+    val uncovered = live.filterNot(covered.contains)
+    if (uncovered.isEmpty) return None
+    val name = s"blooms/bloom_${java.util.UUID.randomUUID()}"
+    val liveDf = broadcast(live.toDF("__f"))
+    writeBloomSidecar(spark, tableDir, name, uncovered, bm.columns,
+      bm.mBits, bm.k, reuse = Some(old.join(liveDf, Seq("__f"))))
+    commitGated(spark, tableDir, "bloom-refresh",
+      extraMeta = Map("bloom.index" -> name)) { parent =>
+      val r = readRoot(spark, tableDir, parent)
+      (r.chunks, r.schemaJson)
+    }
+  }
+
+  /** Drop from `cands` every INDEX-COVERED file whose Bloom proves it
+    * holds none of `keys` (all k bits of at least one key must be set
+    * for a file to survive). Uncovered candidates pass through; no
+    * index or a key column outside the index returns `cands`
+    * unchanged. Probes the index live at `root`'s version — historic
+    * probes consult historic indexes. Lossless by construction: a
+    * Bloom has no false negatives, so dropped files verifiably hold no
+    * probed key. */
+  private[graft] def bloomPruneCandidates(spark: SparkSession,
+      tableDir: String, root: Root, cands: Seq[String], keys: DataFrame,
+      key: String): Seq[String] = {
+    import spark.implicits._
+    if (cands.isEmpty) return cands
+    val bm = bloomMetaOf(root.meta) match {
+      case Some(b) if b.columns.contains(key) => b
+      case _ => return cands
+    }
+    val dir = new Path(s"$tableDir/_snapshots/${bm.name}")
+    if (!fsOf(spark, dir).exists(dir)) return cands // vacuumed: degrade
+    val candsDf = broadcast(cands.toDF("__f"))
+    val side = spark.read.parquet(dir.toString)
+      .filter(col("__c") === key).join(candsDf, Seq("__f"))
+    val covered = side.filter(col("__wi") === -1).select(col("__f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (covered.isEmpty) return cands
+    val words = side.filter(col("__wi") >= 0)
+    val seeds = array((0 until bm.k).map(lit): _*)
+    val probes = keys.select(col(key).cast("string").as("__v"))
+      .filter(col("__v").isNotNull).distinct()
+      .select(col("__v"), explode(seeds).as("__s"))
+      .select(col("__v"), col("__s"),
+        pmod(xxhash64(col("__s"), col("__v")), lit(bm.mBits)).as("__pos"))
+      .select(col("__v"), col("__s"),
+        (col("__pos") / 64).cast("int").as("__wi"),
+        expr("shiftleft(1L, cast(pmod(__pos, 64) as int))").as("__b"))
+    val hits = probes.join(words, Seq("__wi"))
+      .filter(col("__mask").bitwiseAND(col("__b")) =!= lit(0L))
+      .groupBy(col("__f"), col("__v"))
+      .agg(countDistinct(col("__s")).as("__n"))
+      .filter(col("__n") === bm.k)
+      .select(col("__f")).distinct().collect().map(_.getString(0)).toSeq
+    hits ++ cands.filterNot(covered.contains)
+  }
+
+  /** The composed metadata-only file probe every keyed op routes
+    * through: zone intervals first (range-clustered tables), then the
+    * Bloom index (hash-distributed tables) — each lossless, so the
+    * result is a superset of the files truly holding any key and a
+    * subset of the live set. */
+  private[graft] def candidateFilesForKeys(spark: SparkSession,
+      tableDir: String, keys: DataFrame, key: String, version: Int)
+      : Seq[String] = {
+    val zone = candidateFilesByKeyZone(spark, tableDir, keys, key, version)
+    bloomPruneCandidates(spark, tableDir,
+      readRoot(spark, tableDir, version), zone, keys, key)
+  }
+
+  /** Point lookup: every visible row whose `key` is in `keys`, reading
+    * ONLY the zone+Bloom candidate files — on an indexed
+    * hash-distributed table a k-key lookup opens ~k files of a 100 TB
+    * table. Delete-aware (MoR refs apply before the semi-join). */
+  def readKeys(spark: SparkSession, tableDir: String, keys: DataFrame,
+      key: String, version: Option[Int] = None): DataFrame =
+    readKeysPlanned(spark, tableDir, keys, key, version)._1
+
+  /** [[readKeys]] exposing (frame, live files, files scanned) so
+    * harnesses can pin the pruning. */
+  private[graft] def readKeysPlanned(spark: SparkSession,
+      tableDir: String, keys: DataFrame, key: String,
+      version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
+    val root = readRoot(spark, tableDir, v)
+    val live = resolveFiles(spark, tableDir, root)
+    val keySet = keys.select(col(key)).filter(col(key).isNotNull)
+      .distinct()
+    val cands = candidateFilesForKeys(spark, tableDir, keySet, key, v)
+    val df =
+      if (cands.isEmpty) read(spark, tableDir, Some(v)).limit(0)
+      else readFileGroups(spark, tableDir, root, cands)
+        .join(keySet, Seq(key), "leftsemi")
+    (df, live.size, cands.size)
+  }
+
   /** Snapshot-native MERGE (SCD1, latest `versionCol` wins per `key`;
     * base wins ties so replay is a no-op): the moved-from partitions
     * are located by probing the update keys against the chunks'
@@ -2197,7 +2443,7 @@ object SnapshotTable {
       .collect())
     if (targets.isEmpty) return Nil
     val updKeys = updates.select(col(key)).distinct()
-    val cands = candidateFilesByKeyZone(spark, tableDir, updKeys, key, v)
+    val cands = candidateFilesForKeys(spark, tableDir, updKeys, key, v)
     val root = readRoot(spark, tableDir, v)
     // FILE-granular copy-on-write: only the files that verifiably hold
     // an update key are rewritten; untouched same-partition files carry
@@ -2247,7 +2493,7 @@ object SnapshotTable {
     val v = latestVersion(spark, tableDir)
     require(v > 0, s"no snapshot at $tableDir")
     val keySet = keys.select(col(key)).distinct()
-    val cands = candidateFilesByKeyZone(spark, tableDir, keySet, key, v)
+    val cands = candidateFilesForKeys(spark, tableDir, keySet, key, v)
     if (cands.isEmpty) return Nil
     val root = readRoot(spark, tableDir, v)
     // FILE-granular: only files verifiably holding a doomed key are
@@ -2296,7 +2542,7 @@ object SnapshotTable {
     val keySet = keys.select(col(key)).distinct()
       .filter(col(key).isNotNull) // NULL never equality-matches a row
     // metadata-only probe: no candidate file can hold any key → no-op
-    if (candidateFilesByKeyZone(spark, tableDir, keySet, key, v).isEmpty)
+    if (candidateFilesForKeys(spark, tableDir, keySet, key, v).isEmpty)
       return None
     val name = s"deletes/del_${java.util.UUID.randomUUID()}"
     val delDir = s"$tableDir/_snapshots/$name"
