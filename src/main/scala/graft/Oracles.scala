@@ -191,6 +191,43 @@ FROM bf LEFT JOIN ivf
   ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
 GROUP BY bf.query_id ORDER BY bf.query_id""")
 
+  /** The change-feed oracle (batch AND streaming keys: the two
+    * surfaces must agree row-for-row on the same window). */
+  private lazy val changeFeedSql: String = {
+      val movedSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "o_totalprice, CAST(o_orderdate + INTERVAL 40 DAY AS DATE) " +
+        "AS o_orderdate FROM orders " +
+        "WHERE o_orderdate >= DATE '1997-07-01' AND o_orderkey % 10 = 0"
+      s"""$ClaimsCte,
+${claimsChainCtes("_m", movedSrc)},
+upd AS (
+  SELECT claim_id, '20240102_000000' AS batch_id, claim_amount,
+    service_year, service_month FROM silver_m),
+merged AS (
+  SELECT claim_id, batch_id, claim_amount, service_year, service_month
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY batch_id DESC, src DESC) AS rn
+        FROM (
+          SELECT claim_id, claim_amount, service_year, service_month,
+            '20240101_000000' AS batch_id, 1 AS src FROM silver
+          UNION ALL
+          SELECT claim_id, claim_amount, service_year, service_month,
+            batch_id, 0 AS src FROM upd) allv) z
+  WHERE rn = 1)
+SELECT claim_id, batch_id, claim_amount, service_year, service_month,
+  _change_type FROM (
+  SELECT *, 'insert' AS _change_type FROM upd
+  WHERE claim_amount <= 300000.0 OR claim_amount IS NULL
+  UNION ALL
+  SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+    service_year, service_month, 'delete' AS _change_type FROM silver
+  WHERE claim_id IN (SELECT claim_id FROM upd)
+  UNION ALL
+  SELECT *, 'delete' AS _change_type FROM merged
+  WHERE claim_amount > 300000.0) f
+ORDER BY claim_id, _change_type, batch_id"""
+  }
+
   private val base: Map[String, String] = Map(
     "q_claims_summary" -> """SELECT
   CAST(year(l_shipdate) AS INT) AS service_year,
@@ -3363,40 +3400,11 @@ WHERE rn = 1 ORDER BY claim_id"""
     // restated keys' base pre-images (visible at v1), and the purged
     // rows' pre-images (the merged view at v2), proving the feed's
     // time-traveled markers exact
-    "q_change_feed" -> {
-      val movedSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
-        "o_totalprice, CAST(o_orderdate + INTERVAL 40 DAY AS DATE) " +
-        "AS o_orderdate FROM orders " +
-        "WHERE o_orderdate >= DATE '1997-07-01' AND o_orderkey % 10 = 0"
-      s"""$ClaimsCte,
-${claimsChainCtes("_m", movedSrc)},
-upd AS (
-  SELECT claim_id, '20240102_000000' AS batch_id, claim_amount,
-    service_year, service_month FROM silver_m),
-merged AS (
-  SELECT claim_id, batch_id, claim_amount, service_year, service_month
-  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
-          ORDER BY batch_id DESC, src DESC) AS rn
-        FROM (
-          SELECT claim_id, claim_amount, service_year, service_month,
-            '20240101_000000' AS batch_id, 1 AS src FROM silver
-          UNION ALL
-          SELECT claim_id, claim_amount, service_year, service_month,
-            batch_id, 0 AS src FROM upd) allv) z
-  WHERE rn = 1)
-SELECT claim_id, batch_id, claim_amount, service_year, service_month,
-  _change_type FROM (
-  SELECT *, 'insert' AS _change_type FROM upd
-  WHERE claim_amount <= 300000.0 OR claim_amount IS NULL
-  UNION ALL
-  SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
-    service_year, service_month, 'delete' AS _change_type FROM silver
-  WHERE claim_id IN (SELECT claim_id FROM upd)
-  UNION ALL
-  SELECT *, 'delete' AS _change_type FROM merged
-  WHERE claim_amount > 300000.0) f
-ORDER BY claim_id, _change_type, batch_id"""
-    },
+    "q_change_feed" -> changeFeedSql,
+
+    // the STREAMING change feed must equal the batch feed row-for-row
+    // (same fixture traffic, same window) — one oracle serves both
+    "q_stream_change_feed" -> changeFeedSql,
 
     // the streaming source over a table taking MERGE-ON-READ traffic
     // (round-15): a mergeMor upsert + a positional deleteWhere purge,

@@ -1047,6 +1047,43 @@ object SnapshotQueries {
       .orderBy(col("claim_id"), col("_change_type"), col("batch_id"))
   }
 
+  /** `q_stream_change_feed`: the row-level change feed as a NATIVE
+    * STREAMING source ([[graft.sources.SnapshotCdcProvider]] — closes
+    * the append source's documented contract edge: deletes now stream
+    * as retractions instead of being "the batch CDC path's job"). Same
+    * fixture traffic as q_change_feed (mergeMor upsert + positional
+    * purge on the shared key-clustered base); the stream starts AFTER
+    * v1 (`startVersion`) and drains with AvailableNow, emitting
+    * insert markers for the upsert's surviving rows and exact delete
+    * pre-images planned as per-file positions
+    * ([[SnapshotTable.preImagePositionsAt]]) — whole-file insert
+    * splits decode vectorized, pre-image splits emit only their
+    * positions. The DuckDB oracle is q_change_feed's: the streamed
+    * multiset must equal the batch feed row-for-row. */
+  def streamChangeFeedE2e(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    mergeMor(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
+    deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
+    val base = s"target/stream_change_feed/${leafOf(sfDir)}"
+    wipe(spark, base)
+    val q = spark.readStream.format("graft-snapshot-cdc")
+      .option("path", tableDir).option("startVersion", "1").load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"), col("_change_type"))
+      .orderBy(col("claim_id"), col("_change_type"), col("batch_id"))
+  }
+
   /** One catalog-transactional micro-batch: silver lands exactly-once
     * via [[SnapshotTable.streamAppend]] (the batch id rides in the
     * CAS'd root), gold republishes the manifest-diff-changed

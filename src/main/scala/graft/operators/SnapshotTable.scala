@@ -1923,6 +1923,20 @@ object SnapshotTable {
     * root inside the range also fails loudly (pre-images gone) —
     * retention windows bound how far back a changelog reaches,
     * exactly as in the real formats. */
+  /** Whether a commit op has a row-level delta expressible as
+    * insert/delete markers: appends and MoR DML do (rows only ever
+    * join or leave via a ref), metadata-only commits trivially do
+    * (empty delta); a COPY-ON-WRITE rewrite or rollback does not.
+    * Shared by the batch feed ([[changeRowsBetween]]) and the
+    * streaming feed ([[graft.sources.SnapshotCdcProvider]]) so the two
+    * surfaces accept exactly the same history. */
+  private[graft] def rowMonotoneOp(op: String): Boolean =
+    op.startsWith("append") || op.startsWith("stream-") ||
+      Set("merge-mor", "delete-mor", "delete-where",
+        "consolidate-pos-deletes", "evolve-partitions",
+        // metadata-only commits: chunks by reference, no row delta
+        "bloom-index", "bloom-refresh").contains(op)
+
   def changeRowsBetween(spark: SparkSession, tableDir: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
@@ -1934,12 +1948,9 @@ object SnapshotTable {
           s"changeRowsBetween at $tableDir: root v$v was vacuumed — " +
             "the changelog cannot reach past the retention window"))
     }.toMap
-    val RowMonotone = Set("merge-mor", "delete-mor", "delete-where",
-      "consolidate-pos-deletes", "evolve-partitions")
     ((fromVersion + 1) to toVersion).foreach { v =>
       val op = roots(v).op
-      if (!op.startsWith("append") && !op.startsWith("stream-") &&
-          !RowMonotone.contains(op))
+      if (!rowMonotoneOp(op))
         throw new UnsupportedOperationException(
           s"changeRowsBetween at $tableDir: commit v$v is '$op' — a " +
             "rewrite has no row-level delta; consume those partitions " +
@@ -2101,6 +2112,66 @@ object SnapshotTable {
         .groupBy(_.getString(0)).view
         .mapValues(_.map(_.getLong(1)).sorted).toMap
     } finally { doomed.unpersist(); () }
+  }
+
+  /** The PRE-IMAGE row positions of the delete refs NEW at `version` —
+    * the plan-time core of the STREAMING change feed
+    * ([[graft.sources.SnapshotCdcProvider]]): for every
+    * equality/positional ref present at `version` but not at its
+    * parent, the (table-relative path, in-file row index) of each row
+    * the ref erased, AS VISIBLE AT THE PARENT (rows already invisible
+    * at parent — earlier refs — never re-emit; [[readFileGroups]]'s
+    * keepPos read owns that). Equality refs resolve through the
+    * zone+Bloom candidate probe then ONE distributed semi-join over
+    * only the candidate files; positional refs are their sidecar
+    * verbatim. Consolidation commits rename refs without row deltas
+    * and yield nothing. Driver-collected under the same cap as
+    * [[deletePositionsFor]]. */
+  private[graft] def preImagePositionsAt(spark: SparkSession,
+      tableDir: String, version: Int, maxPositions: Long = 2000000L)
+      : Map[String, Array[Long]] = {
+    require(version >= 2, s"no parent at v$version") // v1 has no deletes
+    val root = readRoot(spark, tableDir, version)
+    if (root.op == "consolidate-pos-deletes") return Map.empty
+    val parentRoot = readRoot(spark, tableDir, version - 1)
+    val prevNames =
+      (parentRoot.deletes.map(_.name) ++
+        parentRoot.posDeletes.map(_.name)).toSet
+    val newEq = root.deletes.filterNot(d => prevNames.contains(d.name))
+    val newPos = root.posDeletes.filterNot(d => prevNames.contains(d.name))
+    if (newEq.isEmpty && newPos.isEmpty) return Map.empty
+    val posFrames = newPos.map(d => spark.read
+      .parquet(s"$tableDir/_snapshots/${d.name}")
+      .select(col("__rel"), col("__ri")))
+    val eqFrames = newEq.groupBy(_.keyCol).toSeq.flatMap { case (kc, ds) =>
+      val keys = ds.map(d => spark.read
+          .parquet(s"$tableDir/_snapshots/${d.name}").select(col(kc)))
+        .reduce(_.unionByName(_)).distinct()
+      val cands = candidateFilesForKeys(spark, tableDir, keys, kc,
+        version - 1)
+      if (cands.isEmpty) Nil
+      else {
+        val rhs = if (ds.map(_.rows).sum <= 1000000L) broadcast(keys)
+          else keys
+        Seq(readFileGroups(spark, tableDir, parentRoot, cands,
+            keepPos = true)
+          .join(rhs, Seq(kc), "leftsemi")
+          .select(col("__rel"), col("__ri")))
+      }
+    }
+    val frames = posFrames ++ eqFrames
+    if (frames.isEmpty) return Map.empty
+    val pre = frames.reduce(_.unionByName(_)).distinct()
+      .select(col("__rel"), col("__ri").cast("long")).persist()
+    try {
+      val n = pre.count()
+      if (n > maxPositions) throw new UnsupportedOperationException(
+        s"change feed at $tableDir v$version: the commit erased $n rows " +
+          s"(> $maxPositions pre-image positions to ship) — consume " +
+          "this range through the batch feed (changeRowsBetween)")
+      pre.collect().groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getLong(1)).sorted).toMap
+    } finally { pre.unpersist(); () }
   }
 
   /** Manifest-level pruned read: exactly the live files under the given

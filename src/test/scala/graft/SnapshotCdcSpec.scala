@@ -1,0 +1,136 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.SnapshotTable
+
+/** The STREAMING change feed (graft-snapshot-cdc, round 15). Pins:
+  *  - a drained AvailableNow stream equals the batch feed
+  *    ([[SnapshotTable.changeRowsBetween]]) row-for-row on the same
+  *    window — inserts as visible at the end version, deletes as exact
+  *    pre-images
+  *  - `startVersion` starts the feed after a bootstrap snapshot
+  *  - `_commit_version` stamps each marker with its commit
+  *  - a second run on the same checkpoint emits ONLY the new window,
+  *    including the retraction of a row the first run emitted
+  *  - a rewrite commit in range fails the stream loudly (no silent
+  *    wrong feed), same contract as the batch feed
+  */
+class SnapshotCdcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = "target/test_snapshot_cdc"
+
+  private def wipe(dir: String): Unit = {
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+    }
+    val root = new File(dir)
+    if (root.exists()) del(root)
+  }
+
+  private def rows(ks: Seq[String], batch: String, amt: Double) =
+    ks.map(k => (k, batch, amt, 2000, 1))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+
+  private def drain(tableDir: String, out: String, ckpt: String,
+      startVersion: Int = 0): DataFrame = {
+    val q = spark.readStream.format("graft-snapshot-cdc")
+      .option("path", tableDir)
+      .option("startVersion", startVersion.toString).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  private def canon(df: DataFrame): Seq[(String, String, Double, String)] =
+    df.select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("_change_type"))
+      .as[(String, String, Double, String)].collect().sorted.toSeq
+
+  test("drained stream == batch changeRowsBetween on the same window") {
+    val dir = s"$base/equal"
+    wipe(dir); wipe(s"$base/equal_io")
+    SnapshotTable.append(spark, dir, rows(Seq("A", "B", "C"), "b1", 1.0))
+    SnapshotTable.mergeMor(spark, dir, rows(Seq("B", "D"), "b2", 2.0))
+    SnapshotTable.deleteWhere(spark, dir,
+      col("claim_id") === "C") // positional purge
+    val streamed = drain(dir, s"$base/equal_io/out", s"$base/equal_io/ck")
+    val batch = SnapshotTable.changeRowsBetween(spark, dir, 0,
+      SnapshotTable.latestVersion(spark, dir))
+    assert(canon(streamed) == canon(batch))
+    // spot-check the semantics: B's old row and C's row are deleted
+    // pre-images; B/D's new rows and A's row are inserts
+    val byType = canon(streamed).groupBy(_._4)
+      .map { case (t, rs) => t -> rs.map(r => (r._1, r._2)).toSet }
+    assert(byType("delete") == Set(("B", "b1"), ("C", "b1")))
+    assert(byType("insert") == Set(("A", "b1"), ("B", "b2"), ("D", "b2")))
+  }
+
+  test("_commit_version stamps each marker with its commit") {
+    val dir = s"$base/stamp"
+    wipe(dir); wipe(s"$base/stamp_io")
+    SnapshotTable.append(spark, dir, rows(Seq("A", "B"), "b1", 1.0)) // v1
+    SnapshotTable.deleteKeysMor(spark, dir, Seq("A").toDF("claim_id")) // v2
+    SnapshotTable.append(spark, dir, rows(Seq("E"), "b3", 3.0)) // v3
+    val got = drain(dir, s"$base/stamp_io/out", s"$base/stamp_io/ck")
+      .select(col("claim_id"), col("_change_type"),
+        col("_commit_version"))
+      .as[(String, String, Int)].collect().toSet
+    // A was inserted AND deleted in-window: its insert nets out (as
+    // visible at the end version — the batch feed's exact contract)
+    // and only the delete pre-image surfaces
+    assert(got == Set(("B", "insert", 1),
+      ("A", "delete", 2), ("E", "insert", 3)))
+  }
+
+  test("startVersion skips the bootstrap snapshot") {
+    val dir = s"$base/startv"
+    wipe(dir); wipe(s"$base/startv_io")
+    SnapshotTable.append(spark, dir, rows(Seq("A", "B"), "b1", 1.0)) // v1
+    SnapshotTable.append(spark, dir, rows(Seq("C"), "b2", 2.0)) // v2
+    val got = drain(dir, s"$base/startv_io/out", s"$base/startv_io/ck",
+      startVersion = 1)
+    assert(canon(got) == Seq(("C", "b2", 2.0, "insert")))
+  }
+
+  test("a second run on the same checkpoint emits only the new window, including retractions") {
+    val dir = s"$base/resume"
+    val io = s"$base/resume_io"
+    wipe(dir); wipe(io)
+    SnapshotTable.append(spark, dir, rows(Seq("A", "B"), "b1", 1.0))
+    val first = drain(dir, s"$io/out", s"$io/ck")
+    assert(canon(first).map(_._4) == Seq("insert", "insert"))
+    // now delete a row the first run already emitted, and add one
+    SnapshotTable.deleteKeysMor(spark, dir, Seq("A").toDF("claim_id"))
+    SnapshotTable.append(spark, dir, rows(Seq("C"), "b2", 2.0))
+    drain(dir, s"$io/out", s"$io/ck") // resumes from the checkpoint
+    val all = canon(spark.read.parquet(s"$io/out"))
+    assert(all == Seq(("A", "b1", 1.0, "delete"), ("A", "b1", 1.0, "insert"),
+      ("B", "b1", 1.0, "insert"), ("C", "b2", 2.0, "insert")))
+  }
+
+  test("a rewrite commit in range fails the stream loudly") {
+    val dir = s"$base/rewrite"
+    wipe(dir); wipe(s"$base/rewrite_io")
+    SnapshotTable.append(spark, dir, rows(Seq("A", "B"), "b1", 1.0))
+    SnapshotTable.compactPartitions(spark, dir,
+      Seq((Some(2000), Some(1))))
+    val q = spark.readStream.format("graft-snapshot-cdc")
+      .option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/rewrite_io/out")
+      .option("checkpointLocation", s"$base/rewrite_io/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { q.awaitTermination() }
+    assert(e.getMessage.contains("no row-level delta") ||
+      Option(e.getCause).exists(_.getMessage.contains("row-level")))
+  }
+}
