@@ -228,6 +228,30 @@ SELECT claim_id, batch_id, claim_amount, service_year, service_month,
 ORDER BY claim_id, _change_type, batch_id"""
   }
 
+  /** The source table's final content after the mergeMor upsert and
+    * the >300k purge — the oracle for BOTH the MoR-composed stream
+    * backfill (q_stream_cdc) and the replicated mirror
+    * (q_stream_replicate). */
+  private lazy val mergedMinusPurgeSql: String = {
+    val movedSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
+      "o_totalprice, CAST(o_orderdate + INTERVAL 40 DAY AS DATE) " +
+      "AS o_orderdate FROM orders " +
+      "WHERE o_orderdate >= DATE '1997-07-01' AND o_orderkey % 10 = 0"
+    s"""$ClaimsCte,
+${claimsChainCtes("_m", movedSrc)},
+allv AS (
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240101_000000' AS batch_id, 1 AS src FROM silver
+  UNION ALL
+  SELECT claim_id, claim_amount, service_year, service_month,
+    '20240102_000000' AS batch_id, 0 AS src FROM silver_m)
+SELECT claim_id, batch_id, claim_amount, service_year, service_month
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
+WHERE rn = 1 AND (claim_amount <= 300000.0 OR claim_amount IS NULL)
+ORDER BY claim_id"""
+  }
+
   private val base: Map[String, String] = Map(
     "q_claims_summary" -> """SELECT
   CAST(year(l_shipdate) AS INT) AS service_year,
@@ -3411,25 +3435,12 @@ WHERE rn = 1 ORDER BY claim_id"""
     // then a fresh backfill — the oracle replays the latest-wins merge
     // chain and applies the purge predicate, proving the per-split
     // doomed-position application equals the batch read's anti-join
-    "q_stream_cdc" -> {
-      val movedSrc = "SELECT o_orderkey, o_custkey, o_orderpriority, " +
-        "o_totalprice, CAST(o_orderdate + INTERVAL 40 DAY AS DATE) " +
-        "AS o_orderdate FROM orders " +
-        "WHERE o_orderdate >= DATE '1997-07-01' AND o_orderkey % 10 = 0"
-      s"""$ClaimsCte,
-${claimsChainCtes("_m", movedSrc)},
-allv AS (
-  SELECT claim_id, claim_amount, service_year, service_month,
-    '20240101_000000' AS batch_id, 1 AS src FROM silver
-  UNION ALL
-  SELECT claim_id, claim_amount, service_year, service_month,
-    '20240102_000000' AS batch_id, 0 AS src FROM silver_m)
-SELECT claim_id, batch_id, claim_amount, service_year, service_month
-FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
-        ORDER BY batch_id DESC, src DESC) AS rn FROM allv) z
-WHERE rn = 1 AND (claim_amount <= 300000.0 OR claim_amount IS NULL)
-ORDER BY claim_id"""
-    },
+    "q_stream_cdc" -> mergedMinusPurgeSql,
+
+    // streaming replication: the mirror fed by applyChangeFeed over
+    // the CDC stream must equal the SOURCE's final content — the same
+    // latest-wins-minus-purge oracle proves mirror == source
+    "q_stream_replicate" -> mergedMinusPurgeSql,
 
     // the snapshot table as a native streaming SOURCE: offsets are
     // snapshot versions, each micro-batch a manifest diff — the oracle

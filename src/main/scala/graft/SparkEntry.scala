@@ -194,6 +194,7 @@ object SparkEntry {
     "q_bloom_lookup" -> SnapshotQueries.bloomLookupE2e _,
     "q_change_feed" -> SnapshotQueries.changeFeedE2e _,
     "q_stream_change_feed" -> SnapshotQueries.streamChangeFeedE2e _,
+    "q_stream_replicate" -> SnapshotQueries.streamReplicateE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1084,6 +1084,46 @@ object SnapshotQueries {
       .orderBy(col("claim_id"), col("_change_type"), col("batch_id"))
   }
 
+  /** `q_stream_replicate`: STREAMING TABLE REPLICATION — the CDC
+    * source composed with the idempotent feed apply
+    * ([[SnapshotTable.applyChangeFeed]]): a mirror BOOTSTRAPPED from a
+    * time-travel read of v1 follows the source through a mergeMor
+    * upsert and a positional purge by streaming
+    * `graft-snapshot-cdc` markers into one atomic apply commit per
+    * micro-batch (equality-delete of the window's delete+insert keys +
+    * the insert rows — zero reads of the mirror, zero rewrites;
+    * replays converge, so at-least-once foreachBatch yields an
+    * exactly-once mirror). The query reads THE MIRROR; the DuckDB
+    * oracle recomputes the SOURCE's final content (latest-wins chain
+    * minus the purge) — equality proves mirror == source row-for-row.
+    * The 100 TB shape: replication cost ∝ change, never ∝ table. */
+  def streamReplicateE2e(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    mergeMor(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
+    deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
+    val base = s"target/stream_replicate/${leafOf(sfDir)}"
+    wipe(spark, base)
+    val mirror = s"$base/mirror"
+    // bootstrap: the mirror starts as the source's v1 snapshot
+    append(spark, mirror, read(spark, tableDir, Some(1)),
+      statsColumns = Seq("claim_id"))
+    val q = spark.readStream.format("graft-snapshot-cdc")
+      .option("path", tableDir).option("startVersion", "1").load()
+      .writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        applyChangeFeed(spark, mirror, mb); ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    keyCols(read(spark, mirror))
+  }
+
   /** One catalog-transactional micro-batch: silver lands exactly-once
     * via [[SnapshotTable.streamAppend]] (the batch id rides in the
     * CAS'd root), gold republishes the manifest-diff-changed

@@ -1932,7 +1932,7 @@ object SnapshotTable {
     * surfaces accept exactly the same history. */
   private[graft] def rowMonotoneOp(op: String): Boolean =
     op.startsWith("append") || op.startsWith("stream-") ||
-      Set("merge-mor", "delete-mor", "delete-where",
+      Set("merge-mor", "delete-mor", "delete-where", "apply-feed",
         "consolidate-pos-deletes", "evolve-partitions",
         // metadata-only commits: chunks by reference, no row delta
         "bloom-index", "bloom-refresh").contains(op)
@@ -2815,6 +2815,71 @@ object SnapshotTable {
     // debt of any partition crosses the ratio, fold it NOW — a
     // sustained CDC-apply stream then self-limits its per-read
     // anti-join count without a separate maintenance job
+    debtRatio.foreach(r => autoCompactMor(spark, tableDir, r))
+    committed
+  }
+
+  /** Apply one window of a row-level CHANGE FEED (the
+    * [[changeRowsBetween]] / graft-snapshot-cdc marker shape:
+    * `_change_type` insert|delete, optional `_commit_version`) to this
+    * table — the REPLICATION primitive: a mirror bootstrapped from a
+    * snapshot read and fed `applyChangeFeed` per window equals the
+    * source exactly. ONE atomic commit, O(feed): an equality-delete of
+    * every delete-marker key PLUS every insert key (latest-wins
+    * replace — the inserted rows land with a higher data sequence, so
+    * they survive the delete that clears their predecessors), and the
+    * insert rows as a new chunk. Zero reads of the target, zero
+    * rewrites — [[mergeMor]]'s cost shape with retraction. Inserts
+    * keep only the latest `_commit_version` per key when the column is
+    * present (a multi-commit window replays in order without
+    * resurrecting an old image). REPLAYS CONVERGE: re-applying a
+    * window deletes its own previous application and lands identical
+    * rows, so an at-least-once foreachBatch delivers an exactly-once
+    * mirror. Key-unique tables only (the same contract as mergeMor).
+    * Returns the committed version, or None for an empty feed. */
+  def applyChangeFeed(spark: SparkSession, tableDir: String,
+      feed: DataFrame, key: String = "claim_id",
+      statsColumns: Seq[String] = Nil,
+      debtRatio: Option[Double] = None): Option[Int] = {
+    import org.apache.spark.sql.expressions.Window
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir (bootstrap the mirror " +
+      "with a snapshot read + append before applying feeds)")
+    val rowCols = feed.columns
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    val inserts0 = feed.filter(col("_change_type") === "insert")
+    val inserts =
+      if (!feed.columns.contains("_commit_version")) inserts0
+      else {
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("_commit_version").desc)
+        inserts0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val insRows = inserts.select(rowCols.map(col): _*)
+    val delKeys = feed.filter(col("_change_type") === "delete")
+      .select(col(key))
+      .unionByName(insRows.select(col(key)))
+      .filter(col(key).isNotNull).distinct()
+    val name = s"deletes/del_${java.util.UUID.randomUUID()}"
+    val delDir = s"$tableDir/_snapshots/$name"
+    delKeys.write.mode("overwrite").parquet(delDir)
+    val nKeys = spark.read.parquet(delDir).count()
+    val created = stagedWrite(spark, tableDir, insRows)
+    if (nKeys == 0 && created.isEmpty) {
+      fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
+      return None // empty window: no commit
+    }
+    val deletesOf: (Option[Root], Int) => Seq[DeleteRef] =
+      if (nKeys == 0) { // insert-only feed of all-null keys: rows alone
+        fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
+        (p, _) => p.map(_.deletes).getOrElse(Nil)
+      } else (p, parent) => p.map(_.deletes).getOrElse(Nil) :+
+        DeleteRef(name, key, parent.toLong, nKeys)
+    val committed = commitRetryingGated(spark, tableDir, "apply-feed",
+      created, Nil,
+      if (statsColumns.isEmpty) Seq(key) else statsColumns,
+      None, Some(insRows.schema), deletesOf = deletesOf)
     debtRatio.foreach(r => autoCompactMor(spark, tableDir, r))
     committed
   }

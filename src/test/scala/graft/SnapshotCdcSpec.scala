@@ -116,6 +116,61 @@ class SnapshotCdcSpec extends SparkSpec {
       ("B", "b1", 1.0, "insert"), ("C", "b2", 2.0, "insert")))
   }
 
+  private def content(dir: String): Set[(String, String, Double)] =
+    SnapshotTable.read(spark, dir)
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"))
+      .as[(String, String, Double)].collect().toSet
+
+  test("applyChangeFeed replicates a window exactly and replays converge") {
+    val src = s"$base/repl_src"
+    val mir = s"$base/repl_mir"
+    wipe(src); wipe(mir)
+    SnapshotTable.append(spark, src, rows(Seq("A", "B", "C"), "b1", 1.0))
+    // bootstrap the mirror from the v1 snapshot
+    SnapshotTable.append(spark, mir, SnapshotTable.read(spark, src, Some(1)))
+    SnapshotTable.mergeMor(spark, src, rows(Seq("B", "D"), "b2", 2.0))
+    SnapshotTable.deleteWhere(spark, src, col("claim_id") === "C")
+    val feed = SnapshotTable.changeRowsBetween(spark, src, 1,
+      SnapshotTable.latestVersion(spark, src))
+    assert(SnapshotTable.applyChangeFeed(spark, mir, feed).nonEmpty)
+    assert(content(mir) == content(src))
+    assert(content(mir) == Set(("A", "b1", 1.0), ("B", "b2", 2.0),
+      ("D", "b2", 2.0)))
+    // replaying the SAME window converges (at-least-once delivery safe)
+    assert(SnapshotTable.applyChangeFeed(spark, mir, feed).nonEmpty)
+    assert(content(mir) == content(src))
+  }
+
+  test("applyChangeFeed: delete-only window erases; empty window is a no-op") {
+    val mir = s"$base/delonly"
+    wipe(mir)
+    SnapshotTable.append(spark, mir, rows(Seq("A", "B"), "b1", 1.0))
+    val delFeed = rows(Seq("A"), "b1", 1.0)
+      .withColumn("_change_type", lit("delete"))
+    assert(SnapshotTable.applyChangeFeed(spark, mir, delFeed).nonEmpty)
+    assert(content(mir) == Set(("B", "b1", 1.0)))
+    val v = SnapshotTable.latestVersion(spark, mir)
+    assert(SnapshotTable.applyChangeFeed(spark, mir,
+      delFeed.limit(0)).isEmpty)
+    assert(SnapshotTable.latestVersion(spark, mir) == v,
+      "an empty window must not commit")
+  }
+
+  test("applyChangeFeed keeps only the latest _commit_version per key") {
+    val mir = s"$base/multiv"
+    wipe(mir)
+    SnapshotTable.append(spark, mir, rows(Seq("A"), "b1", 1.0))
+    val feed = rows(Seq("A"), "b2", 2.0)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(2))
+      .unionByName(rows(Seq("A"), "b3", 3.0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(3)))
+    assert(SnapshotTable.applyChangeFeed(spark, mir, feed).nonEmpty)
+    assert(content(mir) == Set(("A", "b3", 3.0)),
+      "the later commit's image must win")
+  }
+
   test("a rewrite commit in range fails the stream loudly") {
     val dir = s"$base/rewrite"
     wipe(dir); wipe(s"$base/rewrite_io")
