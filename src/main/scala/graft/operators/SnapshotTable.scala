@@ -1318,10 +1318,53 @@ object SnapshotTable {
     * $"service_year" === 1997)` reads the intersecting files only. */
   def readWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None): DataFrame =
+    readWherePlanned(spark, tableDir, predicate, version)._1
+      .filter(predicate)
+
+  /** [[readWhere]]'s plan, exposing (frame, live files, files kept).
+    * Beyond the derived partition/zone hints, EQUALITY conjuncts on
+    * Bloom-indexed columns probe the per-file Bloom sidecar — the
+    * pruning zones can't do on a hash-distributed key — restricted to
+    * STRING- and DATE-typed columns, whose predicate-literal rendering
+    * provably equals the index's hash rendering (a numeric column's
+    * literal can render differently from its cast-string form — e.g.
+    * `5` vs `"5.0"` — and a false negative would DROP rows, so numeric
+    * equalities stay zone-only: lossless by construction). */
+  private[graft] def readWherePlanned(spark: SparkSession,
+      tableDir: String, predicate: org.apache.spark.sql.Column,
+      version: Option[Int] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.GraftSparkInternals
+    val v = version.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no snapshot at $tableDir")
     val (parts, zones) = pruningHintsOf(predicate)
-    planScan(spark, tableDir, parts, zones, version,
-      keepUnparsed = true)._1.filter(predicate)
+    val root = readRoot(spark, tableDir, v)
+    val bloomKeep: Option[Set[String]] = bloomMetaOf(root.meta) match {
+      case None => None
+      case Some(bm) =>
+        val schema = root.schemaJson.map(j =>
+          DataType.fromJson(j).asInstanceOf[StructType])
+        def stableRendering(c: String): Boolean =
+          schema.exists(s => s.fieldNames.contains(c) &&
+            (s(c).dataType == org.apache.spark.sql.types.StringType ||
+             s(c).dataType == org.apache.spark.sql.types.DateType))
+        val eqs = GraftSparkInternals.predicateBounds(predicate)
+          .filter(b => b.op == "=" && !b.numeric &&
+            bm.columns.contains(b.column) && stableRendering(b.column))
+        if (eqs.isEmpty) None
+        else {
+          import spark.implicits._
+          val live = resolveFiles(spark, tableDir, root)
+          val sets = eqs.map { b =>
+            bloomPruneCandidates(spark, tableDir, root, live,
+              Seq(b.str).toDF(b.column), b.column).toSet
+          }
+          Some(sets.reduce(_ intersect _)) // conjuncts: all must hold
+        }
+    }
+    planScan(spark, tableDir, parts, zones, Some(v),
+      pathFilter = f => bloomKeep.forall(_.contains(f)),
+      keepUnparsed = true)
   }
 
   /** Range scan with zone-map skipping: read ONLY the live files whose

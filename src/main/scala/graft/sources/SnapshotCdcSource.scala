@@ -78,7 +78,8 @@ class SnapshotCdcProvider extends TableProvider with DataSourceRegister {
     val opts = CaseInsensitiveMap(properties.asScala.toMap)
     new SnapshotCdcTable(opts.getOrElse("path",
       throw new IllegalArgumentException("missing path")), schema,
-      opts.get("startVersion").map(_.toInt).getOrElse(0))
+      opts.get("startVersion").map(_.toInt).getOrElse(0),
+      opts.get("maxVersionsPerBatch").map(_.toInt))
   }
 }
 
@@ -93,35 +94,41 @@ private[sources] object SnapshotCdc {
 }
 
 private[sources] class SnapshotCdcTable(dir: String, schema0: StructType,
-    startVersion: Int) extends Table with SupportsRead {
+    startVersion: Int, maxVersionsPerBatch: Option[Int] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot-cdc:`$dir`"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new SnapshotCdcScanBuilder(dir, schema0, startVersion)
+    new SnapshotCdcScanBuilder(dir, schema0, startVersion,
+      maxVersionsPerBatch)
 }
 
 private[sources] class SnapshotCdcScanBuilder(dir: String,
-    full: StructType, startVersion: Int)
+    full: StructType, startVersion: Int,
+    maxVersionsPerBatch: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = {
     if (requiredSchema.nonEmpty) required = requiredSchema
   }
   override def build(): Scan =
-    new SnapshotCdcScan(dir, full, required, startVersion)
+    new SnapshotCdcScan(dir, full, required, startVersion,
+      maxVersionsPerBatch)
 }
 
 private[sources] class SnapshotCdcScan(dir: String, full: StructType,
-    required: StructType, startVersion: Int) extends Scan {
+    required: StructType, startVersion: Int,
+    maxVersionsPerBatch: Option[Int]) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-snapshot-cdc $dir [${required.fieldNames.mkString(",")}]"
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new SnapshotCdcMicroBatchStream(dir, full, required, startVersion)
+    new SnapshotCdcMicroBatchStream(dir, full, required, startVersion,
+      maxVersionsPerBatch)
 }
 
 /** One file slice of a CDC batch. `keep` inverts the positions'
@@ -136,7 +143,8 @@ private[graft] case class CdcInputPartition(slices: Seq[CdcFileSlice])
     extends InputPartition
 
 private[graft] class SnapshotCdcMicroBatchStream(dir: String,
-    full: StructType, required: StructType, startVersion: Int)
+    full: StructType, required: StructType, startVersion: Int,
+    maxVersionsPerBatch: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val spark = SparkSession.active
@@ -160,9 +168,19 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    SnapshotOffset(availableNowTarget.getOrElse(
-      SnapshotTable.latestVersion(spark, dir)))
+  /** Admission control, same contract as the append source: cap each
+    * micro-batch to `maxVersionsPerBatch` snapshot versions so a deep
+    * changelog replay is paced, not one table-sized batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(
+      SnapshotTable.latestVersion(spark, dir))
+    val capped = (maxVersionsPerBatch, Option(start)) match {
+      case (Some(m), Some(s)) =>
+        math.min(target, s.asInstanceOf[SnapshotOffset].version + m)
+      case _ => target
+    }
+    SnapshotOffset(capped)
+  }
 
   override def latestOffset(): Offset =
     latestOffset(null, ReadLimit.allAvailable())

@@ -82,11 +82,13 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = CaseInsensitiveMap(properties.asScala.toMap)
     new SnapshotSourceTable(opts.getOrElse("path",
-      throw new IllegalArgumentException("missing path")), schema)
+      throw new IllegalArgumentException("missing path")), schema,
+      opts.get("maxVersionsPerBatch").map(_.toInt))
   }
 }
 
-private[sources] class SnapshotSourceTable(dir: String, schema0: StructType)
+private[sources] class SnapshotSourceTable(dir: String, schema0: StructType,
+    maxVersionsPerBatch: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot:`$dir`"
   override def schema(): StructType = schema0
@@ -94,10 +96,11 @@ private[sources] class SnapshotSourceTable(dir: String, schema0: StructType)
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new SnapshotScanBuilder(dir, schema0)
+    new SnapshotScanBuilder(dir, schema0, maxVersionsPerBatch)
 }
 
-private[sources] class SnapshotScanBuilder(dir: String, full: StructType)
+private[sources] class SnapshotScanBuilder(dir: String, full: StructType,
+    maxVersionsPerBatch: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -105,17 +108,18 @@ private[sources] class SnapshotScanBuilder(dir: String, full: StructType)
     // of a wide table never decodes the wide columns
     if (requiredSchema.nonEmpty) required = requiredSchema
   }
-  override def build(): Scan = new SnapshotScan(dir, full, required)
+  override def build(): Scan =
+    new SnapshotScan(dir, full, required, maxVersionsPerBatch)
 }
 
 private[sources] class SnapshotScan(dir: String, full: StructType,
-    required: StructType) extends Scan {
+    required: StructType, maxVersionsPerBatch: Option[Int]) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-snapshot $dir [${required.fieldNames.mkString(",")}]"
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new SnapshotMicroBatchStream(dir, full, required)
+    new SnapshotMicroBatchStream(dir, full, required, maxVersionsPerBatch)
 }
 
 /** Offset = snapshot version (0 = before the first commit). */
@@ -148,7 +152,8 @@ private[graft] case class SnapshotInputPartition(
     slices: Seq[SnapshotFileSlice]) extends InputPartition
 
 private[graft] class SnapshotMicroBatchStream(dir: String,
-    full: StructType, required: StructType)
+    full: StructType, required: StructType,
+    maxVersionsPerBatch: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val spark = SparkSession.active
@@ -172,9 +177,22 @@ private[graft] class SnapshotMicroBatchStream(dir: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    SnapshotOffset(availableNowTarget.getOrElse(
-      SnapshotTable.latestVersion(spark, dir)))
+  /** ADMISSION CONTROL (the maxFilesPerTrigger analog at the commit
+    * grain): `maxVersionsPerBatch` caps each micro-batch to that many
+    * snapshot versions, so a months-deep backfill becomes a paced
+    * sequence of bounded batches instead of one table-sized one —
+    * under AvailableNow the run still drains to the pinned target,
+    * just in capped steps. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(
+      SnapshotTable.latestVersion(spark, dir))
+    val capped = (maxVersionsPerBatch, Option(start)) match {
+      case (Some(m), Some(s)) =>
+        math.min(target, s.asInstanceOf[SnapshotOffset].version + m)
+      case _ => target
+    }
+    SnapshotOffset(capped)
+  }
 
   override def latestOffset(): Offset =
     latestOffset(null, ReadLimit.allAvailable())

@@ -178,6 +178,37 @@ class BloomIndexSpec extends SparkSpec {
       Seq("K00050X").toDF("claim_id"), "claim_id", v).isEmpty)
   }
 
+  test("readWhere routes string equality conjuncts through the Bloom index") {
+    val dir = s"$base/readwhere"
+    hashTable(dir, 1000, 8)
+    buildFileBlooms(spark, dir, Seq("claim_id"))
+    val (_, live, kept) = readWherePlanned(spark, dir,
+      col("claim_id") === "K00007" && col("claim_amount") >= 0.0)
+    assert(kept < live && kept >= 1,
+      s"equality on the indexed key must Bloom-prune ($kept of $live)")
+    val got = readWhere(spark, dir, col("claim_id") === "K00007")
+      .select("claim_id", "claim_amount").as[(String, Double)].collect()
+    assert(got.toSeq == Seq(("K00007", 7.0)))
+    // in-range absent key: zero files read, zero rows, still correct
+    val (_, _, kept2) = readWherePlanned(spark, dir,
+      col("claim_id") === "K00500X")
+    assert(kept2 == 0)
+    assert(readWhere(spark, dir, col("claim_id") === "K00500X")
+      .count() == 0)
+  }
+
+  test("readWhere numeric equality never consults the Bloom (rendering mismatch risk)") {
+    val dir = s"$base/numeq"
+    hashTable(dir, 300, 4)
+    // index the NUMERIC column: `=== 7` renders "7", the index hashed
+    // "7.0" — a Bloom probe would false-negative, so the planner must
+    // skip it and stay zone-only (correct rows, unpruned)
+    buildFileBlooms(spark, dir, Seq("claim_amount"))
+    val got = readWhere(spark, dir, col("claim_amount") === 7)
+      .select("claim_id").as[String].collect()
+    assert(got.toSeq == Seq("K00007"))
+  }
+
   test("merge and deleteKeys on a Bloom-indexed table produce exact content") {
     val dir = s"$base/dml"
     hashTable(dir, 300, 4)

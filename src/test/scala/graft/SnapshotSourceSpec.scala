@@ -162,6 +162,25 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(sink(s"$dir/out").count() == SnapshotTable.read(spark, t).count())
   }
 
+  test("maxVersionsPerBatch paces a backfill into capped micro-batches that still drain fully") {
+    val dir = s"$base/paced"
+    val io = s"$base/paced_io"
+    wipe(dir); wipe(io)
+    SnapshotTable.append(spark, dir, rows(2, 1, "b1"))
+    SnapshotTable.append(spark, dir, rows(2, 2, "b2"))
+    SnapshotTable.append(spark, dir, rows(2, 3, "b3"))
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", dir).option("maxVersionsPerBatch", "1").load()
+      .writeStream.format("parquet")
+      .option("path", s"$io/out").option("checkpointLocation", s"$io/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sink(s"$io/out").count() == 6, "the capped drain must complete")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3,
+      s"3 commits at cap 1 must take >= 3 data batches, took $batches")
+  }
+
   test("a live merge-on-read delete in the streamed range is APPLIED: the backfill emits exactly the merged content") {
     val dir = s"$base/mor"
     wipe(dir)
