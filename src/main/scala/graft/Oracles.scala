@@ -3442,6 +3442,11 @@ WHERE rn = 1 ORDER BY claim_id"""
     // latest-wins-minus-purge oracle proves mirror == source
     "q_stream_replicate" -> mergedMinusPurgeSql,
 
+    // one-call maintenance (OPTIMIZE analog): folding delete debt,
+    // consolidating sidecars and compacting files must leave content
+    // byte-identical — the same final-state oracle proves it
+    "q_maintain" -> mergedMinusPurgeSql,
+
     // the snapshot table as a native streaming SOURCE: offsets are
     // snapshot versions, each micro-batch a manifest diff — the oracle
     // recomputes both committed batches through the cleanse chain, so

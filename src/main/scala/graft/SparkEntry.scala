@@ -195,6 +195,7 @@ object SparkEntry {
     "q_change_feed" -> SnapshotQueries.changeFeedE2e _,
     "q_stream_change_feed" -> SnapshotQueries.streamChangeFeedE2e _,
     "q_stream_replicate" -> SnapshotQueries.streamReplicateE2e _,
+    "q_maintain" -> SnapshotQueries.maintainE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

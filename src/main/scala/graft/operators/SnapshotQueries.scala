@@ -1124,6 +1124,35 @@ object SnapshotQueries {
     keyCols(read(spark, mirror))
   }
 
+  /** `q_maintain`: the one-call MAINTENANCE driver
+    * ([[SnapshotTable.maintain]] — the OPTIMIZE analog a scheduler
+    * runs) as an oracle-checked query: after mergeMor + deleteWhere
+    * traffic, one `maintain` pass folds the delete debt (refs
+    * auto-drop — asserted against the root), bounds per-partition file
+    * counts, and leaves CONTENT BYTE-IDENTICAL — the DuckDB oracle is
+    * the same latest-wins-minus-purge recompute as q_stream_cdc, so
+    * equality proves maintenance changed the physical layout and
+    * nothing else. */
+  def maintainE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    mergeMor(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
+    deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
+    val report = maintain(spark, tableDir,
+      morDebtRatio = 0.0, // every reached partition folds
+      maxFilesPerPartition = 8)
+    require(report.morCompactedPartitions > 0,
+      "the MoR debt pass must fold the reached partitions")
+    val root = manifest(spark, tableDir,
+      latestVersion(spark, tableDir))
+    val (eqRefs, posRefs) = liveDeletes(spark, tableDir)
+    require(eqRefs.isEmpty && posRefs.isEmpty,
+      "folding every reached partition must auto-drop all delete refs")
+    require(root.files.nonEmpty, "maintenance must not lose data")
+    keyCols(read(spark, tableDir))
+  }
+
   /** One catalog-transactional micro-batch: silver lands exactly-once
     * via [[SnapshotTable.streamAppend]] (the batch id rides in the
     * CAS'd root), gold republishes the manifest-diff-changed

@@ -1714,6 +1714,55 @@ object SnapshotTable {
     * references) — reclaims replaced copy-on-write files AND orphans
     * from crashed writes. Versions a named ref points at are always
     * retained. Returns the deleted relative data-file paths. */
+  /** (version, commit wall-clock millis) for every live root — the
+    * timestamp surface (Iceberg's snapshot log): the root FILE's
+    * modification time IS the commit time (the CAS publish creates it
+    * atomically), so no format change and history written before this
+    * feature still resolves. */
+  def snapshotLog(spark: SparkSession, tableDir: String)
+      : Seq[(Int, Long)] = {
+    val latest = latestVersion(spark, tableDir)
+    require(latest > 0, s"no snapshot at $tableDir")
+    val fs = fsOf(spark, new Path(tableDir))
+    (1 to latest).flatMap { v =>
+      val p = rootPath(tableDir, v)
+      if (fs.exists(p)) Some(v -> fs.getFileStatus(p).getModificationTime)
+      else None // vacuumed
+    }
+  }
+
+  /** The newest version committed AT OR BEFORE `tsMillis` — time
+    * travel by timestamp. Loud when the timestamp predates retained
+    * history (the pre-cutoff roots were vacuumed) or the table. */
+  def versionAsOf(spark: SparkSession, tableDir: String, tsMillis: Long)
+      : Int = {
+    val log = snapshotLog(spark, tableDir)
+    val at = log.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at $tableDir at or before $tsMillis " +
+          s"(retained history starts at v${log.head._1}, " +
+          s"ts ${log.head._2})"))
+    at
+  }
+
+  /** [[read]] pinned by wall-clock instead of version. */
+  def readAsOf(spark: SparkSession, tableDir: String, tsMillis: Long)
+      : DataFrame =
+    read(spark, tableDir, Some(versionAsOf(spark, tableDir, tsMillis)))
+
+  /** Expire snapshots older than `olderThanMs` (retention by AGE — the
+    * GDPR/forget deadline stated as time, not versions): keeps every
+    * root committed within the window, always the latest, and
+    * everything a named ref pins ([[vacuum]]'s floor). Returns the
+    * deleted data files. */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+      olderThanMs: Long, nowMs: Long = System.currentTimeMillis())
+      : Seq[String] = {
+    val cutoff = nowMs - olderThanMs
+    val recent = snapshotLog(spark, tableDir).count(_._2 >= cutoff)
+    vacuum(spark, tableDir, retainLast = math.max(1, recent))
+  }
+
   def vacuum(spark: SparkSession, tableDir: String, retainLast: Int = 1)
       : Seq[String] = {
     val latest = latestVersion(spark, tableDir)
@@ -1976,7 +2025,7 @@ object SnapshotTable {
   private[graft] def rowMonotoneOp(op: String): Boolean =
     op.startsWith("append") || op.startsWith("stream-") ||
       Set("merge-mor", "delete-mor", "delete-where", "apply-feed",
-        "consolidate-pos-deletes", "evolve-partitions",
+        "consolidate-pos-deletes", "evolve-partitions", "prune-deletes",
         // metadata-only commits: chunks by reference, no row delta
         "bloom-index", "bloom-refresh").contains(op)
 
@@ -3145,10 +3194,15 @@ object SnapshotTable {
     require(v > 0, s"no snapshot at $tableDir")
     val root = readRoot(spark, tableDir, v)
     if (root.deletes.isEmpty && root.posDeletes.isEmpty) return Nil
-    val victims = morDebtByPartition(spark, tableDir, Some(v)).collect {
-      case (p, (debt, rowsOpt)) if debt > 0 &&
-          rowsOpt.forall(r => debt > maxDebtRatio * r) => p
-    }.toSeq
+    // .toSeq BEFORE collect: collecting the (year, month) tuple keys
+    // straight off the Map would re-build a Map[year, month] and
+    // silently dedupe victims to ONE PER YEAR (found by q_maintain:
+    // 83 indebted partitions, 8 "victims")
+    val victims = morDebtByPartition(spark, tableDir, Some(v)).toSeq
+      .collect {
+        case (p, (debt, rowsOpt)) if debt > 0 &&
+            rowsOpt.forall(r => debt > maxDebtRatio * r) => p
+      }
     if (victims.nonEmpty)
       compactPartitions(spark, tableDir, victims, targetFileCount)
     victims
@@ -3223,10 +3277,117 @@ object SnapshotTable {
     * healthy, no commit made). */
   def autoCompact(spark: SparkSession, tableDir: String, maxFiles: Int,
       targetFileCount: Int = 1): Seq[(Option[Int], Option[Int])] = {
-    val victims = fileCountsByPartition(spark, tableDir)
-      .collect { case (p, n) if n > maxFiles => p }.toSeq
+    val victims = fileCountsByPartition(spark, tableDir).toSeq
+      .collect { case (p, n) if n > maxFiles => p } // .toSeq first —
+      // a Map.collect over tuple keys dedupes to one victim per year
     if (victims.nonEmpty)
       compactPartitions(spark, tableDir, victims, targetFileCount)
     victims
+  }
+
+  /** Drop DANGLING delete refs (Iceberg's remove-dangling-deletes
+    * analog): a ref whose doomed rows were all rewritten away (e.g. by
+    * [[autoCompactMor]]) stays CARRIED as long as ANY live file keeps a
+    * data sequence at or below its own — the seq-based auto-drop can't
+    * see that the ref matches nothing in those files. This pass proves
+    * it: per equality ref, the zone+Bloom candidate files in sequence
+    * scope are verify-read (ONLY them) against the ref's key set; per
+    * positional ref, liveness of its addressed files is checked from
+    * metadata alone. Refs proven dead are dropped in ONE metadata-only
+    * commit. Sound under races: new files always carry a HIGHER
+    * sequence than any live ref, so a ref dead at this version is dead
+    * at every later one — dropping by name composes with any
+    * concurrent commit. Returns the dropped ref names (no commit when
+    * none die). */
+  def pruneDanglingDeletes(spark: SparkSession, tableDir: String)
+      : Seq[String] = {
+    val v = latestVersion(spark, tableDir)
+    require(v > 0, s"no snapshot at $tableDir")
+    val root = readRoot(spark, tableDir, v)
+    if (root.deletes.isEmpty && root.posDeletes.isEmpty) return Nil
+    val seqOf: Map[String, Long] = root.chunks.flatMap { c =>
+      val ce = chunkEntry(spark, tableDir, c.name)
+      ce.files.map(f => f -> ce.seqs.getOrElse(f, 0L))
+    }.toMap
+    val deadEq = root.deletes.filter { d =>
+      val keys = spark.read.parquet(s"$tableDir/_snapshots/${d.name}")
+        .select(col(d.keyCol))
+      val cands = candidateFilesForKeys(spark, tableDir, keys,
+        d.keyCol, v).filter(f => seqOf.getOrElse(f, 0L) <= d.seq)
+      // verify against RAW content: the delete-aware read would hide
+      // exactly the rows this ref dooms and make every ref look dead.
+      // A raw match another ref also dooms keeps this one alive —
+      // conservative, never resurrecting
+      cands.isEmpty || {
+        val rhs = if (d.rows <= 1000000L) broadcast(keys.distinct())
+          else keys.distinct()
+        readFileGroupsRaw(spark, tableDir, root, cands)
+          .join(rhs, Seq(d.keyCol), "leftsemi").isEmpty
+      }
+    }.map(_.name).toSet
+    val liveFiles = seqOf.keySet
+    val deadPos = root.posDeletes.filter { d =>
+      spark.read.parquet(s"$tableDir/_snapshots/${d.name}")
+        .select(col("__rel")).distinct().collect()
+        .forall(r => !liveFiles.contains(r.getString(0)))
+    }.map(_.name).toSet
+    if (deadEq.isEmpty && deadPos.isEmpty) return Nil
+    commitGated(spark, tableDir, "prune-deletes",
+      deletesOf = (p, _) => p.map(_.deletes).getOrElse(Nil)
+        .filterNot(d => deadEq.contains(d.name)),
+      posDeletesOf = (p, _) => p.map(_.posDeletes).getOrElse(Nil)
+        .filterNot(d => deadPos.contains(d.name))) { parent =>
+      val r = readRoot(spark, tableDir, parent)
+      (r.chunks, r.schemaJson)
+    }
+    (deadEq ++ deadPos).toSeq.sorted
+  }
+
+  /** What one [[maintain]] pass did — each count 0/false when that
+    * dimension needed nothing. */
+  final case class MaintenanceReport(
+      morCompactedPartitions: Int,
+      danglingDeletesPruned: Int,
+      posDeletesConsolidated: Boolean,
+      fileCompactedPartitions: Int,
+      manifestsCompacted: Boolean,
+      bloomRefreshed: Boolean,
+      expiredFiles: Int)
+
+  /** ONE maintenance entry point a scheduler can run per table — the
+    * OPTIMIZE analog, composing every policy this layer has in
+    * dependency order: (1) fold partitions whose merge-on-read delete
+    * debt crossed `morDebtRatio` (refs auto-drop), (2) drop refs the
+    * fold left dangling ([[pruneDanglingDeletes]] — proven matchless),
+    * (3) consolidate positional sidecars into one, (4) compact
+    * partitions holding more than `maxFilesPerPartition` small files,
+    * (5) rewrite the manifest level when the root references more than
+    * `maxChunks` chunks, (6) refresh the Bloom index LAST so the files
+    * the earlier rewrites produced are covered, (7) optionally expire
+    * snapshots older than
+    * `expireOlderThanMs` (respecting named-ref pins). Content is
+    * byte-identical before/after by each step's own contract; every
+    * step is a no-op when its threshold isn't crossed, so an idle
+    * table costs a few metadata reads. Maintenance-window semantics,
+    * like the steps it composes. */
+  def maintain(spark: SparkSession, tableDir: String,
+      morDebtRatio: Double = 0.2,
+      maxFilesPerPartition: Int = 16,
+      maxChunks: Int = 64, targetChunks: Int = 8,
+      expireOlderThanMs: Option[Long] = None): MaintenanceReport = {
+    val morParts = autoCompactMor(spark, tableDir, morDebtRatio)
+    val pruned = pruneDanglingDeletes(spark, tableDir)
+    val consolidated = consolidatePosDeletes(spark, tableDir).nonEmpty
+    val fileParts = autoCompact(spark, tableDir, maxFilesPerPartition)
+    val root = readRoot(spark, tableDir,
+      latestVersion(spark, tableDir))
+    val manifests = root.chunks.size > maxChunks
+    if (manifests) compactManifests(spark, tableDir, targetChunks)
+    val bloomed = refreshFileBlooms(spark, tableDir).nonEmpty
+    val expired = expireOlderThanMs
+      .map(ms => expireSnapshots(spark, tableDir, ms).size)
+      .getOrElse(0)
+    MaintenanceReport(morParts.size, pruned.size, consolidated,
+      fileParts.size, manifests, bloomed, expired)
   }
 }
