@@ -49,7 +49,7 @@ object BloomCostBench {
       // hash-distributed: every file spans ~the whole claim_id domain
       SnapshotTable.append(spark, dir,
         base.repartition(nf, col("claim_id")),
-        statsColumns = Seq("claim_id"))
+        statsColumns = Seq("claim_id"), rebalance = false)
       val keys = (0 until 10).map(i => f"K${i * (n / 10)}%09d")
       import spark.implicits._
       val keysDf = keys.toDF("claim_id")

@@ -53,7 +53,7 @@ object DeleteCostBench {
       SnapshotTable.append(spark, dir, base
         .repartitionByRange(files, col("claim_id"))
         .sortWithinPartitions(col("claim_id")),
-        statsColumns = Seq("claim_id"))
+        statsColumns = Seq("claim_id"), rebalance = false)
       // 40 doomed keys spread over the first 4 files' key ranges
       val doomed = (0 until 40)
         .map(i => f"K${(i % 4) * rowsPerFile + i * 7}%09d")

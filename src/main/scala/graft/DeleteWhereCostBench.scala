@@ -56,7 +56,7 @@ object DeleteWhereCostBench {
       SnapshotTable.append(spark, dir, base
         .repartitionByRange(filesPerPart, col("claim_amount"))
         .sortWithinPartitions(col("claim_amount")),
-        statsColumns = Seq("claim_amount"))
+        statsColumns = Seq("claim_amount"), rebalance = false)
       val t0 = System.nanoTime()
       val planned = SnapshotTable.deleteWherePlanned(spark, dir,
         col("claim_amount") >= 990.0 &&

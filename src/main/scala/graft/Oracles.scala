@@ -3447,6 +3447,15 @@ WHERE rn = 1 ORDER BY claim_id"""
     // byte-identical — the same final-state oracle proves it
     "q_maintain" -> mergedMinusPurgeSql,
 
+    // degradable change feed: a window SPANNING A COMPACTION consumed
+    // as row markers + partition recompute must still converge the
+    // mirror to the source's final content (same final-state oracle)
+    "q_change_recompute" -> mergedMinusPurgeSql,
+
+    // replication chain: apply-feed commits are row-monotone, so a
+    // mirror-of-the-mirror (two CDC hops) equals the source exactly
+    "q_replicate_chain" -> mergedMinusPurgeSql,
+
     // the snapshot table as a native streaming SOURCE: offsets are
     // snapshot versions, each micro-batch a manifest diff — the oracle
     // recomputes both committed batches through the cleanse chain, so

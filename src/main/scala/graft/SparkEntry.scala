@@ -196,6 +196,9 @@ object SparkEntry {
     "q_stream_change_feed" -> SnapshotQueries.streamChangeFeedE2e _,
     "q_stream_replicate" -> SnapshotQueries.streamReplicateE2e _,
     "q_maintain" -> SnapshotQueries.maintainE2e _,
+    // round-16 additions
+    "q_change_recompute" -> SnapshotQueries.changeRecomputeE2e _,
+    "q_replicate_chain" -> SnapshotQueries.replicateChainE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

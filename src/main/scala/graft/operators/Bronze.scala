@@ -32,7 +32,10 @@ object Bronze {
       clock: Column = current_timestamp()): Boolean = {
     if (df.isEmpty) false
     else {
+      // AQE-rebalance: a 32-task micro-drop otherwise lands 32 tiny
+      // files per append — the small-files anti-pattern at 100 TB
       SilverCleanse.withBatchMetadata(df, clock)
+        .hint("rebalance")
         .write.mode("append").parquet(sink)
       true
     }
@@ -51,7 +54,12 @@ object Bronze {
   def writeSilver(df: DataFrame, sink: String): Boolean = {
     if (df.isEmpty) false
     else {
-      df.write.mode("append")
+      // target-file-size write: rebalance by the partition columns so
+      // each (year,month) dir gets ~1 advisory-sized file per append
+      // instead of one per (task × partition) — Delta optimizeWrite /
+      // Iceberg write.distribution-mode=hash equivalent
+      df.hint("rebalance", "service_year", "service_month")
+        .write.mode("append")
         .partitionBy("service_year", "service_month").parquet(sink)
       true
     }
@@ -85,6 +93,7 @@ object Bronze {
       df.select("claim_id", "member_id", "provider_name", "claim_amount",
         "service_date", "service_day", "claim_amount_category",
         "data_quality_score", "service_year", "service_month")
+        .hint("rebalance", "service_year", "service_month")
         .write.mode("append").insertInto(table)
       true
     }

@@ -177,6 +177,7 @@ object ExecMetrics {
           RawClaims.fromOrders(Engine.spread(Tables.orders(spark, sfDir))),
           passthrough = Nil),
         to_timestamp(lit("2024-01-01 00:00:00")))
+      .hint("rebalance", "service_year", "service_month")
       .write.mode("overwrite")
       .partitionBy("service_year", "service_month")
       .parquet(tableDir)
@@ -229,6 +230,7 @@ object ExecMetrics {
       .withColumn("query", lit(query))
       .withColumn("captured_at", to_timestamp(lit(capturedAt)))
       .withColumn("log_date", to_date(to_timestamp(lit(capturedAt))))
+      .hint("rebalance", "log_date")
       .write.mode("append").partitionBy("log_date").parquet(logDir)
   }
 

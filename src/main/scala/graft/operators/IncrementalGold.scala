@@ -217,6 +217,7 @@ object IncrementalGold {
     val slice = partitionSlice(silver, parts)
     GoldViews.foreach { case (view, rollup) =>
       rollup(slice)
+        .hint("rebalance", PartCols: _*)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PartCols: _*)

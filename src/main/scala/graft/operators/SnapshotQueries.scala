@@ -48,7 +48,7 @@ object SnapshotQueries {
       FixtureCache.silverFull(spark, sfDir)
         .repartitionByRange(rangeGroups, col("claim_amount"))
         .sortWithinPartitions(col("claim_amount")),
-      statsColumns = Seq("claim_amount"))
+      statsColumns = Seq("claim_amount"), rebalance = false)
 
   /** [[buildClusteredSilver]] clustered on `service_date` instead — a
     * DATE-typed zone-map column, exercising the lexicographic ISO
@@ -59,7 +59,7 @@ object SnapshotQueries {
       FixtureCache.silverFull(spark, sfDir)
         .repartitionByRange(rangeGroups, col("service_date"))
         .sortWithinPartitions(col("service_date")),
-      statsColumns = Seq("service_date"))
+      statsColumns = Seq("service_date"), rebalance = false)
 
   private def amountClusteredTable(spark: SparkSession, sfDir: String)
       : String = {
@@ -86,7 +86,7 @@ object SnapshotQueries {
           FixtureCache.silverFull(spark, sfDir)
             .repartitionByRange(8, col("claim_id"))
             .sortWithinPartitions(col("claim_id")),
-          statsColumns = Seq("claim_id"))
+          statsColumns = Seq("claim_id"), rebalance = false)
     }
     s"$d/silver"
   }
@@ -150,7 +150,7 @@ object SnapshotQueries {
         append(spark, s"$dir/silver",
           FixtureCache.silverFull(spark, sfDir)
             .repartition(32, col("claim_id")),
-          statsColumns = Seq("claim_id"))
+          statsColumns = Seq("claim_id"), rebalance = false)
         buildFileBlooms(spark, s"$dir/silver",
           Seq("claim_id", "member_id"))
         ()
@@ -313,7 +313,7 @@ object SnapshotQueries {
       FixtureCache.silverFull(spark, sfDir)
         .repartitionByRange(8, col("claim_id"))
         .sortWithinPartitions(col("claim_id")),
-      statsColumns = Seq("claim_id"))
+      statsColumns = Seq("claim_id"), rebalance = false)
     merge(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
   }
 
@@ -406,7 +406,7 @@ object SnapshotQueries {
           FixtureCache.silverFull(spark, sfDir)
             .repartitionByRange(16, col("claim_id"))
             .sortWithinPartitions(col("claim_id")),
-          statsColumns = Seq("claim_id"))
+          statsColumns = Seq("claim_id"), rebalance = false)
     }
     val tableDir = s"$d/silver"
     truncateTo(spark, tableDir, 1)
@@ -1115,13 +1115,90 @@ object SnapshotQueries {
       .option("path", tableDir).option("startVersion", "1").load()
       .writeStream
       .foreachBatch { (mb: DataFrame, _: Long) =>
-        applyChangeFeed(spark, mirror, mb); ()
+        applyChangeFeed(spark, mirror, mb, key = "claim_id"); ()
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     keyCols(read(spark, mirror))
+  }
+
+  /** `q_change_recompute`: the DEGRADABLE change feed
+    * ([[SnapshotTable.changeRowsOrRecompute]]) consumed across a
+    * window that CONTAINS A COMPACTION — the case where
+    * changeRowsBetween and the CDC stream fail loudly and round-15
+    * consumers hand-rolled the recovery. The source chain is
+    * mergeMor → MoR-debt compaction (a genuine rewrite commit) →
+    * positional purge; a mirror bootstrapped from v1 applies the
+    * window's ChangeSet: row-level markers first
+    * ([[SnapshotTable.applyChangeFeed]]), then the rewrite-touched
+    * partitions overwritten wholesale with their content at the
+    * window's end. The query reads THE MIRROR; the DuckDB oracle
+    * recomputes the source's final content — equality proves the
+    * split feed (rows + recompute) loses nothing across the rewrite.
+    * 100 TB shape: rows ∝ window's change, recompute ∝ partitions the
+    * maintenance pass touched — never ∝ table. */
+  def changeRecomputeE2e(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    mergeMor(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
+    // fold ALL the merge's delete debt — a real mid-window rewrite
+    val folded = autoCompactMor(spark, tableDir, maxDebtRatio = 0.0)
+    require(folded.nonEmpty, "fixture must exhibit a rewrite commit")
+    deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
+    val to = latestVersion(spark, tableDir)
+    val base = s"target/change_recompute/${leafOf(sfDir)}"
+    wipe(spark, base)
+    val mirror = s"$base/mirror"
+    append(spark, mirror, read(spark, tableDir, Some(1)),
+      statsColumns = Seq("claim_id"))
+    val cs = changeRowsOrRecompute(spark, tableDir, 1, to)
+    cs.rows.foreach(r =>
+      applyChangeFeed(spark, mirror, r, key = "claim_id"))
+    cs.recompute.foreach(rc =>
+      overwritePartitions(spark, mirror, rc, Some(cs.recomputeParts)))
+    keyCols(read(spark, mirror))
+  }
+
+  /** `q_replicate_chain`: REPLICATION COMPOSES — `apply-feed` commits
+    * are row-monotone, so a mirror is itself a valid CDC source and a
+    * mirror OF THE MIRROR converges to the source. The chain is the
+    * q_stream_replicate topology twice: source → mirror1 (CDC stream +
+    * applyChangeFeed per window) → mirror2 (same, reading MIRROR1's
+    * change feed). The query reads MIRROR2; the oracle recomputes the
+    * SOURCE's final content — equality proves second-hop replication
+    * is exact, the fan-out topology a 100 TB deployment uses to avoid
+    * N mirrors all streaming the primary. */
+  def replicateChainE2e(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    mergeMor(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
+    deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
+    val base = s"target/replicate_chain/${leafOf(sfDir)}"
+    wipe(spark, base)
+    def follow(src: String, dst: String, ckpt: String): Unit = {
+      append(spark, dst, read(spark, src, Some(1)),
+        statsColumns = Seq("claim_id"))
+      val q = spark.readStream.format("graft-snapshot-cdc")
+        .option("path", src).option("startVersion", "1").load()
+        .writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          applyChangeFeed(spark, dst, mb, key = "claim_id"); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    follow(tableDir, s"$base/mirror1", s"$base/ckpt1")
+    follow(s"$base/mirror1", s"$base/mirror2", s"$base/ckpt2")
+    keyCols(read(spark, s"$base/mirror2"))
   }
 
   /** `q_maintain`: the one-call MAINTENANCE driver

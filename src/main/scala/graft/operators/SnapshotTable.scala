@@ -766,8 +766,14 @@ object SnapshotTable {
         parentRoot.map(_.partCols).getOrElse(IncrementalGold.PartCols))
       // commit metadata carries forward; this commit's entries override
       // (for gated stream watermarks the gate guarantees old < new, so
-      // the override IS max(old, new) — a watermark can never regress)
-      val meta = parentMeta ++ extraMeta
+      // the override IS max(old, new) — a watermark can never regress).
+      // commit.ts stamps THIS commit's wall-clock into the root itself:
+      // unlike the root file's mtime it survives cp/rsync/object-store
+      // copies, so versionAsOf and expireSnapshots (the GDPR deadline)
+      // stay correct after a table migration; snapshotLog falls back to
+      // mtime only for pre-feature roots
+      val meta = parentMeta ++ extraMeta +
+        ("commit.ts" -> System.currentTimeMillis().toString)
       val liveChunks = chunks.filter(_.fileCount > 0)
       // delete refs carry forward, auto-pruned once obsolete: a delete
       // applies only to files with seq <= its seq, so when every live
@@ -960,7 +966,7 @@ object SnapshotTable {
   }
 
   private def stagedWrite(spark: SparkSession, tableDir: String,
-      df: DataFrame): Seq[String] = {
+      df: DataFrame, rebalance: Boolean = true): Seq[String] = {
     val staging = new Path(
       s"$tableDir/_staging/${java.util.UUID.randomUUID()}")
     val fs = fsOf(spark, staging)
@@ -970,7 +976,25 @@ object SnapshotTable {
     // outside every partition predicate)
     val partCols = currentPartCols(spark, tableDir)
       .filter(df.columns.contains)
-    val w = df.write.mode("overwrite")
+    // Target-file-size writes (Delta optimizeWrite / Iceberg
+    // write.distribution-mode equivalent): without a rebalance,
+    // partitionBy fans out one file per (task × partition value) —
+    // measured 4,694 files averaging 12 KB for a 59 MB table, the
+    // classic small-files killer at 100 TB (every scan, probe and
+    // maintenance pass pays per-file overhead). The AQE REBALANCE
+    // hint shuffles by the partition columns, then the adaptive
+    // planner coalesces small post-shuffle partitions to the
+    // advisory size AND splits skewed ones — so a tiny micro-batch
+    // lands ~1 file per touched partition and a huge single-month
+    // append still parallelizes into ~advisory-sized files. Callers
+    // that pre-shape the frame themselves (z-order clustering,
+    // key-range clustering for merge/delete rewrites) pass
+    // rebalance = false to keep their layout.
+    val out =
+      if (!rebalance) df
+      else if (partCols.nonEmpty) df.hint("rebalance", partCols: _*)
+      else df.hint("rebalance")
+    val w = out.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(staging.toString)
     val stagingPath = fs.makeQualified(staging).toUri.getPath
@@ -1002,8 +1026,10 @@ object SnapshotTable {
     * Returns the committed version. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
       op: String = "append", statsColumns: Seq[String] = Nil,
-      extraMeta: Map[String, String] = Map.empty): Int =
-    appendGated(spark, tableDir, df, op, statsColumns, extraMeta).get
+      extraMeta: Map[String, String] = Map.empty,
+      rebalance: Boolean = true): Int =
+    appendGated(spark, tableDir, df, op, statsColumns, extraMeta,
+      rebalance = rebalance).get
 
   /** [[append]] whose commit only publishes if `metaGate` accepts the
     * WINNING parent's commit metadata (checked inside the CAS loop).
@@ -1012,12 +1038,18 @@ object SnapshotTable {
       df: DataFrame, op: String = "append",
       statsColumns: Seq[String] = Nil,
       extraMeta: Map[String, String] = Map.empty,
-      metaGate: Map[String, String] => Boolean = _ => true): Option[Int] = {
+      metaGate: Map[String, String] => Boolean = _ => true,
+      rebalance: Boolean = true): Option[Int] = {
     // z-order-on-write: a table clustered by clusterZOrder keeps its
     // curve — incoming batches cluster against the persisted boundaries
     val (clustered, stats) =
       clusterForSortOrder(spark, tableDir, df, statsColumns)
-    val created = stagedWrite(spark, tableDir, clustered)
+    // a z-clustered frame is already range-shaped — rebalancing would
+    // destroy the curve; pass-through frames get the size-targeted
+    // write unless the caller opted out (rebalance = false preserves a
+    // deliberately hash-fanned layout, e.g. Bloom-index demos)
+    val created = stagedWrite(spark, tableDir, clustered,
+      rebalance = rebalance && (clustered eq df))
     commitRetryingGated(spark, tableDir, op, created, Nil, stats,
       None, Some(df.schema), extraMeta = extraMeta, metaGate = metaGate)
   }
@@ -1109,7 +1141,26 @@ object SnapshotTable {
     def intersectsNum(lo: Double, hi: Double): Boolean =
       kind != "num" || (max.toDouble >= lo && min.toDouble <= hi)
     def intersectsStr(lo: String, hi: String): Boolean =
-      kind == "num" || (max >= lo && min <= hi)
+      kind == "num" ||
+        // date/ts zones are rendered zero-padded ISO, where
+        // lexicographic order IS chronological order — a probe bound
+        // that isn't ISO-shaped (e.g. "1997-9-9") compares wrong in
+        // that domain and could falsely drop the holding file, so an
+        // unshaped probe keeps the file (lossless; Spark's own cast
+        // normalizes or nulls it at row time)
+        ((kind == "date" || kind == "ts") &&
+          !(ZoneStat.isoShaped(lo) && ZoneStat.isoShaped(hi))) ||
+        (max >= lo && min <= hi)
+  }
+  object ZoneStat {
+    /** A bound that compares consistently against zero-padded ISO
+      * date/timestamp renderings: the open-interval sentinels, or a
+      * zero-padded `yyyy-MM-dd` prefix (any suffix — a bare date probe
+      * is a valid lexicographic bound against timestamp zones). */
+    private[SnapshotTable] def isoShaped(s: String): Boolean =
+      s.isEmpty || s.startsWith("￿") ||
+        (s.length >= 10 && s.charAt(4) == '-' && s.charAt(7) == '-' &&
+          Seq(0, 1, 2, 3, 5, 6, 8, 9).forall(i => s.charAt(i).isDigit))
   }
 
   /** Distributed per-file metadata for a commit's NEW files in ONE
@@ -1325,12 +1376,13 @@ object SnapshotTable {
   /** [[readWhere]]'s plan, exposing (frame, live files, files kept).
     * Beyond the derived partition/zone hints, EQUALITY conjuncts on
     * Bloom-indexed columns probe the per-file Bloom sidecar — the
-    * pruning zones can't do on a hash-distributed key — restricted to
-    * STRING- and DATE-typed columns, whose predicate-literal rendering
-    * provably equals the index's hash rendering (a numeric column's
-    * literal can render differently from its cast-string form — e.g.
-    * `5` vs `"5.0"` — and a false negative would DROP rows, so numeric
-    * equalities stay zone-only: lossless by construction). */
+    * pruning zones can't do on a hash-distributed key. Any
+    * ATOMIC-typed column qualifies: the probe literal is cast to the
+    * COLUMN's type before hashing ([[canonicalProbeKeys]]), so its
+    * rendering provably equals the index's build rendering — `5`
+    * probes a double column as "5.0", a non-canonical date string as
+    * its ISO form (or nulls out: a literal that cannot cast can never
+    * equal any value of the column, so skipping it is lossless). */
   private[graft] def readWherePlanned(spark: SparkSession,
       tableDir: String, predicate: org.apache.spark.sql.Column,
       version: Option[Int] = None): (DataFrame, Int, Int) = {
@@ -1344,12 +1396,17 @@ object SnapshotTable {
       case Some(bm) =>
         val schema = root.schemaJson.map(j =>
           DataType.fromJson(j).asInstanceOf[StructType])
+        // any ATOMIC column probes safely: bloomPruneCandidates casts
+        // the probe literal to the column's type first, so its hash
+        // rendering provably equals the index's ("5" probes a double
+        // column as "5.0"; "1997-1-1" probes a date column as its ISO
+        // form — or nulls out, which is lossless: a literal that can't
+        // cast can never equal a value of the column)
         def stableRendering(c: String): Boolean =
           schema.exists(s => s.fieldNames.contains(c) &&
-            (s(c).dataType == org.apache.spark.sql.types.StringType ||
-             s(c).dataType == org.apache.spark.sql.types.DateType))
+            probeCanonicalType(s(c).dataType))
         val eqs = GraftSparkInternals.predicateBounds(predicate)
-          .filter(b => b.op == "=" && !b.numeric &&
+          .filter(b => b.op == "=" &&
             bm.columns.contains(b.column) && stableRendering(b.column))
         if (eqs.isEmpty) None
         else {
@@ -1472,7 +1529,8 @@ object SnapshotTable {
       parts: Option[Seq[(Option[Int], Option[Int])]] = None,
       op: String = "overwrite", statsColumns: Seq[String] = Nil,
       readVersion: Option[Int] = None,
-      extraMeta: Map[String, String] = Map.empty): Int = {
+      extraMeta: Map[String, String] = Map.empty,
+      rebalance: Boolean = true): Int = {
     val rv = readVersion.getOrElse(latestVersion(spark, tableDir))
     val ps = parts.getOrElse(
       df.select(col("service_year"), col("service_month")).distinct()
@@ -1481,7 +1539,7 @@ object SnapshotTable {
           Option(r.getAs[Integer]("service_month")).map(_.intValue)))
         .toSeq)
     val replacedPrefixes = ps.map(Upsert.partitionRelPath).map(_ + "/")
-    val created = stagedWrite(spark, tableDir, df)
+    val created = stagedWrite(spark, tableDir, df, rebalance)
     commitRetrying(spark, tableDir, op, created, replacedPrefixes,
       statsColumns, Some(rv), Some(df.schema), extraMeta = extraMeta)
   }
@@ -1715,20 +1773,29 @@ object SnapshotTable {
     * from crashed writes. Versions a named ref points at are always
     * retained. Returns the deleted relative data-file paths. */
   /** (version, commit wall-clock millis) for every live root — the
-    * timestamp surface (Iceberg's snapshot log): the root FILE's
-    * modification time IS the commit time (the CAS publish creates it
-    * atomically), so no format change and history written before this
-    * feature still resolves. */
+    * timestamp surface (Iceberg's snapshot log). The commit time is
+    * the root's own `commit.ts` metadata (stamped at CAS publish —
+    * survives cp/rsync/object-store table copies); roots written
+    * before the stamp existed fall back to the file's modification
+    * time. The log is MONOTONE-CORRECTED (running max in version
+    * order): version order IS commit order by the CAS protocol, so a
+    * backdated timestamp — multi-writer clock skew, a copy that reset
+    * one mtime — can never make a NEWER version resolve as older,
+    * which would silently corrupt versionAsOf and the expireSnapshots
+    * retention floor. */
   def snapshotLog(spark: SparkSession, tableDir: String)
       : Seq[(Int, Long)] = {
     val latest = latestVersion(spark, tableDir)
     require(latest > 0, s"no snapshot at $tableDir")
     val fs = fsOf(spark, new Path(tableDir))
-    (1 to latest).flatMap { v =>
-      val p = rootPath(tableDir, v)
-      if (fs.exists(p)) Some(v -> fs.getFileStatus(p).getModificationTime)
-      else None // vacuumed
+    val raw = (1 to latest).flatMap { v =>
+      rootOption(spark, tableDir, v).map { r =>
+        v -> r.meta.get("commit.ts").flatMap(_.toLongOption).getOrElse(
+          fs.getFileStatus(rootPath(tableDir, v)).getModificationTime)
+      } // vacuumed roots drop out
     }
+    var run = Long.MinValue
+    raw.map { case (v, t) => run = math.max(run, t); (v, run) }
   }
 
   /** The newest version committed AT OR BEFORE `tsMillis` — time
@@ -1759,8 +1826,16 @@ object SnapshotTable {
       olderThanMs: Long, nowMs: Long = System.currentTimeMillis())
       : Seq[String] = {
     val cutoff = nowMs - olderThanMs
-    val recent = snapshotLog(spark, tableDir).count(_._2 >= cutoff)
-    vacuum(spark, tableDir, retainLast = math.max(1, recent))
+    // the FLOOR version is derived explicitly — the lowest version
+    // committed inside the window (the log is monotone-corrected, so
+    // this is well-defined even under writer clock skew); counting
+    // in-window roots instead would deflate under a backdated commit
+    // and expire a snapshot the retention window still covers
+    val latest = latestVersion(spark, tableDir)
+    val floor = snapshotLog(spark, tableDir)
+      .collectFirst { case (v, t) if t >= cutoff => v }
+      .getOrElse(latest)
+    vacuum(spark, tableDir, retainLast = math.max(1, latest - floor + 1))
   }
 
   def vacuum(spark: SparkSession, tableDir: String, retainLast: Int = 1)
@@ -2026,8 +2101,12 @@ object SnapshotTable {
     op.startsWith("append") || op.startsWith("stream-") ||
       Set("merge-mor", "delete-mor", "delete-where", "apply-feed",
         "consolidate-pos-deletes", "evolve-partitions", "prune-deletes",
-        // metadata-only commits: chunks by reference, no row delta
-        "bloom-index", "bloom-refresh").contains(op)
+        // metadata-only commits: chunks by reference, no row delta.
+        // rewrite-manifests keeps the FILE SET byte-identical (chunks
+        // re-grouped, files untouched) — trivially row-monotone; maintain()
+        // emits it, and excluding it needlessly broke changelogs over any
+        // maintained range
+        "bloom-index", "bloom-refresh", "rewrite-manifests").contains(op)
 
   def changeRowsBetween(spark: SparkSession, tableDir: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
@@ -2107,6 +2186,81 @@ object SnapshotTable {
     require(frames.nonEmpty,
       s"no row-level changes between v$fromVersion and v$toVersion")
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[changeRowsOrRecompute]]'s result: `rows` is the row-level
+    * change feed of the window's row-monotone commits (None when the
+    * window is rewrites only); `recomputeParts` the partitions touched
+    * by any rewrite commit, with `recompute` their FULL content as
+    * visible at the window's end. A consumer applies rows first
+    * ([[applyChangeFeed]]), then overwrites `recomputeParts` with
+    * `recompute` — the overwrite is the truth at `toVersion`, so a row
+    * change inside a later-recomputed partition is harmlessly
+    * superseded and the mirror converges exactly. */
+  final case class ChangeSet(rows: Option[DataFrame],
+      recomputeParts: Seq[(Option[Int], Option[Int])],
+      recompute: Option[DataFrame])
+
+  /** [[changeRowsBetween]] that degrades gracefully over REWRITE
+    * commits instead of failing: the window splits at every
+    * non-row-monotone commit (compaction, z-order, COW overwrite,
+    * rollback), each maximal row-monotone sub-range contributes its
+    * exact row-level markers, and each rewrite contributes its touched
+    * partitions to a RECOMPUTE manifest served as those partitions'
+    * content at `toVersion`. This is the shipped form of the recovery
+    * the loud failure's message describes (changedPartitionsBetween +
+    * readFilesAdded) — previously hand-rolled by every consumer whose
+    * changelog range crossed a maintenance pass. Cost: O(window's
+    * change) for the row arm + O(recomputed partitions) for the
+    * coarse arm — never O(table). A rewrite touching files OUTSIDE the
+    * partition layout (an unpartitioned table's compaction) has no
+    * partition-shaped recompute manifest — that fails loudly rather
+    * than silently under-reporting the change. */
+  def changeRowsOrRecompute(spark: SparkSession, tableDir: String,
+      fromVersion: Int, toVersion: Int): ChangeSet = {
+    require(fromVersion < toVersion,
+      s"empty change range v$fromVersion..v$toVersion")
+    val rewrites = ((fromVersion + 1) to toVersion)
+      .filter(v => !rowMonotoneOp(readRoot(spark, tableDir, v).op))
+    if (rewrites.isEmpty)
+      return ChangeSet(
+        Some(changeRowsBetween(spark, tableDir, fromVersion, toVersion)),
+        Nil, None)
+    rewrites.foreach { v =>
+      val before = resolveFiles(spark, tableDir,
+        readRoot(spark, tableDir, v - 1)).toSet
+      val after = resolveFiles(spark, tableDir,
+        readRoot(spark, tableDir, v)).toSet
+      val unhomed = ((after -- before) ++ (before -- after))
+        .filter(partitionOf(_).isEmpty)
+      if (unhomed.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"changeRowsOrRecompute at $tableDir: rewrite commit v$v " +
+            s"touches ${unhomed.size} file(s) outside the " +
+            "year/month partition layout — no partition-shaped " +
+            "recompute manifest exists; re-mirror the table instead")
+    }
+    val parts = rewrites
+      .flatMap(v => changedPartitionsBetween(spark, tableDir, v - 1, v))
+      .distinct
+    val starts = fromVersion +: rewrites
+    val ends = rewrites.map(_ - 1) :+ toVersion
+    val feeds = starts.zip(ends).collect { case (a, b) if a < b =>
+      // a sub-range with changes only in later-recomputed partitions
+      // can be legitimately empty — skip it instead of failing
+      try Some(changeRowsBetween(spark, tableDir, a, b))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("no row-level changes") => None
+      }
+    }.flatten
+    val rows = feeds
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    val recompute =
+      if (parts.isEmpty) None
+      else Some(readPartitions(spark, tableDir, parts, Some(toVersion)))
+    ChangeSet(rows, parts, recompute)
   }
 
   /** Live files ADDED between two versions — the streaming source's
@@ -2285,10 +2439,43 @@ object SnapshotTable {
     * candidates. The zones frame is manifest-sized metadata, so each
     * range join broadcasts it; cost is |keys| × |zones of this table|,
     * bounded by catalog state, never by table rows. */
+  /** Cast probe keys to the TABLE column's type (root schema), so the
+    * probe's string rendering provably equals the zone/Bloom BUILD
+    * rendering (both sides then take the same native-type →
+    * cast-to-string path): int probes against a double column render
+    * "5.0" not "5"; a non-canonical date string ("1997-1-1") becomes
+    * the ISO form or null. Dropping a null-casting key is lossless —
+    * under Spark's own comparison coercion such a key can never equal
+    * any value of the column. Non-atomic or schema-absent columns pass
+    * through unchanged (the probe then only sees same-type renderings
+    * it produced itself). */
+  private[graft] def probeCanonicalType(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => true
+      case StringType | DateType | BooleanType | TimestampType |
+          TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  private def canonicalProbeKeys(root: Root, keys: DataFrame,
+      key: String): DataFrame =
+    root.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .flatMap(_.fields.find(_.name == key).map(_.dataType))
+      .filter(dt => probeCanonicalType(dt)
+        && dt != keys.schema(key).dataType)
+      .map(dt => keys.select(col(key).cast(dt).as(key))
+        .filter(col(key).isNotNull))
+      .getOrElse(keys)
+
   private[graft] def candidateFilesByKeyZone(spark: SparkSession,
-      tableDir: String, keys: DataFrame, key: String, version: Int)
+      tableDir: String, keys0: DataFrame, key: String, version: Int)
       : Seq[String] = {
     import spark.implicits._
+    val keys = canonicalProbeKeys(
+      readRoot(spark, tableDir, version), keys0, key)
     val stats = readStats(spark, tableDir, version)
     val files = manifest(spark, tableDir, version).files
     val zoned = files.flatMap(f => stats.get((key, f))
@@ -2297,9 +2484,19 @@ object SnapshotTable {
       .filter(_.kind == "num")
       .map(z => (f, z.min.toDouble, z.max.toDouble)))
     val zoneless = files.filterNot(f => stats.contains((key, f)))
+    // render the probe exactly as the zone build rendered the column:
+    // plain cast-to-string, except timestamps, whose zones carry the
+    // fixed-width micros form (cast-to-string drops a zero fraction —
+    // "…:00" vs "…:00.000000" compares wrong lexicographically)
+    val renderK: org.apache.spark.sql.Column =
+      keys.schema(key).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType =>
+          date_format(col(key), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        case _ => col(key).cast("string")
+      }
     val hits =
       if (zoned.isEmpty) Nil
-      else keys.select(col(key).cast("string").as("__k")).distinct()
+      else keys.select(renderK.as("__k")).distinct()
         .join(broadcast(zoned.toDF("__f", "__mn", "__mx")),
           col("__k") >= col("__mn") && col("__k") <= col("__mx"))
         .select(col("__f")).distinct().collect().map(_.getString(0)).toSeq
@@ -2476,7 +2673,7 @@ object SnapshotTable {
     * Bloom has no false negatives, so dropped files verifiably hold no
     * probed key. */
   private[graft] def bloomPruneCandidates(spark: SparkSession,
-      tableDir: String, root: Root, cands: Seq[String], keys: DataFrame,
+      tableDir: String, root: Root, cands: Seq[String], keys0: DataFrame,
       key: String): Seq[String] = {
     import spark.implicits._
     if (cands.isEmpty) return cands
@@ -2484,6 +2681,9 @@ object SnapshotTable {
       case Some(b) if b.columns.contains(key) => b
       case _ => return cands
     }
+    // the index hashed the COLUMN's cast-to-string rendering; probe in
+    // the same domain or a differently-typed key false-negatives
+    val keys = canonicalProbeKeys(root, keys0, key)
     val dir = new Path(s"$tableDir/_snapshots/${bm.name}")
     if (!fsOf(spark, dir).exists(dir)) return cands // vacuumed: degrade
     val candsDf = broadcast(cands.toDF("__f"))
@@ -2628,7 +2828,7 @@ object SnapshotTable {
       .filter(col("__rn") === 1).drop("__rn", "__src")
     val created = stagedWrite(spark, tableDir,
       latest.repartitionByRange(rangeGroups, col(key))
-        .sortWithinPartitions(col(key)))
+        .sortWithinPartitions(col(key)), rebalance = false)
     // conflict scope stays the PARTITIONS (a concurrent commit adding
     // the same key to a sibling file would break the SCD1 invariant);
     // the rewrite scope is exactly the verified files
@@ -2669,7 +2869,7 @@ object SnapshotTable {
       .join(keySet, Seq(key), "left_anti")
     val created = stagedWrite(spark, tableDir,
       kept.repartitionByRange(rangeGroups, col(key))
-        .sortWithinPartitions(col(key)))
+        .sortWithinPartitions(col(key)), rebalance = false)
     commitRetryingGated(spark, tableDir, "delete", created, Nil,
       Seq(key), Some(v), Some(kept.schema),
       replacedFiles = rewriteFiles.toSet,
@@ -2930,9 +3130,12 @@ object SnapshotTable {
     * mirror. Key-unique tables only (the same contract as mergeMor).
     * Returns the committed version, or None for an empty feed. */
   def applyChangeFeed(spark: SparkSession, tableDir: String,
-      feed: DataFrame, key: String = "claim_id",
+      feed: DataFrame, key: String,
       statsColumns: Seq[String] = Nil,
       debtRatio: Option[Double] = None): Option[Int] = {
+    require(feed.columns.contains(key),
+      s"applyChangeFeed: feed has no key column '$key' " +
+        s"(columns: ${feed.columns.mkString(", ")})")
     import org.apache.spark.sql.expressions.Window
     val v = latestVersion(spark, tableDir)
     require(v > 0, s"no snapshot at $tableDir (bootstrap the mirror " +
@@ -3073,6 +3276,7 @@ object SnapshotTable {
       .drop("__z")
     overwritePartitions(spark, tableDir, clustered, Some(parts),
       op = s"zorder", statsColumns = cols, readVersion = Some(v),
+      rebalance = false,
       extraMeta = Map(
         "sortorder" -> s"zorder(${cols.mkString(",")})",
         "zorder.bits" -> bitsPerDim.toString) ++
@@ -3140,7 +3344,7 @@ object SnapshotTable {
     val slice = readPartitions(spark, tableDir, parts, Some(v))
       .repartition(targetFileCount)
     overwritePartitions(spark, tableDir, slice, Some(parts), op = "compact",
-      readVersion = Some(v))
+      readVersion = Some(v), rebalance = false)
   }
 
   /** Per-partition MERGE-ON-READ debt at `version`, metadata-only: the

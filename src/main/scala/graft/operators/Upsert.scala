@@ -175,7 +175,8 @@ object Upsert {
     val staging = new Path(stagingDir)
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(staging)) fs.delete(staging, true)
-    latest.write.mode("overwrite")
+    latest.hint("rebalance", IncrementalGold.PartCols: _*)
+      .write.mode("overwrite")
       .partitionBy(IncrementalGold.PartCols: _*).parquet(stagingDir)
     commitPartitionSwap(fs, stagingDir, tableDir, parts,
       dropWhenNoSrc = false)
@@ -329,7 +330,8 @@ object Upsert {
     val staging = new Path(stagingDir)
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(staging)) fs.delete(staging, true)
-    latest.write.mode("overwrite")
+    latest.hint("rebalance", IncrementalGold.PartCols: _*)
+      .write.mode("overwrite")
       .partitionBy(IncrementalGold.PartCols: _*).parquet(stagingDir)
     commitPartitionSwap(fs, stagingDir, tableDir, parts,
       dropWhenNoSrc = true)

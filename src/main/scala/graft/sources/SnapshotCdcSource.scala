@@ -206,26 +206,20 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
     val pcs = partCols.map(c => c -> full(c).dataType)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def sliceOf(rel: String, positions: Array[Long], keep: Boolean,
-        changeType: String, v: Int): CdcFileSlice = {
-      val segs = rel.split("/").init.collect {
-        case s if s.contains("=") =>
-          s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').tail
-      }.toMap
-      val values = pcs.map { case (c, dt) =>
-        partValue(segs.get(c), dt) }.toArray
-      val p = new Path(s"$dir/$rel")
-      CdcFileSlice(fs.makeQualified(p).toString,
-        fs.getFileStatus(p).getLen, values, positions, keep,
-        changeType, v)
-    }
     // per-version walk: validate row-monotonicity, track added files
-    // per commit (for _commit_version), collect delete pre-images
+    // per commit (for _commit_version), collect delete pre-images.
+    // The pre-image positions accumulate on the DRIVER, and
+    // preImagePositionsAt's cap is per COMMIT — a deep window (far
+    // startVersion, no maxVersionsPerBatch) could hold versions × cap
+    // positions, so an AGGREGATE budget guards the batch as a whole,
+    // failing loudly toward pacing (same posture as the per-commit cap).
+    val maxBatchPositions = 2000000L
+    var batchPositions = 0L
     var prevFiles =
       if (from == 0) Set.empty[String]
       else SnapshotTable.manifest(spark, dir, from).files.toSet
     val inserts = Seq.newBuilder[(String, Int)] // (rel, version added)
-    val deletes = Seq.newBuilder[CdcFileSlice]
+    val deletes = Seq.newBuilder[(String, Array[Long], Int)]
     ((from + 1) to to).foreach { v =>
       val m = SnapshotTable.manifest(spark, dir, v) // loud if vacuumed
       if (!SnapshotTable.rowMonotoneOp(m.op))
@@ -240,14 +234,51 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
       if (v >= 2)
         SnapshotTable.preImagePositionsAt(spark, dir, v).toSeq
           .sortBy(_._1).foreach { case (rel, pos) =>
-            deletes += sliceOf(rel, pos, keep = true, "delete", v)
+            batchPositions += pos.length
+            if (batchPositions > maxBatchPositions)
+              throw new IllegalStateException(
+                s"graft-snapshot-cdc at $dir: batch v$from..v$to " +
+                  s"accumulates >$maxBatchPositions delete pre-image " +
+                  "positions on the driver — pace the stream with " +
+                  ".option(\"maxVersionsPerBatch\", n) or consume the " +
+                  "range with the batch feed (changeRowsBetween) " +
+                  "version by version")
+            deletes += ((rel, pos, v))
           }
     }
     val added = inserts.result()
+    val delList = deletes.result()
     // inserts stream as visible at `to`: live MoR deletes reaching the
     // added files ship their doomed positions with the split
     val doomedOf = SnapshotTable.deletePositionsFor(spark, dir, to,
       added.map(_._1))
+    // file lengths in one listStatus per PARTITION DIRECTORY instead of
+    // one getFileStatus RPC per slice (a wide window touches thousands)
+    val rels = (added.map(_._1) ++ delList.map(_._1)).distinct
+    val lenOf: Map[String, Long] = rels
+      .groupBy(_.split("/").init.mkString("/"))
+      .flatMap { case (parentRel, rs) =>
+        val parent =
+          if (parentRel.isEmpty) new Path(dir)
+          else new Path(s"$dir/$parentRel")
+        val byName = fs.listStatus(parent).iterator
+          .map(st => st.getPath.getName -> st.getLen).toMap
+        rs.map(r => r -> byName(r.split("/").last))
+      }
+    def sliceOf(rel: String, positions: Array[Long], keep: Boolean,
+        changeType: String, v: Int): CdcFileSlice = {
+      val segs = rel.split("/").init.collect {
+        case s if s.contains("=") =>
+          s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').tail
+      }.toMap
+      val values = pcs.map { case (c, dt) =>
+        partValue(segs.get(c), dt) }.toArray
+      CdcFileSlice(fs.makeQualified(new Path(s"$dir/$rel")).toString,
+        lenOf(rel), values, positions, keep, changeType, v)
+    }
+    val deleteSlices = delList.map { case (rel, pos, v) =>
+      sliceOf(rel, pos, keep = true, "delete", v)
+    }
     val insertSlices = added.map { case (rel, v) =>
       sliceOf(rel, doomedOf.getOrElse(rel, Array.empty), keep = false,
         "insert", v)
@@ -258,7 +289,7 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
     val bins = Seq.newBuilder[CdcInputPartition]
     var cur = Vector.empty[CdcFileSlice]
     var curBytes = 0L
-    (insertSlices ++ deletes.result()).foreach { s =>
+    (insertSlices ++ deleteSlices).foreach { s =>
       if (cur.nonEmpty && curBytes + s.length > maxBytes) {
         bins += CdcInputPartition(cur); cur = Vector.empty
         curBytes = 0L

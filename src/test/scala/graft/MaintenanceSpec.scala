@@ -44,6 +44,25 @@ class MaintenanceSpec extends SparkSpec {
     fs(dir).setTimes(
       new Path(f"$dir/_snapshots/v$v%05d.txt"), ts, -1)
 
+  /** Remove the root's commit.ts stamp — simulates a PRE-FEATURE root
+    * so the mtime fallback (and setRootTime pinning) is exercised. */
+  private def stripCommitTs(dir: String, v: Int): Unit = {
+    val p = new Path(f"$dir/_snapshots/v$v%05d.txt")
+    val f = fs(dir)
+    val in = f.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val out = text.linesIterator
+      .filterNot(_.startsWith("M\tcommit.ts\t")).mkString("\n")
+    val os = f.create(p, true)
+    try os.write(out.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** [[stripCommitTs]] + mtime pin, in the order that survives the
+    * rewrite (create() refreshes the mtime). */
+  private def pinLegacyRoot(dir: String, v: Int, ts: Long): Unit = {
+    stripCommitTs(dir, v); setRootTime(dir, v, ts)
+  }
+
   private def rootName(dir: String): String = {
     // resolve the actual root file naming once, defensively
     val snaps = fs(dir).listStatus(new Path(s"$dir/_snapshots"))
@@ -59,9 +78,9 @@ class MaintenanceSpec extends SparkSpec {
     append(spark, dir, rows(Seq("B"), "b2", 2.0)) // v2
     append(spark, dir, rows(Seq("C"), "b3", 3.0)) // v3
     rootName(dir) // assert naming matches setRootTime's pattern
-    setRootTime(dir, 1, 1000L)
-    setRootTime(dir, 2, 2000L)
-    setRootTime(dir, 3, 3000L)
+    pinLegacyRoot(dir, 1, 1000L)
+    pinLegacyRoot(dir, 2, 2000L)
+    pinLegacyRoot(dir, 3, 3000L)
     assert(versionAsOf(spark, dir, 2500L) == 2)
     assert(versionAsOf(spark, dir, 3000L) == 3)
     assert(readAsOf(spark, dir, 1999L).select("claim_id")
@@ -79,17 +98,44 @@ class MaintenanceSpec extends SparkSpec {
     append(spark, dir, rows(Seq("A"), "b1", 1.0)) // v1
     append(spark, dir, rows(Seq("B"), "b2", 2.0)) // v2
     append(spark, dir, rows(Seq("C"), "b3", 3.0)) // v3
-    setRootTime(dir, 1, 1000L)
-    setRootTime(dir, 2, 2000L)
-    setRootTime(dir, 3, 3000L)
+    pinLegacyRoot(dir, 1, 1000L)
+    pinLegacyRoot(dir, 2, 2000L)
+    pinLegacyRoot(dir, 3, 3000L)
     // window = 1.5s back from "now"=3500 → keeps v2, v3; v1 expires
     expireSnapshots(spark, dir, olderThanMs = 1500L, nowMs = 3500L)
     assert(snapshotLog(spark, dir).map(_._1) == Seq(2, 3))
     // everything out of window: still keeps the latest
-    setRootTime(dir, 2, 2000L); setRootTime(dir, 3, 3000L)
+    pinLegacyRoot(dir, 2, 2000L); pinLegacyRoot(dir, 3, 3000L)
     expireSnapshots(spark, dir, olderThanMs = 10L, nowMs = 99999L)
     assert(snapshotLog(spark, dir).map(_._1) == Seq(3))
     assert(read(spark, dir).count() == 3, "content is version-complete")
+  }
+
+  test("time travel survives a table copy: commit.ts beats mtime; skew is monotone-corrected") {
+    val dir = s"$base/copied"
+    wipe(dir)
+    append(spark, dir, rows(Seq("A"), "b1", 1.0)) // v1
+    append(spark, dir, rows(Seq("B"), "b2", 2.0)) // v2
+    append(spark, dir, rows(Seq("C"), "b3", 3.0)) // v3
+    val logBefore = snapshotLog(spark, dir)
+    // simulate `cp -r` / an object-store copy: every root file gets a
+    // FRESH mtime in arbitrary order — the stamped commit.ts must win
+    setRootTime(dir, 1, 999999999L)
+    setRootTime(dir, 2, 1L)
+    setRootTime(dir, 3, 42L)
+    assert(snapshotLog(spark, dir) == logBefore,
+      "commit times must come from root metadata, not mtimes")
+    assert(versionAsOf(spark, dir, logBefore(1)._2) == 2)
+    // mixed history: strip v2's stamp and backdate its mtime below
+    // v1's commit time — the running-max correction keeps the log
+    // monotone, so v2 still resolves at/after v1, never before it
+    stripCommitTs(dir, 2)
+    setRootTime(dir, 2, 1L)
+    val log = snapshotLog(spark, dir)
+    assert(log.map(_._1) == Seq(1, 2, 3))
+    assert(log.sliding(2).forall(w => w(0)._2 <= w(1)._2),
+      s"log must be monotone: $log")
+    assert(versionAsOf(spark, dir, log(0)._2) >= 1)
   }
 
   test("maintain folds debt, bounds files, refreshes blooms last, keeps content") {
@@ -98,7 +144,7 @@ class MaintenanceSpec extends SparkSpec {
     append(spark, dir,
       rows((0 until 40).map(i => f"K$i%03d"), "b1", 1.0)
         .repartition(6, col("claim_id")),
-      statsColumns = Seq("claim_id"))
+      statsColumns = Seq("claim_id"), rebalance = false)
     buildFileBlooms(spark, dir, Seq("claim_id"))
     // traffic: MoR delete debt + a second small-file append
     deleteKeysMor(spark, dir,

@@ -237,7 +237,7 @@ class Round15FixesSpec extends SparkSpec {
     SnapshotTable.append(spark, dir,
       df.repartitionByRange(4, col("claim_amount"))
         .sortWithinPartitions(col("claim_amount")),
-      statsColumns = Seq("claim_amount"))
+      statsColumns = Seq("claim_amount"), rebalance = false)
     val (_, total, scanned) = SnapshotTable.deleteWherePlanned(spark, dir,
       col("claim_amount") >= 900.0 && col("service_month") === 1).get
     assert(scanned < total,

@@ -132,12 +132,12 @@ class SnapshotCdcSpec extends SparkSpec {
     SnapshotTable.deleteWhere(spark, src, col("claim_id") === "C")
     val feed = SnapshotTable.changeRowsBetween(spark, src, 1,
       SnapshotTable.latestVersion(spark, src))
-    assert(SnapshotTable.applyChangeFeed(spark, mir, feed).nonEmpty)
+    assert(SnapshotTable.applyChangeFeed(spark, mir, feed, key = "claim_id").nonEmpty)
     assert(content(mir) == content(src))
     assert(content(mir) == Set(("A", "b1", 1.0), ("B", "b2", 2.0),
       ("D", "b2", 2.0)))
     // replaying the SAME window converges (at-least-once delivery safe)
-    assert(SnapshotTable.applyChangeFeed(spark, mir, feed).nonEmpty)
+    assert(SnapshotTable.applyChangeFeed(spark, mir, feed, key = "claim_id").nonEmpty)
     assert(content(mir) == content(src))
   }
 
@@ -147,11 +147,11 @@ class SnapshotCdcSpec extends SparkSpec {
     SnapshotTable.append(spark, mir, rows(Seq("A", "B"), "b1", 1.0))
     val delFeed = rows(Seq("A"), "b1", 1.0)
       .withColumn("_change_type", lit("delete"))
-    assert(SnapshotTable.applyChangeFeed(spark, mir, delFeed).nonEmpty)
+    assert(SnapshotTable.applyChangeFeed(spark, mir, delFeed, key = "claim_id").nonEmpty)
     assert(content(mir) == Set(("B", "b1", 1.0)))
     val v = SnapshotTable.latestVersion(spark, mir)
     assert(SnapshotTable.applyChangeFeed(spark, mir,
-      delFeed.limit(0)).isEmpty)
+      delFeed.limit(0), key = "claim_id").isEmpty)
     assert(SnapshotTable.latestVersion(spark, mir) == v,
       "an empty window must not commit")
   }
@@ -166,7 +166,7 @@ class SnapshotCdcSpec extends SparkSpec {
       .unionByName(rows(Seq("A"), "b3", 3.0)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(3)))
-    assert(SnapshotTable.applyChangeFeed(spark, mir, feed).nonEmpty)
+    assert(SnapshotTable.applyChangeFeed(spark, mir, feed, key = "claim_id").nonEmpty)
     assert(content(mir) == Set(("A", "b3", 3.0)),
       "the later commit's image must win")
   }
@@ -209,5 +209,58 @@ class SnapshotCdcSpec extends SparkSpec {
       .StreamingQueryException] { q.awaitTermination() }
     assert(e.getMessage.contains("no row-level delta") ||
       Option(e.getCause).exists(_.getMessage.contains("row-level")))
+  }
+
+  test("changeRowsOrRecompute: rows-only without rewrites; rows+recompute across one; loud when unhomed") {
+    import SnapshotTable._
+    val dir = s"$base/degradable"
+    wipe(dir)
+    append(spark, dir, rows(Seq("A", "B"), "b1", 1.0)) // v1
+    append(spark, dir, rows(Seq("C"), "b2", 2.0)) // v2
+    // no rewrite in range: pure row feed, no recompute arm
+    val clean = changeRowsOrRecompute(spark, dir, 1, 2)
+    assert(clean.recomputeParts.isEmpty && clean.recompute.isEmpty)
+    assert(clean.rows.get.filter(col("_change_type") === "insert")
+      .count() == 1)
+    // traffic spanning a compaction: v3 delete-mor, v4 compact, v5 append
+    deleteKeysMor(spark, dir, Seq("A").toDF("claim_id")) // v3
+    compactPartitions(spark, dir, Seq((Some(2000), Some(1)))) // v4
+    append(spark, dir, rows(Seq("D"), "b3", 3.0)) // v5
+    val cs = changeRowsOrRecompute(spark, dir, 1, 5)
+    assert(cs.recomputeParts == Seq((Some(2000), Some(1))))
+    // the row arm carries the sub-ranges' markers (C's insert + A's
+    // delete pre-image before the rewrite; D's insert after it)
+    val byType = cs.rows.get.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType.getOrElse("insert", 0L) >= 2 &&
+      byType.getOrElse("delete", 0L) >= 1, s"markers: $byType")
+    // the recompute slice is the partition's content at v5
+    assert(cs.recompute.get.select("claim_id").as[String].collect()
+      .sorted.toSeq == Seq("B", "C", "D"))
+    // applying rows then recompute converges a v1-bootstrapped mirror
+    val mirror = s"$base/degradable_mirror"
+    wipe(mirror)
+    append(spark, mirror, read(spark, dir, Some(1)))
+    cs.rows.foreach(r => applyChangeFeed(spark, mirror, r,
+      key = "claim_id"))
+    cs.recompute.foreach(rc =>
+      overwritePartitions(spark, mirror, rc, Some(cs.recomputeParts)))
+    assert(read(spark, mirror).select("claim_id").as[String].collect()
+      .sorted.toSeq ==
+      read(spark, dir).select("claim_id").as[String].collect()
+        .sorted.toSeq)
+    // a rewrite touching UNPARTITIONED files cannot be recomputed by
+    // partition — loud, never silently incomplete
+    val dim = s"$base/degradable_dim"
+    wipe(dim)
+    append(spark, dim, Seq((1L, "x")).toDF("dim_id", "name")) // v1
+    append(spark, dim, Seq((2L, "y")).toDF("dim_id", "name")) // v2
+    // v3: a COW overwrite commit whose file churn has no partition home
+    overwritePartitions(spark, dim,
+      Seq((1L, "x"), (2L, "y")).toDF("dim_id", "name"), Some(Nil))
+    val e = intercept[UnsupportedOperationException] {
+      changeRowsOrRecompute(spark, dim, 1, 3)
+    }
+    assert(e.getMessage.contains("outside the"))
   }
 }

@@ -306,7 +306,7 @@ class SnapshotMorSpec extends SparkSpec {
     }.toDF("claim_id", "batch_id", "claim_amount", "service_year",
       "service_month")
     SnapshotTable.append(spark, dir,
-      df.repartitionByRange(4, col("claim_id")))
+      df.repartitionByRange(4, col("claim_id")), rebalance = false)
     val nFiles = SnapshotTable.manifest(spark, dir, 1).files.size
     assert(nFiles >= 12, s"need the fan-out shape: $nFiles files")
     SnapshotTable.deleteWhere(spark, dir, col("claim_amount") >= 90.0)

@@ -224,7 +224,7 @@ class SnapshotSpec extends SparkSpec {
       rows(6, 1, "b1").unionByName(rows(4, 2, "b1"))
         .repartitionByRange(4, col("claim_id"))
         .sortWithinPartitions(col("claim_id")),
-      statsColumns = Seq("claim_id"))
+      statsColumns = Seq("claim_id"), rebalance = false)
     val v1 = SnapshotTable.latestVersion(spark, dir)
     // zone probe: a key that exists hits only files whose zone holds it;
     // a key beyond every zone hits nothing (all files are statted here)
@@ -283,7 +283,7 @@ class SnapshotSpec extends SparkSpec {
       rows(5, 1, "b1").unionByName(rows(3, 2, "b1"))
         .repartitionByRange(4, col("claim_id"))
         .sortWithinPartitions(col("claim_id")),
-      statsColumns = Seq("claim_id"))
+      statsColumns = Seq("claim_id"), rebalance = false)
     // absent key: no candidates, no commit
     assert(SnapshotTable.deleteKeys(spark, dir,
       Seq("ZZZ").toDF("claim_id")).isEmpty)
