@@ -2909,7 +2909,9 @@ object SnapshotTable {
       return None
     val name = s"deletes/del_${java.util.UUID.randomUUID()}"
     val delDir = s"$tableDir/_snapshots/$name"
-    keySet.write.mode("overwrite").parquet(delDir)
+    // rebalance: the distinct's 32 shuffle partitions otherwise land
+    // 32 tiny sidecar files every read must open for its anti-join
+    keySet.hint("rebalance").write.mode("overwrite").parquet(delDir)
     val nKeys = spark.read.parquet(delDir).count()
     if (nKeys == 0) {
       fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
@@ -3005,7 +3007,7 @@ object SnapshotTable {
       throw new IllegalStateException(
         s"deleteWhere: unstripped file path ${r.getString(0)}")
     }
-    matched.write.mode("overwrite").parquet(delDir)
+    matched.hint("rebalance").write.mode("overwrite").parquet(delDir)
     val n = spark.read.parquet(delDir).count()
     if (n == 0) {
       fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
@@ -3087,7 +3089,7 @@ object SnapshotTable {
     val name = s"deletes/del_${java.util.UUID.randomUUID()}"
     val delDir = s"$tableDir/_snapshots/$name"
     latest.select(col(key)).filter(col(key).isNotNull).distinct()
-      .write.mode("overwrite").parquet(delDir)
+      .hint("rebalance").write.mode("overwrite").parquet(delDir)
     val nKeys = spark.read.parquet(delDir).count()
     // an empty (or all-null-key) update batch has nothing to retract:
     // committing a rows=0 delete ref would cost every later read an
@@ -3158,7 +3160,7 @@ object SnapshotTable {
       .filter(col(key).isNotNull).distinct()
     val name = s"deletes/del_${java.util.UUID.randomUUID()}"
     val delDir = s"$tableDir/_snapshots/$name"
-    delKeys.write.mode("overwrite").parquet(delDir)
+    delKeys.hint("rebalance").write.mode("overwrite").parquet(delDir)
     val nKeys = spark.read.parquet(delDir).count()
     val created = stagedWrite(spark, tableDir, insRows)
     if (nKeys == 0 && created.isEmpty) {
@@ -3443,7 +3445,7 @@ object SnapshotTable {
       .join(liveDf, Seq("__rel"), "leftsemi")
     val name = s"deletes/del_${java.util.UUID.randomUUID()}"
     val delDir = s"$tableDir/_snapshots/$name"
-    merged.write.mode("overwrite").parquet(delDir)
+    merged.hint("rebalance").write.mode("overwrite").parquet(delDir)
     val n = spark.read.parquet(delDir).count()
     if (n == 0) // every position was dead — pure ref cleanup
       fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)

@@ -70,6 +70,27 @@ class Round16FixesSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 500)
   }
 
+  test("MoR delete sidecars rebalance instead of one file per shuffle task") {
+    val dir = s"$base/sidecar_sizing"
+    wipe(dir)
+    val df = (0 until 3000).map(i =>
+        (f"K$i%05d", "b1", i * 1.0, 2000, 1 + i % 3))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    SnapshotTable.append(spark, dir, df)
+    // key set spread over 32 upstream tasks — distinct() used to land
+    // its 32 shuffle partitions as 32 tiny sidecar files
+    val keys = (0 until 600).map(i => f"K$i%05d").toDF("claim_id")
+      .repartition(32)
+    assert(SnapshotTable.deleteKeysMor(spark, dir, keys).nonEmpty)
+    val sidecarFiles = new File(s"$dir/_snapshots/deletes")
+      .listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sidecarFiles.length <= 2,
+      s"delete sidecar fanned out: ${sidecarFiles.length} files for 600 keys")
+    assert(SnapshotTable.read(spark, dir).count() == 2400)
+  }
+
   test("rebalance = false preserves a deliberately fanned layout") {
     val dir = s"$base/writer_optout"
     wipe(dir)
