@@ -198,7 +198,31 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
       }
     }
 
+  // MicroBatchScanExec.inputPartitions is a lazy val PER PLAN NODE,
+  // and physical planning consults it on several transient node copies
+  // (DataSourceV2Strategy's supportsColumnar probe, then each
+  // preparation rule) — without memoization the pre-image jobs below
+  // re-run 4× per micro-batch (measured ~4 s each at sf0.1). The plan
+  // for a (from, to] window is deterministic (manifests are immutable
+  // per version), so one entry keyed by the offset pair is exact; a
+  // single slot suffices because batches advance monotonically.
+  @volatile private var planCache
+      : Option[((Int, Int), Array[InputPartition])] = None
+
   override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val key = (start.asInstanceOf[SnapshotOffset].version,
+      end.asInstanceOf[SnapshotOffset].version)
+    planCache match {
+      case Some((k, parts)) if k == key => parts
+      case _ =>
+        val parts = planInputPartitions0(start, end)
+        planCache = Some((key, parts))
+        parts
+    }
+  }
+
+  private def planInputPartitions0(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val from = start.asInstanceOf[SnapshotOffset].version
     val to = end.asInstanceOf[SnapshotOffset].version

@@ -211,7 +211,31 @@ private[graft] class SnapshotMicroBatchStream(dir: String,
       }
     }
 
+  // MicroBatchScanExec.inputPartitions is a lazy val PER PLAN NODE,
+  // and physical planning consults it on several transient node copies
+  // (DataSourceV2Strategy's supportsColumnar probe, then each
+  // preparation rule) — without memoization the delete-position jobs
+  // below re-run 4× per micro-batch. The plan for a (from, to] window
+  // is deterministic (manifests are immutable per version), so one
+  // entry keyed by the offset pair is exact; a single slot suffices
+  // because batches advance monotonically.
+  @volatile private var planCache
+      : Option[((Int, Int), Array[InputPartition])] = None
+
   override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val key = (start.asInstanceOf[SnapshotOffset].version,
+      end.asInstanceOf[SnapshotOffset].version)
+    planCache match {
+      case Some((k, parts)) if k == key => parts
+      case _ =>
+        val parts = planInputPartitions0(start, end)
+        planCache = Some((key, parts))
+        parts
+    }
+  }
+
+  private def planInputPartitions0(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val from = start.asInstanceOf[SnapshotOffset].version
     val to = end.asInstanceOf[SnapshotOffset].version
@@ -223,6 +247,18 @@ private[graft] class SnapshotMicroBatchStream(dir: String,
     val pcs = partCols.map(c => c -> full(c).dataType)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // file lengths in one listStatus per PARTITION DIRECTORY instead
+    // of one getFileStatus RPC per file (a backfill touches thousands)
+    val lenOf: Map[String, Long] = files
+      .groupBy(_.split("/").init.mkString("/"))
+      .flatMap { case (parentRel, rs) =>
+        val parent =
+          if (parentRel.isEmpty) new Path(dir)
+          else new Path(s"$dir/$parentRel")
+        val byName = fs.listStatus(parent).iterator
+          .map(st => st.getPath.getName -> st.getLen).toMap
+        rs.map(r => r -> byName(r.split("/").last))
+      }
     val slices = files.sorted.map { rel => // partition-key path order
       val segs = rel.split("/").init.collect {
         case s if s.contains("=") =>
@@ -232,7 +268,7 @@ private[graft] class SnapshotMicroBatchStream(dir: String,
         partValue(segs.get(c), dt) }.toArray
       val p = new Path(s"$dir/$rel")
       SnapshotFileSlice(fs.makeQualified(p).toString,
-        fs.getFileStatus(p).getLen, values,
+        lenOf(rel), values,
         doomedOf.getOrElse(rel, Array.empty))
     }
     // bin-pack path-ordered (≈ partition-ordered) files to the
