@@ -308,11 +308,36 @@ object SnapshotTable {
     ref
   }
 
+  /** Parsed-root cache. A root is immutable once CAS-published, but
+    * [[truncateTo]]/[[vacuum]] delete roots and a truncated version
+    * number can be re-committed with different content — so every hit
+    * revalidates against one `getFileStatus` (existence + (length,
+    * mtime) token), keeping the per-call cost O(1) instead of
+    * O(manifest bytes) while staying exact under deletion and
+    * re-creation. Without this, every snapshotLog/history walk
+    * re-parses O(versions × files) manifest text — measured 0.20 →
+    * 0.77 s on q_snapshot_history at 10× data when commit.ts reads
+    * were added. */
+  private val rootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Root)]()
+
+  private[graft] def invalidateRoots(tableDir: String): Unit = {
+    val prefix = rootPath(tableDir, 1).getParent.toString
+    rootCache.keySet.removeIf(_.startsWith(prefix))
+  }
+
   private def rootOption(spark: SparkSession, tableDir: String, v: Int)
       : Option[Root] = {
     val p = rootPath(tableDir, v)
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) return None
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val cacheKey = p.toString
+    val hit = rootCache.get(cacheKey)
+    if (hit != null && hit._1 == st.getLen &&
+        hit._2 == st.getModificationTime)
+      return Some(hit._3)
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val lines = text.linesIterator.toSeq
@@ -342,10 +367,13 @@ object SnapshotTable {
       // raw keys this engine ever wrote ([A-Za-z0-9._-]+)
       dec(k) -> dec(v2)
     }.toMap
-    Some(Root(meta("version").toInt, meta("parent").toInt, meta("op"),
-      meta.get("schema").map(dec), chunks,
+    val root = Root(meta("version").toInt, meta("parent").toInt,
+      meta("op"), meta.get("schema").map(dec), chunks,
       meta.get("partcols").map(_.split(",").toSeq)
-        .getOrElse(IncrementalGold.PartCols), extra, deletes, posDeletes))
+        .getOrElse(IncrementalGold.PartCols), extra, deletes, posDeletes)
+    if (rootCache.size > 4096) rootCache.clear()
+    rootCache.put(cacheKey, (st.getLen, st.getModificationTime, root))
+    Some(root)
   }
 
   private def readRoot(spark: SparkSession, tableDir: String, v: Int): Root =
@@ -1893,6 +1921,7 @@ object SnapshotTable {
               fs.delete(b.getPath, true)
           }
       }
+    invalidateRoots(tableDir) // free the deleted roots' cache entries
     doomed
   }
 
@@ -1953,6 +1982,7 @@ object SnapshotTable {
     listRefs(spark, tableDir).foreach { case (name, rv) =>
       if (rv > v) dropRef(spark, tableDir, name)
     }
+    invalidateRoots(tableDir) // free the deleted roots' cache entries
   }
 
   /** Explicitly rewrite the manifest level: merge ALL chunks into

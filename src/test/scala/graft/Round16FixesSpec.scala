@@ -91,6 +91,25 @@ class Round16FixesSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 2400)
   }
 
+  test("root cache revalidates: truncate + recommit never serves a stale root") {
+    val dir = s"$base/root_cache"
+    wipe(dir)
+    val mk = (tag: String) => (0 until 100).map(i =>
+        (s"$tag$i", tag, i * 1.0, 2000, 1))
+      .toDF("claim_id", "batch_id", "claim_amount", "service_year",
+        "service_month")
+    SnapshotTable.append(spark, dir, mk("A"))
+    SnapshotTable.append(spark, dir, mk("B")) // v2, now cached
+    assert(SnapshotTable.read(spark, dir).count() == 200)
+    // delete v2 and re-commit the SAME version number with new content
+    SnapshotTable.truncateTo(spark, dir, 1)
+    SnapshotTable.append(spark, dir, mk("C")) // a different v2
+    val batches = SnapshotTable.read(spark, dir)
+      .select("batch_id").distinct().collect().map(_.getString(0)).toSet
+    assert(batches == Set("A", "C"),
+      s"stale root served after truncate+recommit: $batches")
+  }
+
   test("rebalance = false preserves a deliberately fanned layout") {
     val dir = s"$base/writer_optout"
     wipe(dir)
