@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           usage, ""),
         builder))
     }
+    tableFns.foreach { case (name, usage, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+          usage, ""),
+        builder))
+    }
   }
 }
 
@@ -88,6 +94,92 @@ object GraftExtensions {
       args => { arity(args, 2, "graft_bounded_collect_set")
         BoundedCollectSet(args.head, litInt(args(1), "max")) }))
 
+  private def litStr(e: Expression, what: String): String = e match {
+    case f if f.foldable &&
+        f.dataType == org.apache.spark.sql.types.StringType =>
+      f.eval() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case null => throw new IllegalArgumentException(
+          s"$what must not be NULL")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$what must be a STRING literal, got $other")
+  }
+
+  /** TABLE functions (`SELECT * FROM graft_table_at(...)`) — the SQL
+    * surface of the snapshot table's time-travel / CDC / pruned-read
+    * machinery, so verbatim-SQL users reach what the Scala API's
+    * `read(version)`, `readAsOf(ts)`, `changeRowsBetween` and
+    * `readWhere` reach (Trino/Delta's `FOR VERSION AS OF` /
+    * `table_changes(...)` parity). Arguments must be literals: they
+    * resolve a MANIFEST at plan time, exactly like the Scala
+    * parameters. `graft_read_where` takes its predicate as a SQL
+    * string and plans partition + zone + Bloom file skipping from it —
+    * a plain `WHERE` over `graft_table_at` cannot reach manifest-level
+    * pruning, which is the entire point of that entry. */
+  private[graft] val tableFns
+      : Seq[(String, String, Seq[Expression] => org.apache.spark.sql
+        .catalyst.plans.logical.LogicalPlan)] = {
+    import graft.operators.SnapshotTable
+    def active = org.apache.spark.sql.SparkSession.active
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed
+    Seq(
+      ("graft_table_at",
+        "graft_table_at(dir[, version_or_ts]) - snapshot table read: " +
+          "latest, at an INT version, or as-of a timestamp string.",
+        args => {
+          if (args.isEmpty || args.length > 2)
+            throw new IllegalArgumentException(
+              "graft_table_at expects (dir[, version_or_ts])")
+          val dir = litStr(args.head, "graft_table_at dir")
+          val df =
+            if (args.length == 1) SnapshotTable.read(active, dir)
+            else args(1).dataType match {
+              case org.apache.spark.sql.types.IntegerType =>
+                SnapshotTable.read(active, dir,
+                  Some(litInt(args(1), "graft_table_at version")))
+              case _ =>
+                val ts = java.sql.Timestamp.valueOf(
+                  litStr(args(1), "graft_table_at ts")
+                    .replace("T", " "))
+                SnapshotTable.readAsOf(active, dir, ts.getTime)
+            }
+          planOf(df)
+        }),
+      ("graft_table_changes",
+        "graft_table_changes(dir, from_version, to_version) - the " +
+          "row-level change feed (insert/delete markers with exact " +
+          "pre-images) between two versions.",
+        args => {
+          arity(args, 3, "graft_table_changes")
+          planOf(SnapshotTable.changeRowsBetween(active,
+            litStr(args.head, "graft_table_changes dir"),
+            litInt(args(1), "graft_table_changes from"),
+            litInt(args(2), "graft_table_changes to")))
+        }),
+      ("graft_read_where",
+        "graft_read_where(dir, predicate_sql[, version]) - predicate-" +
+          "pruned read: partition + zone + Bloom file skipping derived " +
+          "from the predicate, which also applies row-level.",
+        args => {
+          if (args.length < 2 || args.length > 3)
+            throw new IllegalArgumentException(
+              "graft_read_where expects (dir, predicate_sql[, version])")
+          val dir = litStr(args.head, "graft_read_where dir")
+          val pred = org.apache.spark.sql.functions.expr(
+            litStr(args(1), "graft_read_where predicate_sql"))
+          val v =
+            if (args.length == 3)
+              Some(litInt(args(2), "graft_read_where version"))
+            else None
+          planOf(SnapshotTable.readWhere(active, dir, pred, v))
+        }))
+  }
+
   /** Names, for registration tests. */
   private[graft] def names: Seq[String] = fns.map(_._1)
+
+  /** Table-function names, for registration tests. */
+  private[graft] def tableNames: Seq[String] = tableFns.map(_._1)
 }

@@ -3430,6 +3430,19 @@ WHERE rn = 1 ORDER BY claim_id"""
     // (same fixture traffic, same window) — one oracle serves both
     "q_stream_change_feed" -> changeFeedSql,
 
+    // bulk (GDPR-scale) erasure streamed row-level: one deleteWhere
+    // erases every claim ≤ 300k, the stream spills its pre-image
+    // positions to the executor-readable cache (tiny preImageEmbedMax
+    // forces that path at every SF) — the oracle recomputes the erased
+    // set's exact pre-images from the raw chain, proving the spilled
+    // path emits exactly what the embedded path would
+    "q_cdc_bulk_erase" -> s"""$ClaimsCte
+SELECT claim_id, '20240101_000000' AS batch_id, claim_amount,
+  service_year, service_month, 'delete' AS _change_type
+FROM silver
+WHERE claim_amount <= 300000.0
+ORDER BY claim_id""",
+
     // the streaming source over a table taking MERGE-ON-READ traffic
     // (round-15): a mergeMor upsert + a positional deleteWhere purge,
     // then a fresh backfill — the oracle replays the latest-wins merge
@@ -3455,6 +3468,12 @@ WHERE rn = 1 ORDER BY claim_id"""
     // replication chain: apply-feed commits are row-monotone, so a
     // mirror-of-the-mirror (two CDC hops) equals the source exactly
     "q_replicate_chain" -> mergedMinusPurgeSql,
+
+    // replication THROUGH maintenance: the follower streams each
+    // row-monotone leg, overwrites the rewrite-touched partitions at
+    // every maintain() commit, resumes after — the mirror must still
+    // equal the source's final content (same final-state oracle)
+    "q_stream_replicate_maintained" -> mergedMinusPurgeSql,
 
     // the snapshot table as a native streaming SOURCE: offsets are
     // snapshot versions, each micro-batch a manifest diff — the oracle

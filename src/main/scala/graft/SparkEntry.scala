@@ -194,6 +194,9 @@ object SparkEntry {
     "q_bloom_lookup" -> SnapshotQueries.bloomLookupE2e _,
     "q_change_feed" -> SnapshotQueries.changeFeedE2e _,
     "q_stream_change_feed" -> SnapshotQueries.streamChangeFeedE2e _,
+    "q_cdc_bulk_erase" -> SnapshotQueries.cdcBulkEraseE2e _,
+    "q_stream_replicate_maintained" ->
+      SnapshotQueries.streamReplicateMaintainedE2e _,
     "q_stream_replicate" -> SnapshotQueries.streamReplicateE2e _,
     "q_maintain" -> SnapshotQueries.maintainE2e _,
     // round-16 additions

@@ -1084,6 +1084,77 @@ object SnapshotQueries {
       .orderBy(col("claim_id"), col("_change_type"), col("batch_id"))
   }
 
+  /** `q_stream_replicate_maintained`: STREAMING REPLICATION THROUGH
+    * MAINTENANCE ([[SnapshotTable.followAvailableNow]]) — the source
+    * runs a real [[SnapshotTable.maintain]] pass (folding the merge's
+    * whole MoR debt = genuine rewrite commits) in the MIDDLE of the
+    * followed history, the exact event that kills a naive CDC stream
+    * loudly. The follower streams each row-monotone leg through the
+    * CDC source (`endVersion`-capped, one atomic applyChangeFeed
+    * commit per micro-batch), overwrites the rewrite-touched
+    * partitions with their truth at the rewrite, and resumes streaming
+    * after it. The query reads THE MIRROR; the DuckDB oracle
+    * recomputes the SOURCE's final content — equality proves the
+    * recipe converges exactly across maintenance. 100 TB shape: legs ∝
+    * change, recomputes ∝ partitions the maintenance touched. */
+  def streamReplicateMaintainedE2e(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    mergeMor(spark, tableDir, FixtureCache.movedBatch(spark, sfDir))
+    // a REAL maintenance pass mid-history: folds all the merge's
+    // delete debt — rewrite commits a live CDC stream cannot cross
+    maintain(spark, tableDir, morDebtRatio = 0.0)
+    deleteWhere(spark, tableDir, col("claim_amount") > 300000.0)
+    val base = s"target/stream_replicate_maintained/${leafOf(sfDir)}"
+    wipe(spark, base)
+    val mirror = s"$base/mirror"
+    append(spark, mirror, read(spark, tableDir, Some(1)),
+      statsColumns = Seq("claim_id"))
+    followAvailableNow(spark, tableDir, mirror, key = "claim_id",
+      workDir = s"$base/follow", fromVersion = 1)
+    keyCols(read(spark, mirror))
+  }
+
+  /** `q_cdc_bulk_erase`: a BULK (GDPR-scale) erasure streamed
+    * ROW-LEVEL through the CDC source — the workload that used to trip
+    * the driver position ceiling and refuse. One `deleteWhere` commit
+    * erases the bulk of the table (every claim ≤ 300k — the complement
+    * of the purge the other CDC fixtures use); the stream runs with a
+    * deliberately tiny `preImageEmbedMax` so the pre-image positions
+    * take the SPILLED path at every SF: they stay a DataFrame, land in
+    * a range-clustered executor-readable cache under the stream's
+    * checkpoint, and the delete splits carry cache-file REFS — driver
+    * memory O(files), no pacing, no refusal, regardless of how many
+    * rows the one commit erased. The DuckDB oracle recomputes the
+    * erased set's exact pre-images from the raw chain — row-level
+    * equality proves the spilled path emits exactly what the embedded
+    * path would. */
+  def cdcBulkEraseE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.configure(spark)
+    val tableDir = keyClusteredBase(spark, sfDir)
+    truncateTo(spark, tableDir, 1)
+    deleteWhere(spark, tableDir, col("claim_amount") <= 300000.0)
+    val base = s"target/cdc_bulk_erase/${leafOf(sfDir)}"
+    wipe(spark, base)
+    val q = spark.readStream.format("graft-snapshot-cdc")
+      .option("path", tableDir).option("startVersion", "1")
+      .option("preImageEmbedMax", "100") // force the spilled path
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .select(col("claim_id"), col("batch_id"), col("claim_amount"),
+        col("service_year"), col("service_month"), col("_change_type"))
+      .orderBy(col("claim_id"))
+  }
+
   /** `q_stream_replicate`: STREAMING TABLE REPLICATION — the CDC
     * source composed with the idempotent feed apply
     * ([[SnapshotTable.applyChangeFeed]]): a mirror BOOTSTRAPPED from a

@@ -312,14 +312,35 @@ object SnapshotTable {
     * [[truncateTo]]/[[vacuum]] delete roots and a truncated version
     * number can be re-committed with different content — so every hit
     * revalidates against one `getFileStatus` (existence + (length,
-    * mtime) token), keeping the per-call cost O(1) instead of
-    * O(manifest bytes) while staying exact under deletion and
-    * re-creation. Without this, every snapshotLog/history walk
+    * mtime) token) PLUS the root's per-commit `uid` first line
+    * (confirmed with a 64-byte pread), keeping the per-call cost O(1)
+    * instead of O(manifest bytes) while staying exact under deletion
+    * and re-creation — including a cross-process truncate+re-commit
+    * that lands an identical byte length inside the store's mtime
+    * granularity, which the (length, mtime) token alone cannot see.
+    * Legacy roots without a uid line keep the (length, mtime)-only
+    * check. Without this cache, every snapshotLog/history walk
     * re-parses O(versions × files) manifest text — measured 0.20 →
     * 0.77 s on q_snapshot_history at 10× data when commit.ts reads
     * were added. */
-  private val rootCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Root)]()
+  private val rootCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (Long, Long, String, Root)]()
+
+  /** The root's `uid=` first-line token, via one bounded pread —
+    * "" for pre-uid legacy roots (or anything unparseable, which then
+    * falls back to a full re-parse on the caller's side). */
+  private def headerUid(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      len: Long): String = {
+    val n = math.min(len, 64L).toInt
+    if (n <= 0) return ""
+    val buf = new Array[Byte](n)
+    val in = fs.open(p)
+    try in.readFully(0L, buf, 0, n)
+    catch { case _: java.io.IOException => return "" }
+    finally in.close()
+    val line = new String(buf, "UTF-8").takeWhile(_ != '\n')
+    if (line.startsWith("uid=")) line.drop(4) else ""
+  }
 
   private[graft] def invalidateRoots(tableDir: String): Unit = {
     val prefix = rootPath(tableDir, 1).getParent.toString
@@ -336,8 +357,9 @@ object SnapshotTable {
     val cacheKey = p.toString
     val hit = rootCache.get(cacheKey)
     if (hit != null && hit._1 == st.getLen &&
-        hit._2 == st.getModificationTime)
-      return Some(hit._3)
+        hit._2 == st.getModificationTime &&
+        (hit._3.isEmpty || headerUid(fs, p, st.getLen) == hit._3))
+      return Some(hit._4)
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val lines = text.linesIterator.toSeq
@@ -372,7 +394,8 @@ object SnapshotTable {
       meta.get("partcols").map(_.split(",").toSeq)
         .getOrElse(IncrementalGold.PartCols), extra, deletes, posDeletes)
     if (rootCache.size > 4096) rootCache.clear()
-    rootCache.put(cacheKey, (st.getLen, st.getModificationTime, root))
+    rootCache.put(cacheKey, (st.getLen, st.getModificationTime,
+      meta.getOrElse("uid", ""), root))
     Some(root)
   }
 
@@ -425,7 +448,13 @@ object SnapshotTable {
     fs.mkdirs(dir)
     val tmp = new Path(dir, s"_tmp_${java.util.UUID.randomUUID()}.txt")
     val dst = rootPath(tableDir, r.version)
-    val meta = Seq(s"version=${r.version}", s"parent=${r.parent}",
+    // uid FIRST LINE: a per-commit content token the root cache
+    // confirms with a 64-byte pread, so a truncate + re-commit that
+    // forges an identical (length, mtime) — possible cross-process,
+    // where this JVM's invalidateRoots can't reach, and widened by
+    // coarse-mtime stores — can never serve a stale parse
+    val meta = Seq(s"uid=${java.util.UUID.randomUUID()}",
+      s"version=${r.version}", s"parent=${r.parent}",
       s"op=${r.op}", "format=2",
       s"partcols=${r.partCols.mkString(",")}") ++
       r.schemaJson.map(j => s"schema=${enc(j)}")
@@ -2277,8 +2306,17 @@ object SnapshotTable {
     val ends = rewrites.map(_ - 1) :+ toVersion
     val feeds = starts.zip(ends).collect { case (a, b) if a < b =>
       // a sub-range with changes only in later-recomputed partitions
-      // can be legitimately empty — skip it instead of failing
-      try Some(changeRowsBetween(spark, tableDir, a, b))
+      // can be legitimately empty — skip it instead of failing.
+      // Each sub-feed is stamped with its sub-range's END version so
+      // the UNION keeps cross-sub-window ordering: a key inserted
+      // before a rewrite and deleted after it carries an older insert
+      // and a NEWER delete, and applyChangeFeed's latest-marker-wins
+      // resolution retires it instead of resurrecting the insert
+      // (within one sub-window the single-feed contract — inserts are
+      // visible-at-end — already holds, so one stamp per sub-feed is
+      // exact)
+      try Some(changeRowsBetween(spark, tableDir, a, b)
+        .withColumn("_commit_version", lit(b)))
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null &&
@@ -2405,17 +2443,42 @@ object SnapshotTable {
     * [[deletePositionsFor]]. */
   private[graft] def preImagePositionsAt(spark: SparkSession,
       tableDir: String, version: Int, maxPositions: Long = 2000000L)
-      : Map[String, Array[Long]] = {
+      : Map[String, Array[Long]] =
+    preImagePositionsFrame(spark, tableDir, version) match {
+      case None => Map.empty
+      case Some(frame) =>
+        val pre = frame.persist()
+        try {
+          val n = pre.count()
+          if (n > maxPositions) throw new UnsupportedOperationException(
+            s"change feed at $tableDir v$version: the commit erased $n " +
+              s"rows (> $maxPositions pre-image positions to ship) — " +
+              "consume this range through the batch feed " +
+              "(changeRowsBetween)")
+          pre.collect().groupBy(_.getString(0)).view
+            .mapValues(_.map(_.getLong(1)).sorted).toMap
+        } finally { pre.unpersist(); () }
+    }
+
+  /** [[preImagePositionsAt]]'s DISTRIBUTED core: the (table-relative
+    * path, in-file row index) pairs as a DataFrame `(__rel string,
+    * __ri long)`, never collected — what the streaming CDC source
+    * spills to an executor-readable positions cache when a commit's
+    * erasure exceeds the driver embed budget, so one bulk (GDPR-scale)
+    * delete streams row-level instead of refusing. None when the
+    * commit carries no new delete refs. */
+  private[graft] def preImagePositionsFrame(spark: SparkSession,
+      tableDir: String, version: Int): Option[DataFrame] = {
     require(version >= 2, s"no parent at v$version") // v1 has no deletes
     val root = readRoot(spark, tableDir, version)
-    if (root.op == "consolidate-pos-deletes") return Map.empty
+    if (root.op == "consolidate-pos-deletes") return None
     val parentRoot = readRoot(spark, tableDir, version - 1)
     val prevNames =
       (parentRoot.deletes.map(_.name) ++
         parentRoot.posDeletes.map(_.name)).toSet
     val newEq = root.deletes.filterNot(d => prevNames.contains(d.name))
     val newPos = root.posDeletes.filterNot(d => prevNames.contains(d.name))
-    if (newEq.isEmpty && newPos.isEmpty) return Map.empty
+    if (newEq.isEmpty && newPos.isEmpty) return None
     val posFrames = newPos.map(d => spark.read
       .parquet(s"$tableDir/_snapshots/${d.name}")
       .select(col("__rel"), col("__ri")))
@@ -2436,18 +2499,9 @@ object SnapshotTable {
       }
     }
     val frames = posFrames ++ eqFrames
-    if (frames.isEmpty) return Map.empty
-    val pre = frames.reduce(_.unionByName(_)).distinct()
-      .select(col("__rel"), col("__ri").cast("long")).persist()
-    try {
-      val n = pre.count()
-      if (n > maxPositions) throw new UnsupportedOperationException(
-        s"change feed at $tableDir v$version: the commit erased $n rows " +
-          s"(> $maxPositions pre-image positions to ship) — consume " +
-          "this range through the batch feed (changeRowsBetween)")
-      pre.collect().groupBy(_.getString(0)).view
-        .mapValues(_.map(_.getLong(1)).sorted).toMap
-    } finally { pre.unpersist(); () }
+    if (frames.isEmpty) None
+    else Some(frames.reduce(_.unionByName(_)).distinct()
+      .select(col("__rel"), col("__ri").cast("long").as("__ri")))
   }
 
   /** Manifest-level pruned read: exactly the live files under the given
@@ -3175,11 +3229,15 @@ object SnapshotTable {
     // rows' staged write); un-persisted, each consumer re-runs the
     // whole CDC scan including delete pre-image reconstruction.
     // A change feed is O(window's change), never O(table), so caching
-    // it is bounded by design (measured: halves the apply at sf0.1)
-    feed.persist()
+    // it is bounded by design (measured: halves the apply at sf0.1).
+    // Only manage the cache we added: evicting a caller's own persist
+    // would silently degrade their downstream reuse.
+    val mine = feed.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    if (mine) feed.persist()
     try applyChangeFeedCached(spark, tableDir, feed, key, statsColumns,
       debtRatio)
-    finally feed.unpersist(false)
+    finally if (mine) feed.unpersist(false)
   }
 
   private def applyChangeFeedCached(spark: SparkSession, tableDir: String,
@@ -3194,8 +3252,26 @@ object SnapshotTable {
       else {
         val w = Window.partitionBy(col(key))
           .orderBy(col("_commit_version").desc)
-        inserts0.withColumn("__rn", row_number().over(w))
+        val latestIns = inserts0.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
+        // latest-marker-wins ACROSS change types: a key whose newest
+        // marker is a DELETE must not be re-inserted. A multi-sub-
+        // window feed (changeRowsOrRecompute's union, or concatenated
+        // CDC drains) carries an older insert and a newer delete for a
+        // key retired after a rewrite; re-adding every insert key
+        // after the delete ref would resurrect it. Ties (an update's
+        // same-commit delete pre-image + insert post-image) keep the
+        // insert. Unstamped markers (null version) keep the legacy
+        // insert-wins behavior — single-window feeds are already
+        // visible-at-end by contract.
+        val delV = feed.filter(col("_change_type") === "delete")
+          .groupBy(col(key))
+          .agg(max(col("_commit_version")).as("__max_del_v"))
+        latestIns.join(delV, Seq(key), "left_outer")
+          .filter(col("__max_del_v").isNull ||
+            col("_commit_version").isNull ||
+            col("_commit_version") >= col("__max_del_v"))
+          .drop("__max_del_v")
       }
     val insRows = inserts.select(rowCols.map(col): _*)
     val delKeys = feed.filter(col("_change_type") === "delete")
@@ -3223,6 +3299,76 @@ object SnapshotTable {
       None, Some(insRows.schema), deletesOf = deletesOf)
     debtRatio.foreach(r => autoCompactMor(spark, tableDir, r))
     committed
+  }
+
+  /** REPLICATION THROUGH MAINTENANCE — the composition the CDC
+    * stream's loud rewrite failure tells consumers to hand-roll, now a
+    * recipe: catch the mirror at `mirrorDir` up to `srcDir`'s latest
+    * version by STREAMING every maximal row-monotone commit leg
+    * through the CDC source (`endVersion` caps each leg; one atomic
+    * [[applyChangeFeed]] commit per micro-batch), and at every rewrite
+    * commit (compaction, z-order, COW overwrite — what [[maintain]]
+    * emits) overwriting the rewrite-touched partitions with their
+    * content at that commit, then resuming the stream after it. The
+    * sequential order makes convergence exact: a leg's row markers
+    * apply before the next rewrite's partition truth, which applies
+    * before the following leg's markers. Leg checkpoints are
+    * deterministic under `workDir`, so a crashed follower re-run
+    * drains already-done legs as empty and re-applies recomputes
+    * idempotently (overwrite of identical content) — at-least-once
+    * driving, exactly-once content. Cost: streamed legs ∝ change,
+    * recomputes ∝ partitions each rewrite touched — never ∝ table. A
+    * rewrite touching files outside the partition layout fails loudly,
+    * as in [[changeRowsOrRecompute]]. Returns the source version the
+    * mirror now reflects. */
+  def followAvailableNow(spark: SparkSession, srcDir: String,
+      mirrorDir: String, key: String, workDir: String,
+      fromVersion: Int, statsColumns: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.streaming.Trigger
+    val target = latestVersion(spark, srcDir)
+    if (target <= fromVersion) return target
+    val rewrites = ((fromVersion + 1) to target)
+      .filter(v => !rowMonotoneOp(readRoot(spark, srcDir, v).op))
+    rewrites.foreach { v =>
+      val before = resolveFiles(spark, srcDir,
+        readRoot(spark, srcDir, v - 1)).toSet
+      val after = resolveFiles(spark, srcDir,
+        readRoot(spark, srcDir, v)).toSet
+      val unhomed = ((after -- before) ++ (before -- after))
+        .filter(partitionOf(_).isEmpty)
+      if (unhomed.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"followAvailableNow at $srcDir: rewrite commit v$v touches " +
+            s"${unhomed.size} file(s) outside the year/month partition " +
+            "layout — no partition-shaped recompute exists; re-mirror " +
+            "the table instead")
+    }
+    val starts = fromVersion +: rewrites
+    val ends = rewrites.map(_ - 1) :+ target
+    starts.zip(ends).zipWithIndex.foreach { case ((a, b), i) =>
+      if (i > 0) { // `a` IS the i-th rewrite commit: partition truth first
+        val parts = changedPartitionsBetween(spark, srcDir, a - 1, a)
+        if (parts.nonEmpty)
+          overwritePartitions(spark, mirrorDir,
+            readPartitions(spark, srcDir, parts, Some(a)), Some(parts))
+      }
+      if (a < b) {
+        val q = spark.readStream.format("graft-snapshot-cdc")
+          .option("path", srcDir)
+          .option("startVersion", a.toString)
+          .option("endVersion", b.toString)
+          .load()
+          .writeStream
+          .foreachBatch { (mb: DataFrame, _: Long) =>
+            applyChangeFeed(spark, mirrorDir, mb, key, statsColumns); ()
+          }
+          .option("checkpointLocation", s"$workDir/leg_${a}_$b")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    target
   }
 
   // ------------------------------------------------------------------

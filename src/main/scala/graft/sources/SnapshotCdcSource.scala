@@ -79,7 +79,10 @@ class SnapshotCdcProvider extends TableProvider with DataSourceRegister {
     new SnapshotCdcTable(opts.getOrElse("path",
       throw new IllegalArgumentException("missing path")), schema,
       opts.get("startVersion").map(_.toInt).getOrElse(0),
-      opts.get("maxVersionsPerBatch").map(_.toInt))
+      opts.get("maxVersionsPerBatch").map(_.toInt),
+      opts.get("preImageEmbedMax").map(_.toLong)
+        .getOrElse(SnapshotCdc.DefaultEmbedMax),
+      opts.get("endVersion").map(_.toInt))
   }
 }
 
@@ -91,10 +94,21 @@ private[sources] object SnapshotCdc {
     StructField(CommitVersion, IntegerType, nullable = false))
   def isExtra(name: String): Boolean =
     name == ChangeType || name == CommitVersion
+  /** Driver embed budget for pre-image positions per micro-batch;
+    * commits beyond it SPILL their positions to an executor-readable
+    * cache instead of failing (`.option("preImageEmbedMax", n)`). */
+  val DefaultEmbedMax = 2000000L
+  /** The spilled positions cache's schema — what
+    * [[graft.operators.SnapshotTable.preImagePositionsFrame]] yields. */
+  val PosCacheSchema: StructType = StructType(Seq(
+    StructField("__rel", StringType, nullable = false),
+    StructField("__ri", LongType, nullable = false)))
 }
 
 private[sources] class SnapshotCdcTable(dir: String, schema0: StructType,
-    startVersion: Int, maxVersionsPerBatch: Option[Int] = None)
+    startVersion: Int, maxVersionsPerBatch: Option[Int] = None,
+    preImageEmbedMax: Long = SnapshotCdc.DefaultEmbedMax,
+    endVersion: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot-cdc:`$dir`"
   override def schema(): StructType = schema0
@@ -103,12 +117,13 @@ private[sources] class SnapshotCdcTable(dir: String, schema0: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new SnapshotCdcScanBuilder(dir, schema0, startVersion,
-      maxVersionsPerBatch)
+      maxVersionsPerBatch, preImageEmbedMax, endVersion)
 }
 
 private[sources] class SnapshotCdcScanBuilder(dir: String,
     full: StructType, startVersion: Int,
-    maxVersionsPerBatch: Option[Int])
+    maxVersionsPerBatch: Option[Int], preImageEmbedMax: Long,
+    endVersion: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -116,39 +131,59 @@ private[sources] class SnapshotCdcScanBuilder(dir: String,
   }
   override def build(): Scan =
     new SnapshotCdcScan(dir, full, required, startVersion,
-      maxVersionsPerBatch)
+      maxVersionsPerBatch, preImageEmbedMax, endVersion)
 }
 
 private[sources] class SnapshotCdcScan(dir: String, full: StructType,
     required: StructType, startVersion: Int,
-    maxVersionsPerBatch: Option[Int]) extends Scan {
+    maxVersionsPerBatch: Option[Int], preImageEmbedMax: Long,
+    endVersion: Option[Int])
+    extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-snapshot-cdc $dir [${required.fieldNames.mkString(",")}]"
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new SnapshotCdcMicroBatchStream(dir, full, required, startVersion,
-      maxVersionsPerBatch)
+      maxVersionsPerBatch, preImageEmbedMax,
+      Some(checkpointLocation).filter(_.nonEmpty), endVersion)
 }
 
 /** One file slice of a CDC batch. `keep` inverts the positions'
   * meaning: false = `positions` are SKIPPED (insert slices carrying
   * MoR-doomed rows), true = ONLY `positions` are emitted (delete
-  * slices — the pre-images). */
+  * slices — the pre-images). A delete slice whose commit's erasure
+  * exceeded the driver embed budget carries `posRefs` — the spilled
+  * positions-cache parquet files covering `rel` — instead of embedded
+  * `positions`: the reader loads its own file's row indices
+  * EXECUTOR-side, so driver memory stays O(files) regardless of how
+  * many rows one commit erased. */
 private[graft] case class CdcFileSlice(absPath: String, length: Long,
     partValues: Array[Any], positions: Array[Long], keep: Boolean,
-    changeType: String, commitVersion: Int)
+    changeType: String, commitVersion: Int, rel: String = "",
+    posRefs: Seq[(String, Long)] = Nil)
 
 private[graft] case class CdcInputPartition(slices: Seq[CdcFileSlice])
     extends InputPartition
 
 private[graft] class SnapshotCdcMicroBatchStream(dir: String,
     full: StructType, required: StructType, startVersion: Int,
-    maxVersionsPerBatch: Option[Int] = None)
+    maxVersionsPerBatch: Option[Int] = None,
+    preImageEmbedMax: Long = SnapshotCdc.DefaultEmbedMax,
+    checkpointLocation: Option[String] = None,
+    endVersion: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val spark = SparkSession.active
   @volatile private var availableNowTarget: Option[Int] = None
+
+  /** Spilled pre-image positions live under the stream's OWN
+    * checkpoint (executor-readable by the same shared-storage contract
+    * checkpoints already require), so their lifecycle is the stream's:
+    * dirs for committed batches are dropped in [[commit]], everything
+    * in [[stop]], and a restart's replanned batch overwrites. */
+  private val cacheRoot: Option[String] =
+    checkpointLocation.map(c => s"$c/graft_cdc_pre")
 
   private def tableFields: Array[StructField] =
     full.fields.filterNot(f => SnapshotCdc.isExtra(f.name))
@@ -160,11 +195,36 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
   override def initialOffset(): Offset = SnapshotOffset(startVersion)
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset.parse(json)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+
+  private def dropCacheDirs(keep: Int => Boolean): Unit =
+    cacheRoot.foreach { root =>
+      try {
+        val p = new Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p))
+          fs.listStatus(p).foreach { st =>
+            val name = st.getPath.getName
+            if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+                !keep(name.drop(1).toInt))
+              fs.delete(st.getPath, true)
+          }
+      } catch { case _: java.io.IOException => () }
+    }
+
+  override def commit(end: Offset): Unit =
+    dropCacheDirs(v => v > end.asInstanceOf[SnapshotOffset].version)
+  override def stop(): Unit = dropCacheDirs(_ => false)
+
+  /** `.option("endVersion", v)` caps the feed at commit `v` — what
+    * lets a follower drain EXACTLY one row-monotone leg between two
+    * rewrite commits (the through-maintenance replication recipe,
+    * [[SnapshotTable.followAvailableNow]]). */
+  private def capEnd(v: Int): Int =
+    endVersion.fold(v)(math.min(v, _))
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(SnapshotTable.latestVersion(spark, dir))
+    availableNowTarget =
+      Some(capEnd(SnapshotTable.latestVersion(spark, dir)))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -173,7 +233,7 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
     * changelog replay is paced, not one table-sized batch. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = availableNowTarget.getOrElse(
-      SnapshotTable.latestVersion(spark, dir))
+      capEnd(SnapshotTable.latestVersion(spark, dir)))
     val capped = (maxVersionsPerBatch, Option(start)) match {
       case (Some(m), Some(s)) =>
         math.min(target, s.asInstanceOf[SnapshotOffset].version + m)
@@ -231,19 +291,21 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // per-version walk: validate row-monotonicity, track added files
-    // per commit (for _commit_version), collect delete pre-images.
-    // The pre-image positions accumulate on the DRIVER, and
-    // preImagePositionsAt's cap is per COMMIT — a deep window (far
-    // startVersion, no maxVersionsPerBatch) could hold versions × cap
-    // positions, so an AGGREGATE budget guards the batch as a whole,
-    // failing loudly toward pacing (same posture as the per-commit cap).
-    val maxBatchPositions = 2000000L
-    var batchPositions = 0L
+    // per commit (for _commit_version), plan delete pre-images.
+    // Small erasures EMBED their positions in the splits (no extra
+    // IO); once the batch's embedded total would exceed the driver
+    // budget, a commit's positions SPILL to an executor-readable
+    // range-clustered parquet cache and its splits carry file REFS —
+    // so one bulk (GDPR-scale) erasure streams row-level with driver
+    // memory O(files), no pacing, no refusal.
+    var embedded = 0L
     var prevFiles =
       if (from == 0) Set.empty[String]
       else SnapshotTable.manifest(spark, dir, from).files.toSet
     val inserts = Seq.newBuilder[(String, Int)] // (rel, version added)
     val deletes = Seq.newBuilder[(String, Array[Long], Int)]
+    // (rel, version, covering positions-cache files)
+    val spilled = Seq.newBuilder[(String, Int, Seq[(String, Long)])]
     ((from + 1) to to).foreach { v =>
       val m = SnapshotTable.manifest(spark, dir, v) // loud if vacuumed
       if (!SnapshotTable.rowMonotoneOp(m.op))
@@ -256,29 +318,43 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
         inserts += ((rel, v)))
       prevFiles = cur
       if (v >= 2)
-        SnapshotTable.preImagePositionsAt(spark, dir, v).toSeq
-          .sortBy(_._1).foreach { case (rel, pos) =>
-            batchPositions += pos.length
-            if (batchPositions > maxBatchPositions)
-              throw new IllegalStateException(
-                s"graft-snapshot-cdc at $dir: batch v$from..v$to " +
-                  s"accumulates >$maxBatchPositions delete pre-image " +
-                  "positions on the driver — pace the stream with " +
-                  ".option(\"maxVersionsPerBatch\", n) or consume the " +
-                  "range with the batch feed (changeRowsBetween) " +
-                  "version by version")
-            deletes += ((rel, pos, v))
-          }
+        SnapshotTable.preImagePositionsFrame(spark, dir, v).foreach {
+          frame =>
+            val pre = frame.persist()
+            try {
+              val n = pre.count()
+              if (n == 0) ()
+              else if (embedded + n <= preImageEmbedMax) {
+                embedded += n
+                pre.collect().groupBy(_.getString(0)).toSeq.sortBy(_._1)
+                  .foreach { case (rel, rows) =>
+                    deletes += ((rel, rows.map(_.getLong(1)).sorted, v))
+                  }
+              } else cacheRoot match {
+                case Some(root) =>
+                  spillPositions(pre, n, s"$root/v$v", v).foreach(s =>
+                    spilled += s)
+                case None => throw new IllegalStateException(
+                  s"graft-snapshot-cdc at $dir: batch v$from..v$to " +
+                    s"holds >$preImageEmbedMax delete pre-image " +
+                    "positions and no checkpoint location exists to " +
+                    "spill them — pace with " +
+                    ".option(\"maxVersionsPerBatch\", n)")
+              }
+            } finally { pre.unpersist(); () }
+        }
     }
     val added = inserts.result()
     val delList = deletes.result()
+    val spilledList = spilled.result()
     // inserts stream as visible at `to`: live MoR deletes reaching the
     // added files ship their doomed positions with the split
     val doomedOf = SnapshotTable.deletePositionsFor(spark, dir, to,
       added.map(_._1))
     // file lengths in one listStatus per PARTITION DIRECTORY instead of
     // one getFileStatus RPC per slice (a wide window touches thousands)
-    val rels = (added.map(_._1) ++ delList.map(_._1)).distinct
+    val rels = (added.map(_._1) ++ delList.map(_._1) ++
+      spilledList.map(_._1)).distinct
     val lenOf: Map[String, Long] = rels
       .groupBy(_.split("/").init.mkString("/"))
       .flatMap { case (parentRel, rs) =>
@@ -287,7 +363,11 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
           else new Path(s"$dir/$parentRel")
         val byName = fs.listStatus(parent).iterator
           .map(st => st.getPath.getName -> st.getLen).toMap
-        rs.map(r => r -> byName(r.split("/").last))
+        // a planned file vanished between manifest read and listing
+        // (concurrent vacuum): fail with the full path, as the per-file
+        // getFileStatus this replaced did — not a bare key-not-found
+        rs.map(r => r -> byName.getOrElse(r.split("/").last,
+          throw new java.io.FileNotFoundException(s"$dir/$r")))
       }
     def sliceOf(rel: String, positions: Array[Long], keep: Boolean,
         changeType: String, v: Int): CdcFileSlice = {
@@ -298,10 +378,14 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
       val values = pcs.map { case (c, dt) =>
         partValue(segs.get(c), dt) }.toArray
       CdcFileSlice(fs.makeQualified(new Path(s"$dir/$rel")).toString,
-        lenOf(rel), values, positions, keep, changeType, v)
+        lenOf(rel), values, positions, keep, changeType, v, rel)
     }
     val deleteSlices = delList.map { case (rel, pos, v) =>
       sliceOf(rel, pos, keep = true, "delete", v)
+    }
+    val spilledSlices = spilledList.map { case (rel, v, refs) =>
+      sliceOf(rel, Array.empty, keep = true, "delete", v)
+        .copy(posRefs = refs)
     }
     val insertSlices = added.map { case (rel, v) =>
       sliceOf(rel, doomedOf.getOrElse(rel, Array.empty), keep = false,
@@ -321,7 +405,54 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
       cur :+= s; curBytes += s.length
     }
     if (cur.nonEmpty) bins += CdcInputPartition(cur)
+    // spilled slices bin by CACHE FILE: every slice in the bin shares
+    // its posRefs, so the reader loads each cache file ONCE and serves
+    // all its rels from memory bounded by the cache file's target size
+    // (~250k positions) — parallelism scales with the erasure, read
+    // amplification stays 1×
+    spilledSlices.groupBy(_.posRefs).toSeq.sortBy(_._2.head.rel)
+      .foreach { case (_, g) => bins += CdcInputPartition(g.sortBy(_.rel)) }
     bins.result().toArray
+  }
+
+  /** Write one commit's pre-image positions to an EXECUTOR-readable
+    * cache: range-clustered and sorted by (`__rel`, `__ri`) into
+    * ~250k-position files, so each reader bin loads one bounded cache
+    * file. Returns (rel, version, covering cache files) per affected
+    * data file — O(files) driver state, never O(positions). */
+  private def spillPositions(pre: org.apache.spark.sql.DataFrame,
+      n: Long, cacheDir: String, v: Int)
+      : Seq[(String, Int, Seq[(String, Long)])] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val k = math.max(1L, math.min(n / 250000L + 1L, 10000L)).toInt
+    pre.repartitionByRange(k, col("__rel"), col("__ri"))
+      .sortWithinPartitions("__rel", "__ri")
+      .write.mode("overwrite").parquet(cacheDir)
+    val cp = new Path(cacheDir)
+    val cfs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byName = cfs.listStatus(cp).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.getName ->
+        (cfs.makeQualified(st.getPath).toString, st.getLen)).toMap
+    // per-cache-file (minRel, maxRel) in one small aggregation — the
+    // rel → covering-file map costs O(cache files) driver-side
+    val ranges = spark.read.schema(SnapshotCdc.PosCacheSchema)
+      .parquet(cacheDir)
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col("__rel")).as("mn"), max(col("__rel")).as("mx"))
+      .collect()
+      .map { r =>
+        val (p, len) = byName(r.getString(0).split("/").last)
+        (r.getString(1), r.getString(2), p, len)
+      }
+    val relList = pre.select(col("__rel")).distinct()
+      .collect().map(_.getString(0)).sorted
+    relList.toSeq.map { rel =>
+      val covering = ranges.iterator
+        .filter(rg => rg._1 <= rel && rel <= rg._2)
+        .map(rg => (rg._3, rg._4)).toSeq
+      (rel, v, covering)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -341,10 +472,13 @@ private[graft] class SnapshotCdcMicroBatchStream(dir: String,
       dataSchema, partReq, dataReq)
     val batchFunc = GraftSparkInternals.parquetBatchReaderFunc(spark,
       dataSchema, partReq, dataReq)
+    val posReadFunc = GraftSparkInternals.parquetReaderFunc(spark,
+      SnapshotCdc.PosCacheSchema, new StructType(),
+      SnapshotCdc.PosCacheSchema)
     new SnapshotCdcReaderFactory(readFunc, batchFunc, emitted, required,
       extraReq,
       pcs.zipWithIndex.filter { case (c, _) =>
-        partReq.fieldNames.contains(c) }.map(_._2).toArray)
+        partReq.fieldNames.contains(c) }.map(_._2).toArray, posReadFunc)
   }
 }
 
@@ -355,7 +489,9 @@ private[graft] class SnapshotCdcReaderFactory(
       org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
     emitted: StructType, required: StructType, extraReq: StructType,
-    partValueIdx: Array[Int])
+    partValueIdx: Array[Int],
+    posReadFunc: org.apache.spark.sql.execution.datasources
+      .PartitionedFile => Iterator[InternalRow] = null)
     extends PartitionReaderFactory {
 
   private def partRowOf(s: CdcFileSlice) =
@@ -427,16 +563,42 @@ private[graft] class SnapshotCdcReaderFactory(
       BoundReference(i, emitted(i).dataType, nullable = true)
     }.toIndexedSeq)
     val joined = new JoinedRow
+    // spilled pre-image positions: the bin's slices share their cache
+    // files, so load each ONCE into rel → sorted positions — executor
+    // memory is bounded by the cache file's target size, regardless of
+    // how many rows the whole commit erased
+    lazy val spilledPos: Map[String, Array[Long]] = {
+      val wanted = p.slices.iterator.filter(_.posRefs.nonEmpty)
+        .map(_.rel).toSet
+      val buf = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuilder.ofLong]
+      p.slices.flatMap(_.posRefs).distinct.foreach { case (path, len) =>
+        posReadFunc(GraftSparkInternals.partitionedFile(
+          new GenericInternalRow(0), path, len)).foreach { r =>
+            val rel = r.getUTF8String(0).toString
+            if (wanted.contains(rel))
+              buf.getOrElseUpdate(rel,
+                new scala.collection.mutable.ArrayBuilder.ofLong) +=
+                r.getLong(1)
+          }
+      }
+      buf.iterator.map { case (k, b) =>
+        val a = b.result(); java.util.Arrays.sort(a); k -> a
+      }.toMap
+    }
     val it = p.slices.iterator.flatMap { s =>
       val rows = readFunc(GraftSparkInternals.partitionedFile(
         partRowOf(s), s.absPath, s.length))
+      val pos =
+        if (s.posRefs.nonEmpty)
+          spilledPos.getOrElse(s.rel, Array.empty[Long])
+        else s.positions
       val filtered =
-        if (s.positions.isEmpty && !s.keep) rows
+        if (pos.isEmpty && !s.keep) rows
         else {
           // sequential decode order IS the parquet row index — the
           // same addressing the positional sidecars record
           var idx = -1L
-          val pos = s.positions
           rows.filter { _ =>
             idx += 1
             val hit = java.util.Arrays.binarySearch(pos, idx) >= 0

@@ -257,7 +257,11 @@ private[graft] class SnapshotMicroBatchStream(dir: String,
           else new Path(s"$dir/$parentRel")
         val byName = fs.listStatus(parent).iterator
           .map(st => st.getPath.getName -> st.getLen).toMap
-        rs.map(r => r -> byName(r.split("/").last))
+        // a planned file vanished between manifest read and listing
+        // (concurrent vacuum): fail with the full path, as the per-file
+        // getFileStatus this replaced did — not a bare key-not-found
+        rs.map(r => r -> byName.getOrElse(r.split("/").last,
+          throw new java.io.FileNotFoundException(s"$dir/$r")))
       }
     val slices = files.sorted.map { rel => // partition-key path order
       val segs = rel.split("/").init.collect {

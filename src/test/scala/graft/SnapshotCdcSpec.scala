@@ -211,6 +211,99 @@ class SnapshotCdcSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("row-level")))
   }
 
+  test("a bulk erasure beyond the embed budget streams row-level via the spilled positions cache") {
+    import graft.sources.{CdcInputPartition, SnapshotCdcMicroBatchStream, SnapshotOffset}
+    val dir = s"$base/bulk"
+    val io = s"$base/bulk_io"
+    wipe(dir); wipe(io)
+    SnapshotTable.append(spark, dir,
+      rows((1 to 40).map(i => f"K$i%02d"), "b1", 1.0)) // v1
+    SnapshotTable.deleteKeysMor(spark, dir,
+      (1 to 25).map(i => f"K$i%02d").toDF("claim_id")) // v2: 25 pre-images
+    // plan-level pin, budget 3 << 25: driver embeds NOTHING — delete
+    // slices carry cache refs only, so driver state is O(files)
+    val full = org.apache.spark.sql.types.StructType(
+      SnapshotTable.tableSchema(spark, dir).get.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val stream = new SnapshotCdcMicroBatchStream(dir, full, full, 0,
+      None, preImageEmbedMax = 3,
+      checkpointLocation = Some(s"$io/plan_ck"))
+    val parts = stream.planInputPartitions(SnapshotOffset(0),
+      SnapshotOffset(2))
+    val slices = parts
+      .flatMap(_.asInstanceOf[CdcInputPartition].slices)
+    val dels = slices.filter(_.changeType == "delete")
+    assert(dels.nonEmpty)
+    assert(dels.forall(s => s.positions.isEmpty && s.posRefs.nonEmpty),
+      "spilled delete slices must embed zero driver positions")
+    // end-to-end with the same tiny budget: the drained stream still
+    // equals the batch feed row-for-row — no pacing, no refusal
+    val q = spark.readStream.format("graft-snapshot-cdc")
+      .option("path", dir).option("preImageEmbedMax", "3").load()
+      .writeStream.format("parquet")
+      .option("path", s"$io/out").option("checkpointLocation", s"$io/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$io/out")
+    val batch = SnapshotTable.changeRowsBetween(spark, dir, 0, 2)
+    assert(canon(streamed) == canon(batch))
+    assert(canon(streamed).count(_._4 == "delete") == 25)
+    // the spill cache's lifecycle is the stream's: gone after stop
+    val cacheRoot = new File(s"$io/ck/sources/0/graft_cdc_pre")
+    assert(!cacheRoot.exists() ||
+      cacheRoot.listFiles().forall(!_.getName.startsWith("v")),
+      "committed batches' spill dirs must be cleaned up")
+  }
+
+  test("endVersion caps the drained feed at the named commit") {
+    val dir = s"$base/endv"
+    wipe(dir); wipe(s"$base/endv_io")
+    SnapshotTable.append(spark, dir, rows(Seq("A"), "b1", 1.0)) // v1
+    SnapshotTable.append(spark, dir, rows(Seq("B"), "b2", 2.0)) // v2
+    SnapshotTable.append(spark, dir, rows(Seq("C"), "b3", 3.0)) // v3
+    val q = spark.readStream.format("graft-snapshot-cdc")
+      .option("path", dir).option("endVersion", "2").load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/endv_io/out")
+      .option("checkpointLocation", s"$base/endv_io/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(canon(spark.read.parquet(s"$base/endv_io/out")) ==
+      Seq(("A", "b1", 1.0, "insert"), ("B", "b2", 2.0, "insert")),
+      "v3's insert must stay outside the capped feed")
+  }
+
+  test("followAvailableNow converges the mirror across a mid-history rewrite") {
+    import SnapshotTable._
+    val dir = s"$base/follow_src"
+    val mir = s"$base/follow_mir"
+    val work = s"$base/follow_work"
+    wipe(dir); wipe(mir); wipe(work)
+    // v1 bootstrap in two partitions; v2 append X in P1; v3 compaction
+    // of P2 (the rewrite a live stream cannot cross); v4 delete X;
+    // v5 append D — markers land on BOTH sides of the rewrite
+    append(spark, dir, rows(Seq("A", "B"), "b1", 1.0)
+      .unionByName(rows(Seq("K"), "b1", 1.0).withColumn("service_month",
+        lit(2))))
+    append(spark, dir, rows(Seq("X"), "b2", 2.0)) // v2
+    compactPartitions(spark, dir, Seq((Some(2000), Some(2)))) // v3
+    deleteKeysMor(spark, dir, Seq("X").toDF("claim_id")) // v4
+    append(spark, dir, rows(Seq("D"), "b5", 5.0)) // v5
+    append(spark, mir, read(spark, dir, Some(1)))
+    val caught = followAvailableNow(spark, dir, mir, key = "claim_id",
+      workDir = work, fromVersion = 1)
+    assert(caught == 5)
+    assert(content(mir) == content(dir))
+    assert(!content(mir).exists(_._1 == "X"))
+    // idempotent re-drive: legs drain empty, content unchanged
+    assert(followAvailableNow(spark, dir, mir, key = "claim_id",
+      workDir = work, fromVersion = 1) == 5)
+    assert(content(mir) == content(dir))
+  }
+
   test("changeRowsOrRecompute: rows-only without rewrites; rows+recompute across one; loud when unhomed") {
     import SnapshotTable._
     val dir = s"$base/degradable"
