@@ -1232,8 +1232,29 @@ object SnapshotTable {
   private[graft] def collectFileMeta(spark: SparkSession, tableDir: String,
       files: Seq[String], statsColumns: Seq[String])
       : (Map[String, Long], Map[(String, String), ZoneStat]) = {
-    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     if (files.isEmpty) return (Map.empty, Map.empty)
+    // Footer fast path (round 17): every commit used to pay one Spark
+    // aggregation job re-READING all its freshly written files for row
+    // counts + zone min/max — pure fixed overhead on the commit path
+    // (the lifecycle fixtures commit dozens of times per query). The
+    // parquet footers already hold exact per-block row counts and
+    // min/max statistics; reading them driver-side over a bounded pool
+    // is O(files) metadata IO with no job, no shuffle, no scheduler
+    // round-trip. Parquet stats are pruning-safe by construction
+    // (truncation only ever WIDENS binary bounds; absent stats yield no
+    // zone entry, which the read side treats as "always scan"). Any
+    // column whose parquet type the footer path can't render into the
+    // exact ZoneStat domain the scan path produced (INT96 timestamps,
+    // decimals, partition-path columns) falls back to the scan —
+    // per-call, so the two paths never mix kinds for one commit.
+    footerFileMeta(spark, tableDir, files, statsColumns).getOrElse(
+      collectFileMetaScan(spark, tableDir, files, statsColumns))
+  }
+
+  private def collectFileMetaScan(spark: SparkSession, tableDir: String,
+      files: Seq[String], statsColumns: Seq[String])
+      : (Map[String, Long], Map[(String, String), ZoneStat]) = {
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     val rootPath = fsOf(spark, new Path(tableDir))
       .makeQualified(new Path(tableDir)).toUri.getPath.stripSuffix("/")
     val df = spark.read.option("basePath", tableDir)
@@ -1275,6 +1296,226 @@ object SnapshotTable {
       }
     }
     (rows.result(), zones.result())
+  }
+
+  /** [[collectFileMeta]]'s driver-side core: exact row counts and zone
+    * min/max from the parquet FOOTERS of `files`, no Spark job. None
+    * when any stats column's parquet type can't reproduce the scan
+    * path's ZoneStat domain exactly — the caller then runs the scan.
+    * Stats absent from a footer (all-null column, oversized binary
+    * bounds) simply yield no zone entry: the read side scans such
+    * files unconditionally, so the omission is lossless. */
+  private def footerFileMeta(spark: SparkSession, tableDir: String,
+      files: Seq[String], statsColumns: Seq[String])
+      : Option[(Map[String, Long], Map[(String, String), ZoneStat])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    // (kind, min rendering, max rendering) for one column chunk's
+    // statistics, or Some(None) for "no stat" (absent/unusable), or
+    // None for "unsupported type — abandon the footer path"
+    def statOf(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+        : Option[Option[ZoneStat]] = {
+      val pt = cc.getPrimitiveType
+      val logical = pt.getLogicalTypeAnnotation
+      val st = cc.getStatistics
+      def empty: Option[Option[ZoneStat]] = Some(None)
+      def renderNum(get: => (Double, Double)): Option[Option[ZoneStat]] =
+        if (st == null || !st.hasNonNullValue) empty
+        else {
+          val (mn, mx) = get
+          if (mn.isNaN || mx.isNaN) empty
+          else Some(Some(ZoneStat("num", mn.toString, mx.toString)))
+        }
+      pt.getPrimitiveTypeName match {
+        case INT32 => logical match {
+          case null =>
+            renderNum((st.genericGetMin.asInstanceOf[Int].toDouble,
+              st.genericGetMax.asInstanceOf[Int].toDouble))
+          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+            renderNum((st.genericGetMin.asInstanceOf[Int].toDouble,
+              st.genericGetMax.asInstanceOf[Int].toDouble))
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            if (st == null || !st.hasNonNullValue) empty
+            else Some(Some(ZoneStat("date",
+              java.time.LocalDate.ofEpochDay(
+                st.genericGetMin.asInstanceOf[Int].toLong).toString,
+              java.time.LocalDate.ofEpochDay(
+                st.genericGetMax.asInstanceOf[Int].toLong).toString)))
+          case _ => None
+        }
+        case INT64 => logical match {
+          case null =>
+            renderNum((st.genericGetMin.asInstanceOf[Long].toDouble,
+              st.genericGetMax.asInstanceOf[Long].toDouble))
+          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+            renderNum((st.genericGetMin.asInstanceOf[Long].toDouble,
+              st.genericGetMax.asInstanceOf[Long].toDouble))
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit !=
+                LogicalTypeAnnotation.TimeUnit.NANOS =>
+            if (st == null || !st.hasNonNullValue) empty
+            else {
+              val scale =
+                if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS)
+                  1000L
+                else 1L
+              def render(us: Long): String = {
+                val micros = us * scale
+                tsFmt.format(java.time.Instant.ofEpochSecond(
+                  Math.floorDiv(micros, 1000000L),
+                  Math.floorMod(micros, 1000000L) * 1000L))
+              }
+              Some(Some(ZoneStat("ts",
+                render(st.genericGetMin.asInstanceOf[Long]),
+                render(st.genericGetMax.asInstanceOf[Long]))))
+            }
+          case _ => None
+        }
+        case FLOAT =>
+          renderNum((st.genericGetMin.asInstanceOf[Float].toDouble,
+            st.genericGetMax.asInstanceOf[Float].toDouble))
+        case DOUBLE =>
+          renderNum((st.genericGetMin.asInstanceOf[Double],
+            st.genericGetMax.asInstanceOf[Double]))
+        case BINARY => logical match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+            if (st == null || !st.hasNonNullValue) empty
+            else Some(Some(ZoneStat("str",
+              new String(st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .getBytes, java.nio.charset.StandardCharsets.UTF_8),
+              new String(st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .getBytes, java.nio.charset.StandardCharsets.UTF_8))))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    def merge(a: ZoneStat, b: ZoneStat): ZoneStat = {
+      require(a.kind == b.kind)
+      a.kind match {
+        case "num" => ZoneStat("num",
+          math.min(a.min.toDouble, b.min.toDouble).toString,
+          math.max(a.max.toDouble, b.max.toDouble).toString)
+        case k => ZoneStat(k,
+          if (a.min <= b.min) a.min else b.min,
+          if (a.max >= b.max) a.max else b.max)
+      }
+    }
+    def metaOf(rel: String)
+        : Option[(String, Long, Seq[((String, String), ZoneStat)])] = {
+      val reader = ParquetFileReader.open(HadoopInputFile
+        .fromPath(new Path(s"$tableDir/$rel"), conf))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks
+        val n = {
+          var t = 0L
+          blocks.forEach(b => t += b.getRowCount); t
+        }
+        val zones = Seq.newBuilder[((String, String), ZoneStat)]
+        val it = statsColumns.iterator
+        var supported = true
+        while (it.hasNext && supported) {
+          val c = it.next()
+          var agg: Option[ZoneStat] = None
+          var usable = true
+          blocks.forEach { b =>
+            if (usable && supported) b.getColumns.forEach { cc =>
+              if (cc.getPath.size() == 1 && cc.getPath.toDotString == c)
+                statOf(cc) match {
+                  case None => supported = false
+                  case Some(None) => usable = false
+                  case Some(Some(z)) =>
+                    agg = Some(agg.fold(z)(merge(_, z)))
+                }
+            }
+          }
+          // a column absent from this file (schema evolution, or a
+          // partition column living in the path): the SCAN path would
+          // have produced a stat for a partition column, so only a
+          // column present in NO footer anywhere forces the fallback —
+          // decided below at the call level
+          if (supported && usable) agg.foreach(z => zones += ((c, rel) -> z))
+        }
+        if (!supported) None else Some((rel, n, zones.result()))
+      } finally reader.close()
+    }
+    try {
+      // bounded parallel footer reads: metadata-sized driver IO
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(math.max(files.size, 1), 16))
+      try {
+        val futs = files.map(f =>
+          pool.submit(new java.util.concurrent.Callable[
+            Option[(String, Long, Seq[((String, String), ZoneStat)])]] {
+            def call() = metaOf(f)
+          }))
+        val metas = futs.map(_.get())
+        if (metas.exists(_.isEmpty)) return None
+        val got = metas.flatten
+        // a stats column in NO file's schema lives in the partition
+        // PATH (the scan path reads it via basePath and computes a
+        // stat) — the footer path can't, so fall back for the call.
+        // An all-null or stat-less column that IS in a footer schema
+        // stays on the fast path: no zone entry is lossless.
+        val uncovered = statsColumns.filterNot(
+          got.flatMap(_._3.map(_._1._1)).toSet)
+        if (uncovered.exists(c =>
+            !fileHasColumn(spark, tableDir, got.map(_._1), c)))
+          return None
+        Some((got.map(m => m._1 -> m._2).toMap,
+          got.flatMap(_._3).toMap))
+      } finally pool.shutdown()
+    } catch { case _: Exception => None }
+  }
+
+  /** Exact row count of a just-written parquet directory from its
+    * footers — the one-job `spark.read.parquet(dir).count()` read-back
+    * the delete-sidecar writers used to pay per commit, as driver-side
+    * metadata IO (the dirs hold a handful of rebalanced files). */
+  private def parquetDirRowCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(p).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          var t = 0L
+          r.getFooter.getBlocks.forEach(b => t += b.getRowCount)
+          t
+        } finally r.close()
+      }.sum
+  }
+
+  /** Whether any of `rels`' parquet schemas carries top-level column
+    * `c` — distinguishes "column lives in the partition path" (footer
+    * path must fall back) from "column present but never has stats". */
+  private def fileHasColumn(spark: SparkSession, tableDir: String,
+      rels: Seq[String], c: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    rels.exists { rel =>
+      val reader = ParquetFileReader.open(HadoopInputFile
+        .fromPath(new Path(s"$tableDir/$rel"), conf))
+      try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .exists(_.getName == c)
+      finally reader.close()
+    }
   }
 
   // ------------------------------------------------------------------
@@ -2996,7 +3237,7 @@ object SnapshotTable {
     // rebalance: the distinct's 32 shuffle partitions otherwise land
     // 32 tiny sidecar files every read must open for its anti-join
     keySet.hint("rebalance").write.mode("overwrite").parquet(delDir)
-    val nKeys = spark.read.parquet(delDir).count()
+    val nKeys = parquetDirRowCount(spark, delDir)
     if (nKeys == 0) {
       fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
       return None
@@ -3084,22 +3325,32 @@ object SnapshotTable {
         keepPos = true)
       .filter(predicate)
       .select(col("__rel"), col("__ri")).distinct()
-    // positions must be table-relative — an unstripped URI means the
-    // read-side anti-join could never match, silently un-deleting
-    matched.filter(col("__rel").startsWith("file:"))
-      .limit(1).collect().headOption.foreach { r =>
-      throw new IllegalStateException(
-        s"deleteWhere: unstripped file path ${r.getString(0)}")
-    }
     matched.hint("rebalance").write.mode("overwrite").parquet(delDir)
-    val n = spark.read.parquet(delDir).count()
+    // One read of the WRITTEN sidecar yields everything the commit
+    // needs: the position count, the addressed files, and the
+    // path-shape validation. (Before round 17 the validation probed the
+    // UNWRITTEN `matched` frame with a filter+limit(1) collect — for a
+    // predicate with no `file:` hit, i.e. always, that executed the
+    // whole pruned-scan+predicate+distinct subtree once and the write
+    // re-ran it, doubling deleteWhere's heavy phase; two further
+    // re-reads of the sidecar collected count and distinct refs. One
+    // small aggregation over the sidecar replaces all three jobs.)
+    val perFile = spark.read.parquet(delDir)
+      .groupBy(col("__rel")).agg(count(lit(1)).as("__n")).collect()
+    val n = perFile.iterator.map(_.getLong(1)).sum
     if (n == 0) {
       fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
       return None
     }
     // the files the positions address — metadata-sized (≤ files matched)
-    val refFiles = spark.read.parquet(delDir).select(col("__rel"))
-      .distinct().collect().map(_.getString(0)).toSet
+    val refFiles = perFile.iterator.map(_.getString(0)).toSet
+    // positions must be table-relative — an unstripped URI means the
+    // read-side anti-join could never match, silently un-deleting
+    refFiles.find(_.startsWith("file:")).foreach { bad =>
+      fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
+      throw new IllegalStateException(
+        s"deleteWhere: unstripped file path $bad")
+    }
     beforeCommit()
     try {
       commitGated(spark, tableDir, "delete-where",
@@ -3174,7 +3425,7 @@ object SnapshotTable {
     val delDir = s"$tableDir/_snapshots/$name"
     latest.select(col(key)).filter(col(key).isNotNull).distinct()
       .hint("rebalance").write.mode("overwrite").parquet(delDir)
-    val nKeys = spark.read.parquet(delDir).count()
+    val nKeys = parquetDirRowCount(spark, delDir)
     // an empty (or all-null-key) update batch has nothing to retract:
     // committing a rows=0 delete ref would cost every later read an
     // anti-join against nothing until compaction — append alone instead
@@ -3281,7 +3532,7 @@ object SnapshotTable {
     val name = s"deletes/del_${java.util.UUID.randomUUID()}"
     val delDir = s"$tableDir/_snapshots/$name"
     delKeys.hint("rebalance").write.mode("overwrite").parquet(delDir)
-    val nKeys = spark.read.parquet(delDir).count()
+    val nKeys = parquetDirRowCount(spark, delDir)
     val created = stagedWrite(spark, tableDir, insRows)
     if (nKeys == 0 && created.isEmpty) {
       fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
@@ -3636,7 +3887,7 @@ object SnapshotTable {
     val name = s"deletes/del_${java.util.UUID.randomUUID()}"
     val delDir = s"$tableDir/_snapshots/$name"
     merged.hint("rebalance").write.mode("overwrite").parquet(delDir)
-    val n = spark.read.parquet(delDir).count()
+    val n = parquetDirRowCount(spark, delDir)
     if (n == 0) // every position was dead — pure ref cleanup
       fsOf(spark, new Path(delDir)).delete(new Path(delDir), true)
     val maxSeq = root.posDeletes.map(_.seq).max
