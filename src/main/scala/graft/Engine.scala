@@ -8,7 +8,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * session the driver built. Idempotent.
   */
 object Engine {
+  /** Install [[graft.fs.FastLocalFileSystem]] as the `file://`
+    * implementation for this context. This environment ships no
+    * native-hadoop library, so the default RawLocalFileSystem forks
+    * `chmod` once per created file and `ls -ld` once per listed file —
+    * measured (round-17 JobProfile) at 3.2 s of a 12.5 s
+    * q_snapshot_merge_mor run. The replacement answers the same
+    * metadata calls with POSIX syscalls; the checksum wrapper is kept,
+    * so on-disk layout (.crc sidecars included) is byte-identical. A
+    * cluster store (HDFS/S3) is untouched: only the `file` scheme is
+    * remapped, which at 100 TB scale is test/driver plumbing, not the
+    * data path. Idempotent; evicts at most one pre-wiring cached
+    * LocalFileSystem instance (closing a LocalFileSystem only drops it
+    * from Hadoop's cache — it holds no state open streams depend on). */
+  private def installFastLocalFs(spark: SparkSession): Unit = {
+    val impl = "graft.fs.FastLocalFileSystem"
+    val hc = spark.sparkContext.hadoopConfiguration
+    if (hc.get("fs.file.impl") != impl) hc.set("fs.file.impl", impl)
+    val uri = java.net.URI.create("file:///")
+    val cached = org.apache.hadoop.fs.FileSystem.get(uri, hc)
+    if (!cached.isInstanceOf[graft.fs.FastLocalFileSystem]) {
+      cached.close() // drops the pre-wiring instance from the FS cache
+      org.apache.hadoop.fs.FileSystem.get(uri, hc) // caches ours
+    }
+  }
+
   def configure(spark: SparkSession): SparkSession = {
+    installFastLocalFs(spark)
     // Reference semantics are non-ANSI: malformed dates → null, not error
     // (jobs/silver/claims_to_iceberg.py:60-63 relies on to_date returning
     // null for unparseable input).

@@ -30,9 +30,9 @@ import org.apache.hadoop.fs.permission.FsPermission
   * are really read (POSIX attribute syscalls) and really set
   * (`PosixFileAttributeView.setPermissions`), not faked.
   *
-  * Wire it with `spark.hadoop.fs.file.impl = graft.fs.FastLocalFileSystem`
-  * at session build time (before the first `file://` FileSystem is
-  * cached). The checksum wrapper is preserved, so on-disk layout
+  * Wired by [[graft.Engine.configure]] (`fs.file.impl` on the
+  * context's hadoopConfiguration, evicting any pre-wiring cached
+  * instance). The checksum wrapper is preserved, so on-disk layout
   * (.crc sidecars included) is byte-identical to the default
   * LocalFileSystem. */
 class FastLocalFileSystem
@@ -75,6 +75,13 @@ class FastRawLocalFileSystem extends RawLocalFileSystem {
   /** Real chmod through one syscall instead of a forked `chmod`. */
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     if (permission == null) return
+    // PosixFilePermission cannot express sticky/setuid/setgid: those
+    // requests go through the parent's chmod path, which applies the
+    // full mode, instead of silently masking to 0x1ff here
+    if ((permission.toShort & ~0x1ff) != 0) {
+      super.setPermission(p, permission)
+      return
+    }
     val view = Files.getFileAttributeView(pathToFile(p).toPath,
       classOf[PosixFileAttributeView])
     if (view == null) super.setPermission(p, permission) // non-POSIX store

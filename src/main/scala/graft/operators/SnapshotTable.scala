@@ -1190,10 +1190,17 @@ object SnapshotTable {
   /** A file's zone for one column. `kind` fixes the comparison domain:
     * `num` (numeric, values are Double renderings), or a
     * lexicographically-ordered string domain — `date` (ISO yyyy-MM-dd),
-    * `ts` (fixed-width yyyy-MM-dd HH:mm:ss.SSSSSS), `str` (raw; ASCII-
-    * safe — Spark's binary min/max and Java's compareTo agree there).
-    * ISO renderings make chronological order == string order, so one
-    * comparator serves every non-numeric kind. */
+    * `ts` (fixed-width yyyy-MM-dd HH:mm:ss.SSSSSS), `str` (raw). The
+    * string domain's order is CODE POINT order (== UTF-8 byte order ==
+    * Spark's UTF8String binary comparison — the order both the scan
+    * path's min/max aggregates and the parquet footers' binary stats
+    * produce). Java String's natural order is UTF-16 code-unit order,
+    * which DISAGREES for supplementary-plane characters (emoji sort
+    * below U+E000.. in UTF-16, above in code points) — comparing zone
+    * bounds with it could prune a file that holds matches, so every
+    * bound comparison goes through [[ZoneStat.cmpCp]]. ISO renderings
+    * make chronological order == string order, so one comparator
+    * serves every non-numeric kind. */
   final case class ZoneStat(kind: String, min: String, max: String) {
     def intersectsNum(lo: Double, hi: Double): Boolean =
       kind != "num" || (max.toDouble >= lo && min.toDouble <= hi)
@@ -1207,9 +1214,27 @@ object SnapshotTable {
         // normalizes or nulls it at row time)
         ((kind == "date" || kind == "ts") &&
           !(ZoneStat.isoShaped(lo) && ZoneStat.isoShaped(hi))) ||
-        (max >= lo && min <= hi)
+        // an upper bound at/above the U+FFFF sentinel means "no upper
+        // bound": under code-point order supplementary-plane values
+        // sort ABOVE U+FFFF, so the sentinel itself must not prune
+        ((lo.isEmpty || ZoneStat.cmpCp(max, lo) >= 0) &&
+          (hi.startsWith("￿") || ZoneStat.cmpCp(min, hi) <= 0))
   }
   object ZoneStat {
+    /** Code-point-order comparison — identical to unsigned UTF-8 byte
+      * order for valid strings, and to Spark's UTF8String binary order.
+      * Agrees with Java's natural order on BMP-only strings; differs
+      * exactly where UTF-16 code-unit order is unsafe (supplementary
+      * plane). */
+    private[graft] def cmpCp(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
     /** A bound that compares consistently against zero-padded ISO
       * date/timestamp renderings: the open-interval sentinels, or a
       * zero-padded `yyyy-MM-dd` prefix (any suffix — a bare date probe
@@ -1251,7 +1276,7 @@ object SnapshotTable {
       collectFileMetaScan(spark, tableDir, files, statsColumns))
   }
 
-  private def collectFileMetaScan(spark: SparkSession, tableDir: String,
+  private[graft] def collectFileMetaScan(spark: SparkSession, tableDir: String,
       files: Seq[String], statsColumns: Seq[String])
       : (Map[String, Long], Map[(String, String), ZoneStat]) = {
     import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
@@ -1305,7 +1330,7 @@ object SnapshotTable {
     * Stats absent from a footer (all-null column, oversized binary
     * bounds) simply yield no zone entry: the read side scans such
     * files unconditionally, so the omission is lossless. */
-  private def footerFileMeta(spark: SparkSession, tableDir: String,
+  private[graft] def footerFileMeta(spark: SparkSession, tableDir: String,
       files: Seq[String], statsColumns: Seq[String])
       : Option[(Map[String, Long], Map[(String, String), ZoneStat])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -1356,9 +1381,16 @@ object SnapshotTable {
           case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
             renderNum((st.genericGetMin.asInstanceOf[Long].toDouble,
               st.genericGetMax.asInstanceOf[Long].toDouble))
+          // isAdjustedToUTC distinguishes TimestampType (instant,
+          // adjusted, kind "ts" fixed-width micros) from TimestampNTZ
+          // (not adjusted) — the scan path renders NTZ as kind "str"
+          // via trimmed cast-to-string, so an NTZ column must fall
+          // back to the scan or equality probes ("…00:00" vs zone
+          // "…00:00.000000") would prune files that hold the key
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
               if t.getUnit !=
-                LogicalTypeAnnotation.TimeUnit.NANOS =>
+                LogicalTypeAnnotation.TimeUnit.NANOS &&
+                t.isAdjustedToUTC =>
             if (st == null || !st.hasNonNullValue) empty
             else {
               val scale =
@@ -1404,17 +1436,27 @@ object SnapshotTable {
         case "num" => ZoneStat("num",
           math.min(a.min.toDouble, b.min.toDouble).toString,
           math.max(a.max.toDouble, b.max.toDouble).toString)
+        // code-point order, matching the order the per-block parquet
+        // stats were computed under (unsigned UTF-8 bytes) — Java's
+        // UTF-16 order would mis-merge supplementary-plane bounds and
+        // the merged zone could prune a file that holds matches
         case k => ZoneStat(k,
-          if (a.min <= b.min) a.min else b.min,
-          if (a.max >= b.max) a.max else b.max)
+          if (ZoneStat.cmpCp(a.min, b.min) <= 0) a.min else b.min,
+          if (ZoneStat.cmpCp(a.max, b.max) >= 0) a.max else b.max)
       }
     }
-    def metaOf(rel: String)
-        : Option[(String, Long, Seq[((String, String), ZoneStat)])] = {
+    def metaOf(rel: String): Option[
+        (String, Long, Seq[((String, String), ZoneStat)], Set[String])] = {
       val reader = ParquetFileReader.open(HadoopInputFile
         .fromPath(new Path(s"$tableDir/$rel"), conf))
       try {
         val footer = reader.getFooter
+        val fields = {
+          val b = Set.newBuilder[String]
+          footer.getFileMetaData.getSchema.getFields
+            .forEach(f => b += f.getName)
+          b.result()
+        }
         val blocks = footer.getBlocks
         val n = {
           var t = 0L
@@ -1445,7 +1487,8 @@ object SnapshotTable {
           // decided below at the call level
           if (supported && usable) agg.foreach(z => zones += ((c, rel) -> z))
         }
-        if (!supported) None else Some((rel, n, zones.result()))
+        if (!supported) None
+        else Some((rel, n, zones.result(), fields))
       } finally reader.close()
     }
     try {
@@ -1454,8 +1497,8 @@ object SnapshotTable {
         math.min(math.max(files.size, 1), 16))
       try {
         val futs = files.map(f =>
-          pool.submit(new java.util.concurrent.Callable[
-            Option[(String, Long, Seq[((String, String), ZoneStat)])]] {
+          pool.submit(new java.util.concurrent.Callable[Option[(String,
+              Long, Seq[((String, String), ZoneStat)], Set[String])]] {
             def call() = metaOf(f)
           }))
         val metas = futs.map(_.get())
@@ -1465,17 +1508,29 @@ object SnapshotTable {
         // PATH (the scan path reads it via basePath and computes a
         // stat) — the footer path can't, so fall back for the call.
         // An all-null or stat-less column that IS in a footer schema
-        // stays on the fast path: no zone entry is lossless.
-        val uncovered = statsColumns.filterNot(
-          got.flatMap(_._3.map(_._1._1)).toSet)
-        if (uncovered.exists(c =>
-            !fileHasColumn(spark, tableDir, got.map(_._1), c)))
-          return None
+        // stays on the fast path: no zone entry is lossless. The
+        // schemas were captured while each footer was open, so this
+        // check re-opens nothing (round-17 ADVICE: fileHasColumn
+        // re-read every footer a second time).
+        val covered = got.iterator.flatMap(_._4).toSet
+        if (statsColumns.exists(c => !covered.contains(c))) return None
         Some((got.map(m => m._1 -> m._2).toMap,
           got.flatMap(_._3).toMap))
       } finally pool.shutdown()
-    } catch { case _: Exception => None }
+    } catch {
+      case e: Exception =>
+        // lossless fallback — but never a SILENT one: a footer-path
+        // bug that always threw would otherwise re-impose one Spark
+        // job per commit with no trace (round-17 ADVICE)
+        if (footerFallbackLogged.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"parquet-footer stats fast path failed; falling " +
+              s"back to the scan path (logged once): $e")
+        None
+    }
   }
+  private val footerFallbackLogged =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Exact row count of a just-written parquet directory from its
     * footers — the one-job `spark.read.parquet(dir).count()` read-back
@@ -1498,24 +1553,6 @@ object SnapshotTable {
           t
         } finally r.close()
       }.sum
-  }
-
-  /** Whether any of `rels`' parquet schemas carries top-level column
-    * `c` — distinguishes "column lives in the partition path" (footer
-    * path must fall back) from "column present but never has stats". */
-  private def fileHasColumn(spark: SparkSession, tableDir: String,
-      rels: Seq[String], c: String): Boolean = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
-    rels.exists { rel =>
-      val reader = ParquetFileReader.open(HadoopInputFile
-        .fromPath(new Path(s"$tableDir/$rel"), conf))
-      try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-        .exists(_.getName == c)
-      finally reader.close()
-    }
   }
 
   // ------------------------------------------------------------------
