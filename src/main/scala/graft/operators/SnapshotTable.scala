@@ -3460,7 +3460,12 @@ object SnapshotTable {
       .filter(col("__rn") === 1).drop("__rn")
     val name = s"deletes/del_${java.util.UUID.randomUUID()}"
     val delDir = s"$tableDir/_snapshots/$name"
-    latest.select(col(key)).filter(col(key).isNotNull).distinct()
+    // distinct keys of `latest` == distinct keys of `updates` (the
+    // window only picks one row per key) — deriving the delete-key
+    // sidecar from `updates` directly skips re-running the window's
+    // shuffle+sort for this consumer (the staged write below still
+    // computes it exactly once)
+    updates.select(col(key)).filter(col(key).isNotNull).distinct()
       .hint("rebalance").write.mode("overwrite").parquet(delDir)
     val nKeys = parquetDirRowCount(spark, delDir)
     // an empty (or all-null-key) update batch has nothing to retract:
@@ -3522,7 +3527,21 @@ object SnapshotTable {
     // would silently degrade their downstream reuse.
     val mine = feed.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE
-    if (mine) feed.persist()
+    if (mine) {
+      feed.persist()
+      // EAGERLY fill the cache before the consumers fan out: the
+      // delete-key sidecar alone references the feed through THREE
+      // independent shuffle subtrees (delete arm, insert window,
+      // max-delete-version aggregate), and AQE materializes
+      // independent query stages CONCURRENTLY — with a lazy persist
+      // all three jobs race to compute the un-cached feed and each
+      // re-runs the full CDC scan including delete pre-image
+      // reconstruction (round-18 JobProfile: three concurrent 5.9 s
+      // jobs inside one applyChangeFeed at sf0.1). count() through
+      // the InMemoryRelation materializes every column of every
+      // partition exactly once; the fan-out then reads blocks.
+      feed.count()
+    }
     try applyChangeFeedCached(spark, tableDir, feed, key, statsColumns,
       debtRatio)
     finally if (mine) feed.unpersist(false)
@@ -3562,9 +3581,12 @@ object SnapshotTable {
           .drop("__max_del_v")
       }
     val insRows = inserts.select(rowCols.map(col): _*)
-    val delKeys = feed.filter(col("_change_type") === "delete")
-      .select(col(key))
-      .unionByName(insRows.select(col(key)))
+    // the delete-key sidecar is the distinct non-null keys of the WHOLE
+    // feed: delete-marker keys ∪ surviving insert keys ≡ all feed keys
+    // (an insert key the latest-marker rule filters out has a newer
+    // delete marker, which is in the set anyway) — so this consumer
+    // needs neither the window nor the delV join, just one distinct
+    val delKeys = feed.select(col(key))
       .filter(col(key).isNotNull).distinct()
     val name = s"deletes/del_${java.util.UUID.randomUUID()}"
     val delDir = s"$tableDir/_snapshots/$name"

@@ -587,8 +587,26 @@ private[graft] class SnapshotCdcReaderFactory(
       }.toMap
     }
     val it = p.slices.iterator.flatMap { s =>
-      val rows = readFunc(GraftSparkInternals.partitionedFile(
-        partRowOf(s), s.absPath, s.length))
+      val pf = GraftSparkInternals.partitionedFile(
+        partRowOf(s), s.absPath, s.length)
+      // VECTORIZED decode even for positioned slices: the rows surface
+      // one at a time (ColumnarBatch.rowIterator keeps file order, so
+      // the sequential index below is still the parquet row index) but
+      // the parquet decode itself runs through the columnar reader —
+      // the row-based ParquetRecordReader re-assembles every row
+      // eagerly and measured several times slower on the pre-image
+      // scans that dominate a CDC drain. Falls back to the row reader
+      // when the format can't batch this schema.
+      val rows: Iterator[InternalRow] = batchFunc match {
+        case Some(bf) => bf(pf).flatMap { b =>
+          val jt = b.rowIterator()
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = jt.hasNext
+            override def next(): InternalRow = jt.next()
+          }
+        }
+        case None => readFunc(pf)
+      }
       val pos =
         if (s.posRefs.nonEmpty)
           spilledPos.getOrElse(s.rel, Array.empty[Long])

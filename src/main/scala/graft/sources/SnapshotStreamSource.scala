@@ -382,8 +382,22 @@ private[graft] class SnapshotReaderFactory(
     // files of one split read sequentially (lazy concat — one open
     // reader at a time); each file contributes its own partition values
     val it = p.slices.iterator.flatMap { s =>
-      val rows = readFunc(GraftSparkInternals.partitionedFile(partRowOf(s),
-        s.absPath, s.length))
+      val pf = GraftSparkInternals.partitionedFile(partRowOf(s),
+        s.absPath, s.length)
+      // VECTORIZED decode even for MoR-reached slices (same rationale
+      // as the CDC reader): batch decode, row-wise emission —
+      // rowIterator keeps file order, so the doomed-position index
+      // below still addresses parquet row indices exactly.
+      val rows: Iterator[InternalRow] = batchFunc match {
+        case Some(bf) => bf(pf).flatMap { b =>
+          val jt = b.rowIterator()
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = jt.hasNext
+            override def next(): InternalRow = jt.next()
+          }
+        }
+        case None => readFunc(pf)
+      }
       if (s.doomed.isEmpty) rows
       else {
         // a MoR delete reaches this file: skip exactly the doomed
