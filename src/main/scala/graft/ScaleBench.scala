@@ -55,7 +55,10 @@ object ScaleBench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // errors/controls keys kept for tools/scale_report.py compatibility
+    val errJson = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"controls":[],"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/scalebench.json"),
